@@ -1,0 +1,103 @@
+"""Vectorized string/bytes kernels used by the batch parse stages.
+
+All functions are zero-Python-per-row: they operate on Arrow buffers with
+numpy gathers and pyarrow.compute kernels, so batches of hundreds of
+thousands of rows stay columnar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["slice_from_positions", "extract_csv_payload", "csv_split_column"]
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets:int64[n+1], data:uint8) of a string/binary array."""
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        dt = np.int64
+    else:
+        dt = np.int32
+    _v, off_buf, data_buf = arr.buffers()
+    offsets = np.frombuffer(off_buf, dtype=dt, count=len(arr) + 1,
+                            offset=arr.offset * np.dtype(dt).itemsize).astype(np.int64)
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None else np.empty(0, np.uint8)
+    return offsets, data
+
+
+def _gather_varlen(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather variable-length byte slices into a packed buffer.
+
+    Returns (new_offsets:int64[n+1], new_data:uint8[total]).
+    """
+    lens = np.maximum(lens, 0)
+    out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return out_off, np.empty(0, np.uint8)
+    # index trick: for each output byte, source index = start[row] + intra-row pos
+    idx = np.arange(total, dtype=np.int64)
+    row_base = np.repeat(out_off[:-1], lens)
+    src_base = np.repeat(starts, lens)
+    return out_off, data[idx - row_base + src_base]
+
+
+def slice_from_positions(arr: pa.Array | pa.ChunkedArray, starts_rel: np.ndarray) -> pa.Array:
+    """Per-row suffix slice: row i -> bytes[starts_rel[i]:] of that row.
+
+    ``starts_rel[i] < 0`` keeps the whole row.  Returns a binary array.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets, data = _string_buffers(arr)
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    rel = np.where(starts_rel < 0, 0, starts_rel)
+    new_starts = np.minimum(starts + rel, ends)
+    out_off, out_data = _gather_varlen(data, new_starts, ends - new_starts)
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(arr),
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_data.tobytes())],
+    )
+
+
+def extract_csv_payload(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Strip the syslog prefix: find the first ``" 1,"`` and keep from ``"1,"``;
+    otherwise keep the (whitespace-trimmed) line.
+
+    Matches the reference example's ``extract_csv``
+    (/root/reference/examples/pan_dynamic_parser.py:828-831), vectorized.
+    Returns a large_string array (payload, whitespace-trimmed).  Slicing at
+    the byte position of an ASCII pattern keeps UTF-8 validity, so the cast
+    back to string is safe.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    pos = pc.find_substring(text, " 1,").to_numpy(zero_copy_only=False).astype(np.int64)
+    # found -> start at pos+1 ('1,...'); not found -> start at 0
+    starts_rel = np.where(pos >= 0, pos + 1, 0)
+    sliced = slice_from_positions(text, starts_rel).cast(pa.large_string())
+    # .strip() on both branches in the reference
+    return pc.utf8_trim(sliced, " \t\r\n\x0b\x0c")
+
+
+def csv_split_column(payload: pa.Array | pa.ChunkedArray) -> tuple[pa.ListArray, np.ndarray]:
+    """Split a column of CSV lines into a list<string> per row.
+
+    Fast path: ``pc.split_pattern(',')`` for every row (correct for all
+    quote-free lines, which dominate real log traffic).  Rows containing a
+    double-quote byte are flagged in the returned bool mask — the caller
+    patches those rows through the exact per-row tokenizer
+    (`core.tokenize.split_csv_bytes`).  Empty rows get an empty field list
+    (the reference yields zero fields for an empty line).
+    """
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    as_str = payload if pa.types.is_string(payload.type) or pa.types.is_large_string(payload.type) else payload.cast(pa.large_string())
+    splits = pc.split_pattern(as_str, ",")
+    quoted = pc.match_substring(as_str, '"').to_numpy(zero_copy_only=False)
+    return splits, quoted
