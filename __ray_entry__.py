@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship webtext pipeline (parse -> enrich -> route ->
+aggregate) on a deterministic synthetic webtext table derived from sf0.001
+scale and returns the per-sink aggregate Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2
+as ``sf_dir -> Dataset/DataFrame/Table`` callables; ``oracle_sql()`` holds
+the DuckDB-equivalent SQL for each (omitted only for non-SQL-expressible
+ops — FNV anonymization tokens, MinHash sketches — which the pytest suite
+verifies against serial oracles instead).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +19,42 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_TINY = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at tiny scale; returns per-sink aggregate counts."""
+    import ray.data as rd
+
+    from logparse_rs_ray.pipelines.flagship import run_flagship
+    from logparse_rs_ray.webtext import webtext_dataset
+
+    out_dir = "/tmp/logparse_rs_ray_entry"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_flagship(webtext_dataset(6000, seed=42), out_dir,
+                 generated_at="2025-01-01T00:00:00Z")
+    # return the routed per-sink aggregate as a Dataset (stable schema)
+    from logparse_rs_ray.stages.aggregate import count_by
+
+    sinks = rd.read_parquet(f"{out_dir}/sinks")
+    return count_by(sinks, "sink", count_name="n_rows").sort("sink")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from logparse_rs_ray.pipelines import logops, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    q.update(relational.QUERIES)
+    q.update(logops.QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logparse_rs_ray.pipelines import logops, relational
+
+    s: dict[str, str] = {}
+    s.update(relational.ORACLE_SQL)
+    s.update(logops.ORACLE_SQL)
+    return s

@@ -1,0 +1,263 @@
+"""Log/telemetry-style queries over the ``events`` and ``documents`` tables.
+
+These re-express the reference's parse -> enrich -> route -> aggregate
+capabilities over the driver's test tables so the DuckDB oracle gate can
+verify them: regex field extraction (the grok analog of the CSV parser),
+lookup enrichment (lang -> region, the anonymizer ``map`` mode analog),
+route counts per sink, top-k, windowed (hour-bucketed) aggregation, and
+deterministic anonymization (FNV tokens — not SQL-expressible, checked by
+pytest against the serial oracle instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.anonymize import AnonConfig, anonymize_column
+from ..sources import read_table
+from ..stages.aggregate import count_by, grouped_agg
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+# lang -> region enrichment map (FIXTURES.md §1; mirrors webtext.LANG_REGION)
+LANG_REGION = {"en": "AMER", "de": "EMEA", "fr": "EMEA", "es": "AMER", "zh": "APAC", "ar": "EMEA"}
+
+
+# --- parse: regex field extraction from the props JSON-ish column ----------
+
+def log_parse_props(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ks = pc.struct_field(pc.extract_regex(b["props"], r'"k": (?P<k>\d+)'), "k")
+        return pa.table({
+            "event_type": b["event_type"],
+            "k": pc.cast(ks, pa.int64()),
+        })
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["event_type"], {"sum_k": "k"}, count_name="n_events")
+    return out.sort("event_type")
+
+
+LOG_PARSE_PROPS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- route: per-sink counts ------------------------------------------------
+
+def log_route_counts(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return count_by(ds, "event_type", count_name="n_rows").sort("event_type")
+
+
+LOG_ROUTE_COUNTS_SQL = """
+SELECT event_type, COUNT(*) AS n_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- top-k users by activity ----------------------------------------------
+
+def log_topk_users(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    counts = count_by(ds, "user_id", count_name="n_events")
+    return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+
+
+LOG_TOPK_USERS_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 10
+"""
+
+
+# --- windowed aggregate: tumbling 1-hour buckets ---------------------------
+
+def log_hourly_window(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({
+            "hour": hour,
+            "event_type": b["event_type"],
+            "value_cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+        })
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["hour", "event_type"], {"sum_value_cents": "value_cents"},
+                      count_name="n_events")
+    return out.sort(["hour", "event_type"])
+
+
+LOG_HOURLY_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+# --- enrich: lang -> region broadcast lookup over documents ----------------
+
+def doc_region_enrich(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    langs = pa.array(list(LANG_REGION.keys()), type=pa.string())
+    regions = pa.array(list(LANG_REGION.values()) + ["OTHER"], type=pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
+        pos = pc.index_in(b["lang"].combine_chunks() if isinstance(b["lang"], pa.ChunkedArray) else b["lang"],
+                          value_set=langs)
+        pos = pc.if_else(pc.is_valid(pos), pos, pa.scalar(len(langs), type=pa.int32()))
+        return pa.table({
+            "region": pc.take(regions, pos),
+            "n_chars": b["n_chars"],
+        })
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["region"], {"sum_chars": "n_chars"}, count_name="n_docs")
+    return out.sort("region")
+
+
+DOC_REGION_SQL = """
+SELECT CASE lang WHEN 'en' THEN 'AMER' WHEN 'es' THEN 'AMER'
+                 WHEN 'de' THEN 'EMEA' WHEN 'fr' THEN 'EMEA' WHEN 'ar' THEN 'EMEA'
+                 WHEN 'zh' THEN 'APAC' ELSE 'OTHER' END AS region,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY region
+"""
+
+
+# --- text analysis: token counts per lang ----------------------------------
+
+def doc_token_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # len(text.split()) == number of \S+ runs; 0 for all-whitespace
+        toks = pc.count_substring_regex(b["text"], r"\S+")
+        return pa.table({"lang": b["lang"], "tokens": pc.cast(toks, pa.int64())})
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["lang"], {"sum_tokens": "tokens"}, count_name="n_docs")
+    return out.sort("lang")
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT lang,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- exact dedup: keeper per distinct text ---------------------------------
+
+def doc_exact_dedup(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # per-block partial: min doc_id + count per text
+        g = b.group_by(["text"]).aggregate([("doc_id", "min"), ([], "count_all")])
+        return g.rename_columns(["text", "keeper", "n"])
+
+    partial = ds.map_batches(prep, batch_format="pyarrow")
+    merged = partial.groupby("text").aggregate(
+        *_min_sum_aggs()
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        t = b.rename_columns(["text", "keeper_doc_id", "n_copies"])
+        return t.select(["keeper_doc_id", "n_copies"])
+
+    return merged.map_batches(finalize, batch_format="pyarrow").sort("keeper_doc_id")
+
+
+def _min_sum_aggs():
+    from ray.data.aggregate import Min, Sum
+
+    return (Min("keeper", alias_name="keeper_min"), Sum("n", alias_name="n_sum"))
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+ORDER BY keeper_doc_id
+"""
+
+
+# --- anonymization over events (NOT SQL-expressible: FNV tokens) -----------
+
+_EVENT_ANON = {
+    "version": 1,
+    "defaults": {"tokenize": {"prefix": "T_", "salt": "events-pepper"}},
+    "fields": {"user_token": {"mode": "tokenize", "tokenize": {"prefix": "U_", "salt": "usr"}}},
+}
+
+
+def log_anonymize_users(sf_dir: str):
+    """Distinct (user_id, deterministic token).  Rows-only driver check; the
+    token function itself is conformance-tested against the serial oracle."""
+    from ..core.anonymize import load_anon_config
+
+    cfg = load_anon_config(_EVENT_ANON)
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uniq = pc.unique(b["user_id"].combine_chunks() if isinstance(b["user_id"], pa.ChunkedArray) else b["user_id"])
+        s = pc.cast(uniq, pa.string())
+        tok, _ = anonymize_column(cfg, "user_token", s)
+        return pa.table({"user_id": uniq, "user_token": tok})
+
+    partial = ds.map_batches(prep, batch_format="pyarrow")
+    # dedup via min (token is deterministic -> min == the value)
+    from ray.data.aggregate import Min
+
+    out = partial.groupby("user_id").aggregate(Min("user_token", alias_name="user_token"))
+    return out.sort("user_id")
+
+
+QUERIES = {
+    "log_parse_props": log_parse_props,
+    "log_route_counts": log_route_counts,
+    "log_topk_users": log_topk_users,
+    "log_hourly_window": log_hourly_window,
+    "doc_region_enrich": doc_region_enrich,
+    "doc_token_stats": doc_token_stats,
+    "doc_exact_dedup": doc_exact_dedup,
+    "log_anonymize_users": log_anonymize_users,
+}
+
+ORACLE_SQL = {
+    "log_parse_props": LOG_PARSE_PROPS_SQL,
+    "log_route_counts": LOG_ROUTE_COUNTS_SQL,
+    "log_topk_users": LOG_TOPK_USERS_SQL,
+    "log_hourly_window": LOG_HOURLY_WINDOW_SQL,
+    "doc_region_enrich": DOC_REGION_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    # log_anonymize_users: intentionally no SQL oracle (FNV not expressible);
+    # driver records rows-only, pytest covers token correctness.
+}

@@ -1,0 +1,301 @@
+"""Relational query suite over the TPC-H-ish test tables.
+
+Each query exists twice: a Ray-Data-first implementation (column-pruned
+reads, two-phase aggregates, broadcast joins for dimension tables, hash
+joins only where both sides are large) and an ANSI-SQL oracle string for
+DuckDB — the driver's correctness gate runs both and compares row counts,
+schemas and value hashes (column names must match EXACTLY).
+
+Money aggregates are computed in integer cents (``round(x*100)`` /
+``round(x*10000)``) so both engines do exact integer arithmetic — float
+sums across different reduction orders are not bit-stable, integers are.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources import read_table
+from ..stages.aggregate import count_by, grouped_agg
+from ..stages.join import broadcast_join, hash_join
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _read_small(sf_dir: str, name: str, columns=None) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(col, scale: int = 100):
+    return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+
+
+def _ts(y: int, m: int, d: int) -> pa.Scalar:
+    import datetime
+
+    return pa.scalar(datetime.datetime(y, m, d), type=pa.timestamp("us"))
+
+
+# --- q1: pricing summary (grouped multi-agg over the fact table) -----------
+
+def q1_pricing_summary(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], _ts(1998, 9, 2)))
+        disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+            "base_cents": _cents(b["l_extendedprice"]),
+            "disc_cents": _cents(disc_price, 10000),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_agg(
+        prepped, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "qty", "sum_base_cents": "base_cents", "sum_disc_cents": "disc_cents"},
+        count_name="count_order",
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q6: global filtered aggregate -----------------------------------------
+
+def q6_revenue_forecast(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"], _ts(1994, 1, 1)),
+                    pc.less(b["l_shipdate"], _ts(1997, 1, 1))),
+            pc.and_(pc.greater_equal(b["l_discount"], 0.02),
+                    pc.less_equal(b["l_discount"], 0.09)),
+        )
+        m = pc.and_(m, pc.less(b["l_quantity"], 24.0))
+        b = b.filter(m)
+        rev = pc.multiply(b["l_extendedprice"], b["l_discount"])
+        return pa.table({"one": pa.array([1] * b.num_rows, type=pa.int64()),
+                         "rev_cents": _cents(rev, 10000)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_agg(prepped, ["one"], {"revenue_cents": "rev_cents"},
+                       count_name="n_rows")
+
+
+Q6_SQL = """
+SELECT 1 AS one,
+       CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24
+GROUP BY 1
+"""
+
+
+# --- broadcast join chain (dimension enrichment) ---------------------------
+
+def q_customer_regions(sf_dir: str):
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    ds = broadcast_join(cust, dim, "c_nationkey", "n_nationkey",
+                        columns=["n_name", "r_name"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": b["r_name"],
+            "n_name": b["n_name"],
+            "acct_cents": _cents(b["c_acctbal"]),
+        })
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["r_name", "n_name"], {"sum_acctbal_cents": "acct_cents"},
+                      count_name="n_customers")
+    return out.sort(["r_name", "n_name"])
+
+
+Q_CUSTOMER_REGIONS_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# --- large-large hash join -------------------------------------------------
+
+def q_order_lineitem_join(sf_dir: str):
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "qty": pc.cast(b["l_quantity"], pa.int64())})
+
+    li = li.map_batches(prep_li, batch_format="pyarrow")
+    joined = hash_join(orders, li, on="o_orderkey", right_on="l_orderkey",
+                       num_partitions=16)
+    out = grouped_agg(joined, ["o_orderpriority"], {"sum_qty": "qty"},
+                      count_name="n_lines")
+    return out.sort("o_orderpriority")
+
+
+Q_ORDER_LINEITEM_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- top-k with deterministic tie-break ------------------------------------
+
+def q_top_parts_by_quantity(sf_dir: str):
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "qty": pc.cast(b["l_quantity"], pa.int64())})
+
+    agg = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                      ["l_partkey"], {"sum_qty": "qty"})
+    return agg.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
+
+
+Q_TOP_PARTS_SQL = """
+SELECT l_partkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY sum_qty DESC, l_partkey
+LIMIT 10
+"""
+
+
+# --- sort + limit (raw values pass through — no float rounding needed) -----
+
+def q_orders_sort_limit(sf_dir: str):
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+Q_ORDERS_SORT_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- filter + project (row passthrough) ------------------------------------
+
+def q_filter_project(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_shipdate",
+                             "l_returnflag", "l_extendedprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], _ts(1995, 1, 1)),
+                    pc.equal(b["l_returnflag"], "R"))
+        return b.filter(m).select(["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_returnflag = 'R'
+"""
+
+
+# --- distinct --------------------------------------------------------------
+
+def q_distinct_flags(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+
+    def per_block(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    # per-block distinct then global distinct via groupby count (two-phase)
+    dd = count_by(ds.map_batches(per_block, batch_format="pyarrow"),
+                  ["l_returnflag", "l_linestatus"])
+    return dd.select_columns(["l_returnflag", "l_linestatus"]).sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- grouped count over orders --------------------------------------------
+
+def q_count_by_priority(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
+    return count_by(ds, "o_orderpriority", count_name="n_orders").sort("o_orderpriority")
+
+
+Q_COUNT_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q_customer_regions": q_customer_regions,
+    "q_order_lineitem_join": q_order_lineitem_join,
+    "q_top_parts_by_quantity": q_top_parts_by_quantity,
+    "q_orders_sort_limit": q_orders_sort_limit,
+    "q_filter_project": q_filter_project,
+    "q_distinct_flags": q_distinct_flags,
+    "q_count_by_priority": q_count_by_priority,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q6_revenue_forecast": Q6_SQL,
+    "q_customer_regions": Q_CUSTOMER_REGIONS_SQL,
+    "q_order_lineitem_join": Q_ORDER_LINEITEM_SQL,
+    "q_top_parts_by_quantity": Q_TOP_PARTS_SQL,
+    "q_orders_sort_limit": Q_ORDERS_SORT_SQL,
+    "q_filter_project": Q_FILTER_PROJECT_SQL,
+    "q_distinct_flags": Q_DISTINCT_SQL,
+    "q_count_by_priority": Q_COUNT_PRIORITY_SQL,
+}

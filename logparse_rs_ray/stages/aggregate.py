@@ -18,7 +18,43 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["count_by", "top_k", "sum_by", "multi_count", "multi_count_fn"]
+__all__ = ["count_by", "top_k", "sum_by", "multi_count", "multi_count_fn", "grouped_agg"]
+
+
+def grouped_agg(ds, keys: str | list[str], sum_cols: dict[str, str] | None = None,
+                *, count_name: str | None = None):
+    """Multi-column grouped sums (+ row count) with per-block pre-aggregation.
+
+    ``sum_cols`` maps output name -> input column.  Two-phase: pyarrow
+    ``group_by().aggregate(sum, count_all)`` collapses each block, then one
+    small ``groupby(keys).sum(...)`` shuffle merges partials.  Output columns:
+    ``keys + list(sum_cols) + ([count_name] if count_name)``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sum_cols = sum_cols or {}
+    out_names = list(sum_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + list(dict.fromkeys(sum_cols.values())))
+        aggs = [(col, "sum") for col in sum_cols.values()] + [([], "count_all")]
+        g = t.group_by(keys).aggregate(aggs)
+        # pyarrow names: keys..., '<col>_sum' per agg (in order), 'count_all'
+        mapping = {f"{col}_sum": name for name, col in sum_cols.items()}
+        mapping["count_all"] = "__rows"
+        return g.rename_columns([mapping.get(c, c) for c in g.column_names])
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+    final = p.groupby(keys).sum(out_names + ["__rows"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        ren = {f"sum({n})": n for n in out_names}
+        ren["sum(__rows)"] = count_name or "__rows"
+        t = batch.rename_columns([ren.get(c, c) for c in batch.column_names])
+        if count_name is None:
+            t = t.drop_columns(["__rows"])
+        return t
+
+    return final.map_batches(rename, batch_format="pyarrow")
 
 
 def _partial_count_fn(keys: list[str], drop_null_keys: bool):
