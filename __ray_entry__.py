@@ -43,18 +43,22 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from logparse_rs_ray.pipelines import logops, relational
+    from logparse_rs_ray.pipelines import (
+        dedup, logops, multimodal, relational, similarity, textops,
+    )
 
     q: dict[str, Callable[[str], Any]] = {}
-    q.update(relational.QUERIES)
-    q.update(logops.QUERIES)
+    for mod in (relational, logops, dedup, similarity, textops, multimodal):
+        q.update(mod.QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    from logparse_rs_ray.pipelines import logops, relational
+    from logparse_rs_ray.pipelines import (
+        dedup, logops, multimodal, relational, similarity, textops,
+    )
 
     s: dict[str, str] = {}
-    s.update(relational.ORACLE_SQL)
-    s.update(logops.ORACLE_SQL)
+    for mod in (relational, logops, dedup, similarity, textops, multimodal):
+        s.update(mod.ORACLE_SQL)
     return s

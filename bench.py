@@ -1,0 +1,163 @@
+"""Benchmark harness: headline flagship pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "docs": n, "docs_per_sec": r}
+
+Env:
+  GRAFT_SF_DIR   test-table dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS CPU count for ray.init (default 32)
+  WEBTEXT_ROWS   override synthetic webtext row count (default 6M x sf)
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 then 32) on the SAME pre-materialized input and reports both
+throughputs + scaling efficiency (the sandbox proxy for the N vs 4N-node
+cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = "/tmp/logparse_bench_cache"
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_from_dir(SF_DIR)
+N_DOCS = int(os.environ.get("WEBTEXT_ROWS", str(int(6_000_000 * SF))))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_customer_regions",
+    "q_top_parts_by_quantity",
+    "log_parse_props",
+    "log_hourly_window",
+    "doc_token_stats",
+    "doc_exact_dedup",
+]
+
+
+def materialize_webtext(n_docs: int) -> str:
+    """Deterministic synthetic webtext parquet, cached across runs so both
+    scaling levels read the identical input (and the page cache is warm)."""
+    path = f"{CACHE_ROOT}/webtext_{n_docs}"
+    marker = f"{path}/_SUCCESS"
+    if os.path.exists(marker):
+        return path
+    from logparse_rs_ray.webtext import webtext_dataset
+
+    shutil.rmtree(path, ignore_errors=True)
+    # 64+ files so the read stage can saturate 32 CPUs (file count caps
+    # read-task parallelism)
+    webtext_dataset(n_docs).repartition(64).write_parquet(path)
+    open(marker, "w").close()
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from logparse_rs_ray.pipelines.flagship import run_flagship
+
+    wt_path = materialize_webtext(N_DOCS)
+    # warm page cache (untimed single read)
+    rd.read_parquet(wt_path).count()
+
+    out_dir = "/tmp/logparse_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(wt_path)
+    run_flagship(ds, out_dir, generated_at="1970-01-01T00:00:00Z")
+    headline = time.perf_counter() - t0
+
+    import __ray_entry__ as entrymod
+
+    qfns = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    bench_queries = [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = qfns[name](SF_DIR)
+        # consume
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "end-to-end parse->route->aggregate throughput (docs/sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "docs": N_DOCS,
+        "docs_per_sec": round(N_DOCS / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at 8 and 32 CPUs in fresh processes.
+
+    Uses 4x the default row count (unless WEBTEXT_ROWS overrides) so compute
+    dominates the fixed per-execution overhead — the sandbox proxy for the
+    N vs 4N-node criterion measures scaling of the workload, not of Ray's
+    session constants.
+    """
+    n_docs = int(os.environ.get("WEBTEXT_ROWS", str(4 * N_DOCS)))
+
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   WEBTEXT_ROWS=str(n_docs), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # the first child materializes the cached input; the second reuses it
+    # (identical bytes both levels); each child warms the page cache with an
+    # untimed read before its timed run
+    run_at(8)          # warm-up run: materializes input, warms workers/cache
+    lo, hi = run_at(8), run_at(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "docs_per_sec_8cpu": lo["docs_per_sec"],
+        "docs_per_sec_32cpu": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "docs": N_DOCS,
+        "sf": SF,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -208,10 +208,17 @@ def anonymize_column(
         return col, none_mask
 
     def _tokens(values: pa.Array) -> pa.Array:
+        # fully vectorized: FNV over buffers, then one hexlify pass formats
+        # every 16-hex-char token at once (no per-row Python)
+        import binascii
+
         salt_prefix = (field_salt or "").encode("utf-8") + cfg.defaults_salt.encode("utf-8")
         h = fnv1a64_arrow(values, prefix=salt_prefix)
-        toks = np.array([f"{prefix}{v:016x}" for v in h], dtype=object)
-        return pa.array(toks, type=pa.string())
+        hx = np.frombuffer(binascii.hexlify(h.astype(">u8").tobytes()), dtype="S16")
+        hex_arr = pa.array(hx).cast(pa.string())
+        return pc.binary_join_element_wise(
+            pa.array(np.full(len(h), prefix, dtype=object), type=pa.string()), hex_arr, ""
+        )
 
     if mode == "fixed":
         repl_value = fixed if fixed is not None else "REDACTED"
@@ -223,30 +230,32 @@ def anonymize_column(
         out = pc.if_else(valid, toks, col)
         return out, valid
 
-    # mode == "map"
+    # mode == "map" — vectorized broadcast-dict lookup: index_in against the
+    # map's key set, take from the value set (the reference's J2 lookup,
+    # SURVEY.md §2.4, without per-row Python)
     fr = cfg.fields.get(field_name)
     fmap = fr.map if fr else {}
     fb = fr.fallback if fr else None
-    np_col = np.asarray(col.to_pandas(), dtype=object)
-    valid_np = np.asarray(valid)
-    hit = np.zeros(n, dtype=bool)
-    out_np = np_col.copy()
+    col = col.cast(pa.string())
     if fmap:
-        for i in np.nonzero(valid_np)[0]:
-            v = np_col[i]
-            if v in fmap:
-                out_np[i] = fmap[v]
-                hit[i] = True
-    miss = valid_np & ~hit
+        keys = pa.array(list(fmap.keys()), type=pa.string())
+        vals = pa.array(list(fmap.values()), type=pa.string())
+        pos = pc.index_in(col, value_set=keys)
+        hit = pc.and_kleene(pc.is_valid(pos), valid)
+        hit = pc.fill_null(hit, False)
+        mapped = pc.take(vals, pos)  # null where miss
+    else:
+        hit = pa.array(np.zeros(n, dtype=bool))
+        mapped = pa.nulls(n, type=pa.string())
+    miss = pc.and_(valid, pc.invert(hit))
     if fb == "reject":
-        replaced = hit
-    elif fb == "fixed":
-        out_np[miss] = fixed if fixed is not None else "REDACTED"
-        replaced = valid_np
-    else:  # tokenize fallback (default)
-        if miss.any():
-            miss_vals = pa.array(np_col[miss].tolist(), type=pa.string())
-            toks = _tokens(miss_vals).to_numpy(zero_copy_only=False)
-            out_np[miss] = toks
-        replaced = valid_np
-    return pa.array(out_np.tolist(), type=pa.string()), pa.array(replaced)
+        out = pc.if_else(hit, mapped, col)
+        return out, hit
+    if fb == "fixed":
+        repl_value = fixed if fixed is not None else "REDACTED"
+        out = pc.if_else(hit, mapped, pc.if_else(miss, pa.scalar(repl_value, type=pa.string()), col))
+        return out, valid
+    # tokenize fallback (default): tokens for all rows, selected on miss
+    toks = _tokens(col)
+    out = pc.if_else(hit, mapped, pc.if_else(miss, toks, col))
+    return out, valid

@@ -63,7 +63,7 @@ TOPK_DIMS = {"top_sources", "top_applications", "top_domains"}
 def parse_webtext(ds, schema: CompiledSchema | None = None, **map_kwargs):
     """webtext Dataset -> parsed union-layout Dataset (no anonymization)."""
     schema = schema or pan_schema()
-    return ds.map_batches(WebtextParser(schema), batch_format="pyarrow", **map_kwargs)
+    return ds.map_batches(WebtextParser(schema), batch_format="pyarrow", batch_size=None, **map_kwargs)
 
 
 def enrich_webtext(parsed_ds, anon_cfg: AnonConfig | None = None, *,
@@ -72,7 +72,7 @@ def enrich_webtext(parsed_ds, anon_cfg: AnonConfig | None = None, *,
         anon_cfg = load_anon_config(default_anon_config_json())
     return parsed_ds.map_batches(
         Enricher(anon_cfg, LANG_REGION, emit_integrity_rows=emit_integrity_rows),
-        batch_format="pyarrow", **map_kwargs,
+        batch_format="pyarrow", batch_size=None, **map_kwargs,
     )
 
 
@@ -96,15 +96,99 @@ def _report_prep(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+REPORT_SINK = "_report"
+
+
+def append_report_rows(batch: pa.Table) -> pa.Table:
+    """Append this block's report partial counts as side rows
+    (``sink="_report"``, ``_rep_dim/_rep_key/_rep_count`` set, data columns
+    null) — the same zero-extra-pass trick as the integrity pairs: the
+    report then reads ONLY the tiny ``sink=_report`` directory instead of
+    re-scanning the routed data."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import multi_count_fn
+
+    # integrity pair rows are side data, not log records — exclude them
+    lt = batch["log_type"]
+    if isinstance(lt, pa.ChunkedArray):
+        lt = lt.combine_chunks()
+    data_rows = batch.filter(
+        pc.fill_null(pc.not_equal(lt, INTEGRITY), True)
+    )
+    tall = multi_count_fn(dict(REPORT_DIMS))(_report_prep(data_rows))
+    n = batch.num_rows
+    batch = batch.append_column("_rep_dim", pa.nulls(n, pa.string()))
+    batch = batch.append_column("_rep_key", pa.nulls(n, pa.string()))
+    batch = batch.append_column("_rep_count", pa.nulls(n, pa.int64()))
+    if tall.num_rows == 0:
+        return batch
+    m = tall.num_rows
+    cols: dict[str, pa.Array] = {}
+    for name in batch.column_names:
+        f = batch.schema.field(name)
+        if name == "sink":
+            cols[name] = pa.array([REPORT_SINK] * m, type=pa.string())
+        elif name == "_error":
+            cols[name] = pa.array([""] * m, type=pa.string())
+        elif name == "_rep_dim":
+            cols[name] = tall["dim"].combine_chunks()
+        elif name == "_rep_key":
+            cols[name] = tall["key"].combine_chunks()
+        elif name == "_rep_count":
+            cols[name] = tall["count"].combine_chunks()
+        else:
+            cols[name] = pa.nulls(m, type=f.type)
+    return pa.concat_tables([batch, pa.table(cols).cast(batch.schema)])
+
+
+def read_sinks_for_report(out_dir: str):
+    """Column-pruned readback of the routed sinks for the report pass —
+    skips the `_integrity` directory entirely and reads ONLY the report key
+    columns (never extracted_text/raw_excerpt, which dominate the bytes)."""
+    import glob
+
+    import ray.data as rd
+
+    # partition-dir pruning: list the files of every sink except _integrity
+    # (this Ray version can't bind a read filter to a hive partition column)
+    files = [f for d in glob.glob(f"{out_dir}/sinks/sink=*")
+             if not d.endswith(f"sink={INTEGRITY}")
+             for f in glob.glob(f"{d}/*.parquet")]
+    cols = sorted({v for v in REPORT_DIMS.values() if v != "_error_key"} | {"_error"})
+    return rd.read_parquet(files, columns=cols)
+
+
+def report_from_partials(out_dir: str, *, k: int = 10) -> dict:
+    """Merge the ``sink=_report`` partial rows -> report dict.  Reads a few
+    MB instead of re-scanning the routed data."""
+    import ray.data as rd
+
+    from ..stages.aggregate import tree_merge
+
+    parts = rd.read_parquet(f"{out_dir}/sinks/sink={REPORT_SINK}",
+                            columns=["_rep_dim", "_rep_key", "_rep_count"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["dim", "key", "count"])
+
+    tall = tree_merge(parts.map_batches(rename, batch_format="pyarrow", batch_size=None),
+                      ["dim", "key"], [("count", "sum")], fanin=8)
+    return _assemble_report(tall.to_pandas(), k=k)
+
+
 def flagship_report_from_sinks(sinks_ds, *, k: int = 10) -> dict:
     """One multi_count pass over the routed sinks -> report dict."""
-    prepped = sinks_ds.map_batches(_report_prep, batch_format="pyarrow")
+    prepped = sinks_ds.map_batches(_report_prep, batch_format="pyarrow", batch_size=None)
     tall = multi_count(prepped, {d: key for d, key in REPORT_DIMS.items()})
+    return _assemble_report(tall.to_pandas(), k=k)
+
+
+def _assemble_report(df, *, k: int = 10) -> dict:
     # the tall table is bounded by total distinct keys across dims — for
     # very high-cardinality dims at production scale, slice per dim with
     # sort+limit instead of to_pandas (top_k on the tall ds); the testbed
     # cardinalities are small enough to collect.
-    df = tall.to_pandas()
     report: dict = {}
     total = 0
     errors = 0
@@ -140,17 +224,15 @@ def export_integrity(out_dir: str):
     def rename(b: pa.Table) -> pa.Table:
         return b.rename_columns(["field", "original", "replacement"])
 
-    def rename_back(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["field", "original", "replacement"])
-
     # exact dedup: determinism guarantees one distinct replacement per
-    # (field, original), so the native min aggregate IS "first" — far faster
-    # than per-group map_groups over millions of tiny groups.
-    deduped = (
-        pairs.map_batches(rename, batch_format="pyarrow")
-        .groupby(["field", "original"])
-        .min("replacement")
-        .map_batches(rename_back, batch_format="pyarrow")
+    # (field, original), so an associative min-merge IS "first" — the
+    # combiner tree avoids a sort shuffle entirely.  (At a scale where the
+    # distinct pair set exceeds one task, switch to a groupby shuffle.)
+    from ..stages.aggregate import tree_merge
+
+    deduped = tree_merge(
+        pairs.map_batches(rename, batch_format="pyarrow", batch_size=None),
+        ["field", "original"], [("replacement", "min")], fanin=8,
     )
     deduped.write_parquet(f"{out_dir}/integrity")
     return deduped
@@ -178,17 +260,14 @@ def run_flagship(
 
     parsed = parse_webtext(webtext_ds, schema, **mk)
     enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=write_integrity, **mk)
-    routed = enriched.map_batches(add_sink_column, batch_format="pyarrow", **mk)
+    routed = enriched.map_batches(add_sink_column, batch_format="pyarrow", batch_size=None, **mk)
+    routed = routed.map_batches(append_report_rows, batch_format="pyarrow", batch_size=None, **mk)
     routed.write_parquet(f"{out_dir}/sinks", partition_cols=["sink"])
 
     if write_integrity:
         export_integrity(out_dir)
 
-    import ray.data as rd
-
-    sinks = rd.read_parquet(f"{out_dir}/sinks")
-    sinks = sinks.filter(expr=f'sink != "{INTEGRITY}"')
-    report = flagship_report_from_sinks(sinks, k=k)
+    report = report_from_partials(out_dir, k=k)
     report["generated_at"] = generated_at
     report["schema_sha256"] = schema.schema_sha256
     report["deadletter_sink"] = DEADLETTER

@@ -37,8 +37,9 @@ def log_parse_props(sf_dir: str):
             "k": pc.cast(ks, pa.int64()),
         })
 
-    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
-                      ["event_type"], {"sum_k": "k"}, count_name="n_events")
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+                      ["event_type"], {"sum_k": "k"}, count_name="n_events",
+                      final_partitions=1)
     return out.sort("event_type")
 
 
@@ -56,7 +57,8 @@ ORDER BY event_type
 
 def log_route_counts(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type"])
-    return count_by(ds, "event_type", count_name="n_rows").sort("event_type")
+    return count_by(ds, "event_type", count_name="n_rows",
+                    final_partitions=1).sort("event_type")
 
 
 LOG_ROUTE_COUNTS_SQL = """
@@ -71,7 +73,7 @@ ORDER BY event_type
 
 def log_topk_users(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id"])
-    counts = count_by(ds, "user_id", count_name="n_events")
+    counts = count_by(ds, "user_id", count_name="n_events", final_partitions=1)
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
 
 
@@ -97,9 +99,9 @@ def log_hourly_window(sf_dir: str):
             "value_cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
         })
 
-    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
                       ["hour", "event_type"], {"sum_value_cents": "value_cents"},
-                      count_name="n_events")
+                      count_name="n_events", final_partitions=1)
     return out.sort(["hour", "event_type"])
 
 
@@ -129,8 +131,9 @@ def doc_region_enrich(sf_dir: str):
             "n_chars": b["n_chars"],
         })
 
-    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
-                      ["region"], {"sum_chars": "n_chars"}, count_name="n_docs")
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+                      ["region"], {"sum_chars": "n_chars"}, count_name="n_docs",
+                      final_partitions=1)
     return out.sort("region")
 
 
@@ -156,8 +159,9 @@ def doc_token_stats(sf_dir: str):
         toks = pc.count_substring_regex(b["text"], r"\S+")
         return pa.table({"lang": b["lang"], "tokens": pc.cast(toks, pa.int64())})
 
-    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
-                      ["lang"], {"sum_tokens": "tokens"}, count_name="n_docs")
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+                      ["lang"], {"sum_tokens": "tokens"}, count_name="n_docs",
+                      final_partitions=1)
     return out.sort("lang")
 
 
@@ -182,22 +186,16 @@ def doc_exact_dedup(sf_dir: str):
         g = b.group_by(["text"]).aggregate([("doc_id", "min"), ([], "count_all")])
         return g.rename_columns(["text", "keeper", "n"])
 
-    partial = ds.map_batches(prep, batch_format="pyarrow")
-    merged = partial.groupby("text").aggregate(
-        *_min_sum_aggs()
-    )
+    from ..stages.aggregate import tree_merge
+
+    partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["text"], [("keeper", "min"), ("n", "sum")], fanin=8)
 
     def finalize(b: pa.Table) -> pa.Table:
         t = b.rename_columns(["text", "keeper_doc_id", "n_copies"])
         return t.select(["keeper_doc_id", "n_copies"])
 
-    return merged.map_batches(finalize, batch_format="pyarrow").sort("keeper_doc_id")
-
-
-def _min_sum_aggs():
-    from ray.data.aggregate import Min, Sum
-
-    return (Min("keeper", alias_name="keeper_min"), Sum("n", alias_name="n_sum"))
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None).sort("keeper_doc_id")
 
 
 DOC_EXACT_DEDUP_SQL = """
@@ -231,11 +229,11 @@ def log_anonymize_users(sf_dir: str):
         tok, _ = anonymize_column(cfg, "user_token", s)
         return pa.table({"user_id": uniq, "user_token": tok})
 
-    partial = ds.map_batches(prep, batch_format="pyarrow")
-    # dedup via min (token is deterministic -> min == the value)
-    from ray.data.aggregate import Min
+    from ..stages.aggregate import tree_merge
 
-    out = partial.groupby("user_id").aggregate(Min("user_token", alias_name="user_token"))
+    partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    # dedup via min-merge (token is deterministic -> min == the value)
+    out = tree_merge(partial, ["user_id"], [("user_token", "min")], fanin=4)
     return out.sort("user_id")
 
 

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real image/audio decode libraries are not in this container, so the DECODE
+KERNEL is a deterministic stub — but everything Ray-side is real and
+tested: binary columns flow zero-copy through Arrow batches, the decoder is
+an actor-pool stage (expensive codec init happens once per actor in
+``__init__``), batch sizes are kept small for large payloads, and the
+output layout (fixed-size feature vectors + metadata columns) is what a
+real decoder would produce.
+
+Swap ``_decode_stub`` for a real ``PIL.Image.open`` / ``torchaudio.load``
+call and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources import read_table
+
+__all__ = ["QUERIES", "ORACLE_SQL", "ImageDecodeStub", "attach_binary_payload"]
+
+
+def attach_binary_payload(batch: pa.Table, source_col: str = "text") -> pa.Table:
+    """Wrap a string column as an opaque binary payload column (the test
+    corpus has no real image bytes; payload = utf-8 bytes of the text)."""
+    payload = pc.cast(batch[source_col], pa.binary())
+    return batch.append_column("payload", payload)
+
+
+class ImageDecodeStub:
+    """Actor-pool decode stage.
+
+    ``__init__`` is where a real implementation loads the codec / model —
+    once per actor, never per batch.  ``__call__`` "decodes" each payload
+    into deterministic metadata (width/height/channels derived from the
+    byte length) and a fixed-size feature vector (byte histogram), which is
+    exactly the shape a real thumbnail/feature stage produces.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self):
+        # real version: self.codec = load_codec(); self.model = load_model()
+        self.codec_ready = True
+
+    def _decode_stub(self, n_bytes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        width = (n_bytes % 640).astype(np.int64)
+        height = (n_bytes % 480).astype(np.int64)
+        channels = np.full(len(n_bytes), 3, dtype=np.int64)
+        return width, height, channels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n_bytes = np.asarray(pc.binary_length(payload), dtype=np.int64)
+        width, height, channels = self._decode_stub(n_bytes)
+        # feature vector: 16-bin byte histogram, vectorized over the raw buffer
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32,
+                                count=len(payload) + 1,
+                                offset=payload.offset * 4).astype(np.int64)
+        data = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.empty(0, np.uint8)
+        bins = (data >> 4).astype(np.int64)  # 16 bins
+        doc_of = np.repeat(np.arange(len(payload)), np.diff(offsets))
+        hist = np.zeros((len(payload), self.FEATURE_DIM), dtype=np.int64)
+        if len(bins):
+            np.add.at(hist, (doc_of, bins), 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes),
+            "width": pa.array(width),
+            "height": pa.array(height),
+            "channels": pa.array(channels),
+            "features": pa.array(list(hist), type=pa.list_(pa.int64())),
+        })
+
+
+def mm_decode_meta(sf_dir: str):
+    """documents -> binary payload -> actor-pool decode -> metadata.
+
+    The metadata columns are SQL-derivable from octet_length, giving the
+    oracle gate real coverage of the multimodal plumbing."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
+    decoded = ds.map_batches(ImageDecodeStub, batch_format="pyarrow",
+                             batch_size=4096, concurrency=2)
+    return decoded.select_columns(["doc_id", "n_bytes", "width", "height", "channels"]).sort("doc_id")
+
+
+MM_DECODE_SQL = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       strlen(text) % 640 AS width,
+       strlen(text) % 480 AS height,
+       3 AS channels
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def mm_feature_agg(sf_dir: str):
+    """Aggregate the stub feature vectors per source bucket: total bytes per
+    first-hex-bin.  Exercises list<int> feature columns through a grouped
+    reduction (rows-only: the histogram itself isn't SQL-friendly)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
+    decoded = ds.map_batches(ImageDecodeStub, batch_format="pyarrow",
+                             batch_size=4096, concurrency=2)
+
+    def partial(b: pa.Table) -> pa.Table:
+        feats = np.stack(b["features"].to_pandas().to_numpy()).astype(np.int64)
+        sums = feats.sum(axis=0)
+        return pa.table({
+            "bin": pa.array(np.arange(ImageDecodeStub.FEATURE_DIM, dtype=np.int64)),
+            "total": pa.array(sums),
+        })
+
+    from ..stages.aggregate import tree_merge
+
+    return tree_merge(
+        decoded.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["bin"], [("total", "sum")], fanin=4,
+    ).sort("bin")
+
+
+QUERIES = {
+    "mm_decode_meta": mm_decode_meta,
+    "mm_feature_agg": mm_feature_agg,
+}
+
+ORACLE_SQL = {
+    "mm_decode_meta": MM_DECODE_SQL,
+    # mm_feature_agg: rows-only (list-typed feature reduction).
+}

@@ -57,11 +57,11 @@ def q1_pricing_summary(sf_dir: str):
             "disc_cents": _cents(disc_price, 10000),
         })
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     out = grouped_agg(
         prepped, ["l_returnflag", "l_linestatus"],
         {"sum_qty": "qty", "sum_base_cents": "base_cents", "sum_disc_cents": "disc_cents"},
-        count_name="count_order",
+        count_name="count_order", final_partitions=1,
     )
     return out.sort(["l_returnflag", "l_linestatus"])
 
@@ -98,9 +98,9 @@ def q6_revenue_forecast(sf_dir: str):
         return pa.table({"one": pa.array([1] * b.num_rows, type=pa.int64()),
                          "rev_cents": _cents(rev, 10000)})
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     return grouped_agg(prepped, ["one"], {"revenue_cents": "rev_cents"},
-                       count_name="n_rows")
+                       count_name="n_rows", final_partitions=1)
 
 
 Q6_SQL = """
@@ -131,9 +131,9 @@ def q_customer_regions(sf_dir: str):
             "acct_cents": _cents(b["c_acctbal"]),
         })
 
-    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow"),
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
                       ["r_name", "n_name"], {"sum_acctbal_cents": "acct_cents"},
-                      count_name="n_customers")
+                      count_name="n_customers", final_partitions=1)
     return out.sort(["r_name", "n_name"])
 
 
@@ -159,11 +159,11 @@ def q_order_lineitem_join(sf_dir: str):
         return pa.table({"l_orderkey": b["l_orderkey"],
                          "qty": pc.cast(b["l_quantity"], pa.int64())})
 
-    li = li.map_batches(prep_li, batch_format="pyarrow")
+    li = li.map_batches(prep_li, batch_format="pyarrow", batch_size=None)
     joined = hash_join(orders, li, on="o_orderkey", right_on="l_orderkey",
                        num_partitions=16)
     out = grouped_agg(joined, ["o_orderpriority"], {"sum_qty": "qty"},
-                      count_name="n_lines")
+                      count_name="n_lines", final_partitions=1)
     return out.sort("o_orderpriority")
 
 
@@ -186,7 +186,7 @@ def q_top_parts_by_quantity(sf_dir: str):
         return pa.table({"l_partkey": b["l_partkey"],
                          "qty": pc.cast(b["l_quantity"], pa.int64())})
 
-    agg = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+    agg = grouped_agg(li.map_batches(prep, batch_format="pyarrow", batch_size=None),
                       ["l_partkey"], {"sum_qty": "qty"})
     return agg.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
 
@@ -228,7 +228,7 @@ def q_filter_project(sf_dir: str):
                     pc.equal(b["l_returnflag"], "R"))
         return b.filter(m).select(["l_orderkey", "l_linenumber", "l_extendedprice"])
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 Q_FILTER_PROJECT_SQL = """
@@ -247,8 +247,8 @@ def q_distinct_flags(sf_dir: str):
         return b.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
 
     # per-block distinct then global distinct via groupby count (two-phase)
-    dd = count_by(ds.map_batches(per_block, batch_format="pyarrow"),
-                  ["l_returnflag", "l_linestatus"])
+    dd = count_by(ds.map_batches(per_block, batch_format="pyarrow", batch_size=None),
+                  ["l_returnflag", "l_linestatus"], final_partitions=1)
     return dd.select_columns(["l_returnflag", "l_linestatus"]).sort(
         ["l_returnflag", "l_linestatus"]
     )
@@ -265,7 +265,8 @@ ORDER BY l_returnflag, l_linestatus
 
 def q_count_by_priority(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
-    return count_by(ds, "o_orderpriority", count_name="n_orders").sort("o_orderpriority")
+    return count_by(ds, "o_orderpriority", count_name="n_orders",
+                    final_partitions=1).sort("o_orderpriority")
 
 
 Q_COUNT_PRIORITY_SQL = """

@@ -1,0 +1,178 @@
+"""Similarity search over the ``embeddings`` table.
+
+* ``ann_topk_cosine`` — brute-force cosine top-k: the query matrix is tiny
+  and broadcast (rides the task closure / ``ray.put``); every batch does one
+  normalized matmul against it and emits its LOCAL top-k per query; a final
+  merge keeps the global top-k.  This is the exact baseline.
+* ``ann_ivf_topk`` — the scale path: probe only the coarse cells (labels)
+  nearest to each query (IVF); same per-batch matmul but over the probed
+  subset.  Approximate; recall depends on nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources import read_table
+
+__all__ = ["QUERIES", "ORACLE_SQL", "ann_topk_cosine", "ann_ivf_topk"]
+
+N_QUERIES = 3  # queries = embeddings of vec_id 0..N_QUERIES-1 (deterministic)
+TOP_K = 5
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().set_index("vec_id").loc[range(n_queries)]
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return np.arange(n_queries, dtype=np.int64), _normalize(q)
+
+
+def ann_topk_cosine(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES):
+    """Exact top-k cosine neighbors (excluding self) for the query set.
+
+    (query_id, vec_id, cos_pct) — ties broken by vec_id; cos scaled to
+    integer 1e-3 for cross-engine value parity.
+    """
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"])
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mat = _normalize(mat)
+        cos = qmat @ mat.T  # (nq, nb)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            row = cos[qi]
+            mask = ids != qids[qi]  # exclude self
+            cand = np.nonzero(mask)[0]
+            # local top-k with deterministic tie-break (cos desc, vec_id asc)
+            order = np.lexsort((ids[cand], -row[cand]))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qids[qi]))
+            out_v.append(ids[sel])
+            out_c.append(row[sel])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+
+    def global_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+        df = df.groupby("query_id", as_index=False).head(k)
+        df["cos_pct"] = np.floor(df["cos"] * 1000).astype(np.int64)
+        return pa.Table.from_pandas(df[["query_id", "vec_id", "cos_pct"]],
+                                    preserve_index=False)
+
+    return partial.repartition(1).map_batches(global_topk, batch_format="pyarrow",
+                                              batch_size=None).sort(["query_id", "vec_id"])
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(FLOOR(cos * 1000) AS BIGINT) AS cos_pct
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY query_id, vec_id
+"""
+
+
+def ann_ivf_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
+                 nprobe: int = 3):
+    """IVF-style approximate top-k: probe the ``nprobe`` coarse cells
+    (labels, centroid = mean of cell) closest to each query.  Rows-only
+    check (approximate by construction)."""
+    import pyarrow.parquet as pq
+
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    # train coarse centroids driver-side from the (small) label partition
+    # means — at production scale this is a sampled k-means, broadcast
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    df = t.to_pandas()
+    cents = {}
+    for lbl, g in df.groupby("label"):
+        cents[lbl] = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64).mean(axis=0)[None, :])[0]
+    labels = np.array(sorted(cents))
+    cmat = np.stack([cents[l] for l in labels])
+    probe = {}
+    for qi in range(len(qids)):
+        sims = cmat @ qmat[qi]
+        probe[int(qids[qi])] = set(labels[np.argsort(-sims)[:nprobe]].tolist())
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"])
+        lbls = np.asarray(batch["label"])
+        mat = _normalize(np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64))
+        out_q, out_v, out_c = [], [], []
+        for qid, cells in probe.items():
+            mask = np.isin(lbls, list(cells)) & (ids != qid)
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            row = mat[cand] @ qmat[qid]
+            order = np.lexsort((ids[cand], -row))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qid))
+            out_v.append(ids[sel])
+            out_c.append(row[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+
+    def global_topk(batch: pa.Table) -> pa.Table:
+        df2 = batch.to_pandas()
+        df2 = df2.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
+        df2 = df2.groupby("query_id", as_index=False).head(k)
+        df2["cos_pct"] = np.floor(df2["cos"] * 1000).astype(np.int64)
+        return pa.Table.from_pandas(df2[["query_id", "vec_id", "cos_pct"]],
+                                    preserve_index=False)
+
+    return partial.repartition(1).map_batches(global_topk, batch_format="pyarrow",
+                                              batch_size=None).sort(["query_id", "vec_id"])
+
+
+QUERIES = {
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLE_SQL = {
+    "ann_topk_cosine": ANN_TOPK_SQL,
+    # ann_ivf_topk: approximate -> rows-only; pytest asserts recall vs exact.
+}

@@ -1,34 +1,67 @@
-"""Aggregation helpers: two-phase grouped counts, top-k, error counts.
+"""Aggregation helpers: two-phase grouped counts/sums, top-k, multi-dim counts.
 
 The reference's aggregates are in-memory ``collections.Counter`` over a
-single process (pan_dynamic_parser.py:1039-1096).  Here every count is a
-TWO-PHASE aggregate designed for the 100 TB case (SURVEY.md §2.5, §4.2):
+single process (pan_dynamic_parser.py:1039-1096).  Here every aggregate is
+TWO-PHASE, designed for the 100 TB case (SURVEY.md §2.5, §4.2):
 
-1. partial: inside ``map_batches``, ``pyarrow.TableGroupBy`` collapses each
-   block to at most |distinct keys in block| rows — value-skewed keys (the
-   hot domains) are pre-combined before they ever hit the network;
-2. final: a small ``groupby(keys).sum("count")`` shuffle over the partials.
+1. **partial**: inside ``map_batches``, ``pyarrow.TableGroupBy`` collapses
+   each block to at most |distinct keys in block| rows — value-skewed keys
+   (hot domains) are pre-combined before they ever leave the task;
+2. **merge**: the partials are combined with an associative pyarrow
+   group_by.  Two merge strategies:
 
-This neutralizes hot-key skew without salting for counts (the partial
-already collapses a hot key to ONE row per block).  Salting is reserved for
-the routed-write path where raw rows must co-locate (stages/route.py).
+   * ``mode="tree"`` (default): ``repartition(fanin) -> merge ->
+     repartition(1) -> merge`` — a combiner tree of plain map tasks, no
+     sort-based shuffle at all.  Orders of magnitude cheaper than Ray's
+     sort-based ``groupby`` when the distinct-key set fits one task
+     (counts over bounded dims, report aggregates, dedup of deterministic
+     pairs).  This is exactly a MapReduce combiner cascade.
+   * ``mode="shuffle"``: Ray's ``groupby().sum()`` — required when the
+     distinct-key set itself is too large for one task (e.g. billions of
+     URLs); keys are then co-located by the shuffle.
+
+Sums/counts/mins are associative+commutative, so the tree merge is exact.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["count_by", "top_k", "sum_by", "multi_count", "multi_count_fn", "grouped_agg"]
+__all__ = ["count_by", "top_k", "sum_by", "multi_count", "multi_count_fn",
+           "grouped_agg", "tree_merge"]
 
 
-def grouped_agg(ds, keys: str | list[str], sum_cols: dict[str, str] | None = None,
-                *, count_name: str | None = None):
+def tree_merge(partials, keys: list[str], agg_specs: list[tuple[str, str]],
+               *, fanin: int = 8):
+    """Merge a Dataset of partial aggregate tables with a combiner tree.
+
+    ``agg_specs`` = [(column, fn)] with fn in {sum, min, max}; column names
+    are preserved through the merge (pyarrow's ``_sum`` suffixes renamed
+    back).  Result: ONE block holding one row per distinct key.
+    """
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = batch.group_by(keys).aggregate(agg_specs)
+        return g.rename_columns(keys + [c for c, _ in agg_specs])
+
+    out = partials
+    if fanin > 1:
+        out = out.repartition(fanin).map_batches(merge, batch_format="pyarrow",
+                                                 batch_size=None)
+    return out.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def grouped_agg(ds, keys, sum_cols=None, *, count_name=None, mode="tree",
+                fanin=8, final_partitions=None):
     """Multi-column grouped sums (+ row count) with per-block pre-aggregation.
 
-    ``sum_cols`` maps output name -> input column.  Two-phase: pyarrow
-    ``group_by().aggregate(sum, count_all)`` collapses each block, then one
-    small ``groupby(keys).sum(...)`` shuffle merges partials.  Output columns:
+    ``sum_cols`` maps output name -> input column.  Output columns:
     ``keys + list(sum_cols) + ([count_name] if count_name)``.
+    ``final_partitions`` is used as the repartition width under shuffle
+    mode (ignored under tree mode, which has its own ``fanin``).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     sum_cols = sum_cols or {}
@@ -38,26 +71,38 @@ def grouped_agg(ds, keys: str | list[str], sum_cols: dict[str, str] | None = Non
         t = batch.select(keys + list(dict.fromkeys(sum_cols.values())))
         aggs = [(col, "sum") for col in sum_cols.values()] + [([], "count_all")]
         g = t.group_by(keys).aggregate(aggs)
-        # pyarrow names: keys..., '<col>_sum' per agg (in order), 'count_all'
         mapping = {f"{col}_sum": name for name, col in sum_cols.items()}
         mapping["count_all"] = "__rows"
         return g.rename_columns([mapping.get(c, c) for c in g.column_names])
 
-    p = ds.map_batches(partial, batch_format="pyarrow")
+    p = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + out_names + ["__rows"])
+        if count_name is not None:
+            return t.rename_columns(keys + out_names + [count_name])
+        return t.drop_columns(["__rows"])
+
+    if mode == "tree":
+        merged = tree_merge(p, keys,
+                            [(n, "sum") for n in out_names] + [("__rows", "sum")],
+                            fanin=fanin)
+        return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+    if final_partitions:
+        p = p.repartition(final_partitions)
     final = p.groupby(keys).sum(out_names + ["__rows"])
 
-    def rename(batch: pa.Table) -> pa.Table:
+    def rename_shuffle(batch: pa.Table) -> pa.Table:
         ren = {f"sum({n})": n for n in out_names}
-        ren["sum(__rows)"] = count_name or "__rows"
-        t = batch.rename_columns([ren.get(c, c) for c in batch.column_names])
-        if count_name is None:
-            t = t.drop_columns(["__rows"])
-        return t
+        ren["sum(__rows)"] = "__rows"
+        return finalize(batch.rename_columns(
+            [ren.get(c, c) for c in batch.column_names]))
 
-    return final.map_batches(rename, batch_format="pyarrow")
+    return final.map_batches(rename_shuffle, batch_format="pyarrow", batch_size=None)
 
 
-def _partial_count_fn(keys: list[str], drop_null_keys: bool):
+def _partial_count_fn(keys, drop_null_keys):
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -71,69 +116,64 @@ def _partial_count_fn(keys: list[str], drop_null_keys: bool):
     return fn
 
 
-def count_by(ds, keys: str | list[str], *, count_name: str = "count",
-             drop_null_keys: bool = False):
+def count_by(ds, keys, *, count_name="count", drop_null_keys=False, mode="tree",
+             fanin=8, final_partitions=None):
     """Grouped row counts with per-block pre-aggregation.
 
     Returns a Dataset with columns ``keys + [count_name]``.  Null keys are
-    kept as their own group (matching SQL GROUP BY) unless
-    ``drop_null_keys`` — dropping inside the partial avoids a separate
-    filter stage.
+    kept as their own group (matching SQL GROUP BY) unless ``drop_null_keys``.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    partial = ds.map_batches(_partial_count_fn(keys, drop_null_keys), batch_format="pyarrow")
-    final = partial.groupby(keys).sum("count")
+    partial = ds.map_batches(_partial_count_fn(keys, drop_null_keys),
+                             batch_format="pyarrow", batch_size=None)
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(keys + [count_name])
 
-    return final.map_batches(rename, batch_format="pyarrow")
+    if mode == "tree":
+        merged = tree_merge(partial, keys, [("count", "sum")], fanin=fanin)
+        if count_name == "count":
+            return merged
+        return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+    if final_partitions:
+        partial = partial.repartition(final_partitions)
+    final = partial.groupby(keys).sum("count")
+    return final.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
-def sum_by(ds, keys: str | list[str], value_col: str, *, sum_name: str | None = None):
+def sum_by(ds, keys, value_col, *, sum_name=None, mode="tree", fanin=8):
     """Grouped sum with per-block pre-aggregation."""
-    keys = [keys] if isinstance(keys, str) else list(keys)
     sum_name = sum_name or f"sum_{value_col}"
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(keys + [value_col]).group_by(keys).aggregate([(value_col, "sum")])
-        return t.rename_columns(keys + [sum_name])
-
-    p = ds.map_batches(partial, batch_format="pyarrow")
-    final = p.groupby(keys).sum(sum_name)
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(keys + [sum_name])
-
-    return final.map_batches(rename, batch_format="pyarrow")
+    return grouped_agg(ds, keys, {sum_name: value_col}, mode=mode, fanin=fanin)
 
 
-def top_k(ds, keys: str | list[str], k: int, *, count_name: str = "count",
-          drop_null_keys: bool = False):
+def top_k(ds, keys, k, *, count_name="count", drop_null_keys=False, mode="tree",
+          fanin=8, final_partitions=None):
     """Top-k keys by count desc (reference ``Counter.most_common(k)``,
     pan_dynamic_parser.py:1073-1081).  The sort input is already collapsed
     to one row per distinct key, so the global sort is tiny."""
-    counts = count_by(ds, keys, count_name=count_name, drop_null_keys=drop_null_keys)
+    counts = count_by(ds, keys, count_name=count_name, drop_null_keys=drop_null_keys,
+                      mode=mode, fanin=fanin, final_partitions=final_partitions)
     return counts.sort(count_name, descending=True).limit(k)
 
 
-def multi_count_fn(dims: dict[str, str], *, mask_col: str | None = None):
+def multi_count_fn(dims):
     """One-pass multi-dimension partial counter for report-style aggregates.
 
     ``dims`` maps dimension name -> key column.  Emits a tall table
-    ``(dim, key, count)`` per batch (null keys dropped); final aggregation is
-    ``groupby(["dim", "key"]).sum("count")``.  All report dimensions are
-    counted in a SINGLE pass over the data instead of one lineage execution
-    per dimension.
+    ``(dim, key, count)`` per batch (null keys dropped).  All report
+    dimensions are counted in a SINGLE pass over the data instead of one
+    lineage execution per dimension.
     """
     import numpy as np
     import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        dims_out: list[str] = []
-        keys_out: list[pa.Array] = []
-        counts_out: list[pa.Array] = []
-        sizes: list[int] = []
+        dims_out = []
+        keys_out = []
+        counts_out = []
+        sizes = []
         for dim, col in dims.items():
             if col not in batch.column_names:
                 continue
@@ -152,7 +192,8 @@ def multi_count_fn(dims: dict[str, str], *, mask_col: str | None = None):
                 "key": pa.array([], type=pa.string()),
                 "count": pa.array([], type=pa.int64()),
             })
-        dim_col = pa.array(np.repeat(np.array(dims_out, dtype=object), sizes), type=pa.string())
+        dim_col = pa.array(np.repeat(np.array(dims_out, dtype=object), sizes),
+                           type=pa.string())
         return pa.table({
             "dim": dim_col,
             "key": pa.concat_arrays(keys_out),
@@ -162,12 +203,18 @@ def multi_count_fn(dims: dict[str, str], *, mask_col: str | None = None):
     return fn
 
 
-def multi_count(ds, dims: dict[str, str]):
+def multi_count(ds, dims, *, mode="tree", fanin=8, final_partitions=None):
     """(dim, key, count) Dataset over all dimensions in one pass."""
-    partial = ds.map_batches(multi_count_fn(dims), batch_format="pyarrow")
+    partial = ds.map_batches(multi_count_fn(dims), batch_format="pyarrow",
+                             batch_size=None)
+    if mode == "tree":
+        return tree_merge(partial, ["dim", "key"], [("count", "sum")], fanin=fanin)
+
+    if final_partitions:
+        partial = partial.repartition(final_partitions)
     final = partial.groupby(["dim", "key"]).sum("count")
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["dim", "key", "count"])
 
-    return final.map_batches(rename, batch_format="pyarrow")
+    return final.map_batches(rename, batch_format="pyarrow", batch_size=None)

@@ -12,7 +12,7 @@ Reference behaviors re-expressed (SURVEY.md §2.3/ST2, §2.4/J2, §3.3):
   enrichment; done with one RE2 ``extract_regex`` per batch.
 
 Use as an actor pool: ``ds.map_batches(Enricher(cfg, ...), concurrency=N,
-batch_format="pyarrow")`` — Ray serializes the constructed instance once per
+batch_format="pyarrow", batch_size=None)`` — Ray serializes the constructed instance once per
 actor; per-batch work is pure Arrow.
 """
 

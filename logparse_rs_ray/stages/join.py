@@ -70,7 +70,7 @@ def broadcast_join(ds, small: pa.Table, keys, right_keys=None, *,
     """ds ⋈ small — no shuffle; see BroadcastJoiner."""
     return ds.map_batches(
         BroadcastJoiner(small, keys, right_keys, join_type, columns),
-        batch_format="pyarrow", **map_kwargs,
+        batch_format="pyarrow", batch_size=None, **map_kwargs,
     )
 
 

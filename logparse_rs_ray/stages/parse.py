@@ -81,63 +81,78 @@ class WebtextParser:
         empty = pay_len == 0
         nfields = np.where(empty, 0, nfields)
 
-        # exact-tokenizer patch rows: quoted lines re-split per reference rules
+        # exact-tokenizer patch rows: quoted lines re-split per reference
+        # rules; only those few rows pay per-row Python (typ. <2% of traffic)
         patch: dict[int, list[str]] = {}
-        if quoted_mask.any():
-            pay_np = payload.to_numpy(zero_copy_only=False)
-            for i in np.nonzero(quoted_mask)[0]:
-                patch[int(i)] = split_csv_bytes(pay_np[i].encode("utf-8"))
+        patch_idx = np.nonzero(quoted_mask)[0]
+        if len(patch_idx):
+            pay_quoted = pc.take(payload, pa.array(patch_idx, type=pa.int64()))
+            for i, s in zip(patch_idx, pay_quoted.to_pylist()):
+                patch[int(i)] = split_csv_bytes(s.encode("utf-8"))
                 nfields[i] = len(patch[int(i)])
+        patch_mask_arrow = pa.array(quoted_mask) if patch else None
 
-        # routing key: CSV index 3 (reference parser.rs:11)
+        # routing key: CSV index 3 (reference parser.rs:11) — stays Arrow
         type_idx = starts + TYPE_INDEX
-        type_ok = nfields > TYPE_INDEX
-        type_take = pa.array(np.where(type_ok, type_idx, 0), type=pa.int64())
-        log_type_np = np.asarray(
-            pc.take(flat, type_take).to_numpy(zero_copy_only=False), dtype=object
-        )
-        log_type_np[~type_ok] = None
-        for i, fields in patch.items():
-            log_type_np[i] = fields[TYPE_INDEX] if len(fields) > TYPE_INDEX else None
+        type_ok_np = nfields > TYPE_INDEX
+        type_take = pa.array(np.where(type_ok_np, type_idx, -1), type=pa.int64(),
+                             mask=~type_ok_np)
+        log_type = pc.take(flat, type_take).cast(pa.string())
+        if patch:
+            repl = pa.array(
+                [patch[int(i)][TYPE_INDEX] if len(patch[int(i)]) > TYPE_INDEX else None
+                 for i in patch_idx],
+                type=pa.string(),
+            )
+            log_type = pc.replace_with_mask(log_type, patch_mask_arrow, repl)
 
         known = np.zeros(n, dtype=bool)
         type_masks: dict[str, np.ndarray] = {}
         for t in self._positions:
-            m = log_type_np == t
-            if m.any():
-                type_masks[t] = m
-                known |= m
+            m_np = pc.fill_null(pc.equal(log_type, t), False).to_numpy(zero_copy_only=False)
+            if m_np.any():
+                type_masks[t] = m_np
+                known |= m_np
 
-        errors = np.full(n, "", dtype=object)
-        errors[~type_ok] = "no_type_at_index_3"
-        unknown = type_ok & ~known
-        errors[unknown] = "unknown_log_type"
-        if self.on_error == "fail" and (errors != "").any():
-            bad = int(np.nonzero(errors != "")[0][0])
-            raise ValueError(f"parse error at row {bad}: {errors[bad]}")
+        type_ok_and_known = known
+        no_type = ~np.asarray(pc.is_valid(log_type))
+        unknown = ~no_type & ~type_ok_and_known
+        if self.on_error == "fail" and (no_type.any() or unknown.any()):
+            bad = int(np.nonzero(no_type | unknown)[0][0])
+            reason = "no_type_at_index_3" if no_type[bad] else "unknown_log_type"
+            raise ValueError(f"parse error at row {bad}: {reason}")
+        errors = pc.if_else(
+            pa.array(no_type), pa.scalar("no_type_at_index_3", type=pa.string()),
+            pc.if_else(pa.array(unknown), pa.scalar("unknown_log_type", type=pa.string()),
+                       pa.scalar("", type=pa.string())),
+        )
 
-        # one pc.take per union column
+        # one pc.take per union column; quoted rows patched via replace_with_mask
         columns: dict[str, pa.Array] = {}
+        pos_maps = {t: dict(self._positions[t]) for t in type_masks}
+        patch_types = {
+            int(i): (patch[int(i)][TYPE_INDEX] if len(patch[int(i)]) > TYPE_INDEX else None)
+            for i in patch_idx
+        } if patch else {}
         for col in self._union:
             idx = np.full(n, -1, dtype=np.int64)
             for t, m in type_masks.items():
-                pos = dict(self._positions[t]).get(col)
+                pos = pos_maps[t].get(col)
                 if pos is None:
                     continue
                 valid = m & (nfields > pos)
                 idx[valid] = starts[valid] + pos
             take_arr = pa.array(idx, type=pa.int64(), mask=idx < 0)
-            out = pc.take(flat, take_arr)
+            out = pc.take(flat, take_arr).cast(pa.string())
             if patch:
-                out_np = np.asarray(out.to_numpy(zero_copy_only=False), dtype=object)
-                for i, fields in patch.items():
-                    t = log_type_np[i]
-                    if t is None or t not in self._positions:
-                        continue
-                    pos = dict(self._positions[t]).get(col)
-                    out_np[i] = fields[pos] if pos is not None and pos < len(fields) else None
-                out = pa.array(out_np, type=pa.string())
-            columns[col] = out.cast(pa.string()) if out.type != pa.string() else out
+                repl_vals = []
+                for i in patch_idx:
+                    t = patch_types[int(i)]
+                    pos = pos_maps.get(t, {}).get(col) if t is not None else None
+                    fields = patch[int(i)]
+                    repl_vals.append(fields[pos] if pos is not None and pos < len(fields) else None)
+                out = pc.replace_with_mask(out, patch_mask_arrow, pa.array(repl_vals, type=pa.string()))
+            columns[col] = out
 
         hash64 = fnv1a64_arrow(payload)
         excerpt = pc.binary_slice(payload.cast(pa.large_binary()), 0, 256).cast(pa.large_string())
@@ -147,12 +162,12 @@ class WebtextParser:
             if c in batch.column_names:
                 result[c] = batch[c]
         result["extracted_text"] = payload.cast(pa.string())
-        result["log_type"] = pa.array(log_type_np, type=pa.string())
+        result["log_type"] = log_type
         for col in self._union:
             result[col] = columns[col]
         result["hash64"] = pa.array(hash64, type=pa.uint64())
         result["raw_excerpt"] = excerpt.cast(pa.string())
-        result["_error"] = pa.array(errors, type=pa.string())
+        result["_error"] = errors
         return pa.table(result)
 
 

@@ -78,7 +78,7 @@ def route_write(
     its own filtered, column-pruned write (len(sinks)+1 passes) — narrow
     files at the cost of re-reading the routed dataset per sink.
     """
-    routed = ds.map_batches(add_sink_column, batch_format="pyarrow")
+    routed = ds.map_batches(add_sink_column, batch_format="pyarrow", batch_size=None)
     if num_salts:
         routed = routed.map_batches(
             lambda b: add_salt_column(b, num_salts=num_salts), batch_format="pyarrow"

@@ -32,6 +32,7 @@ __all__ = [
     "pan_schema",
     "default_anon_config_json",
     "generate_webtext_batch",
+    "generate_webtext_rows",
     "generate_webtext_table",
     "webtext_dataset",
     "LANGS",
@@ -151,7 +152,15 @@ def _u01(h: np.ndarray) -> np.ndarray:
 
 def generate_webtext_batch(start: int, end: int, seed: int = 42) -> pa.Table:
     """Rows [start, end) of the deterministic webtext table."""
-    idx = np.arange(start, end, dtype=np.int64)
+    return generate_webtext_rows(np.arange(start, end, dtype=np.int64), seed)
+
+
+def generate_webtext_rows(idx: np.ndarray, seed: int = 42) -> pa.Table:
+    """Rows for an ARBITRARY id array — each row derives from its id alone,
+    so any batching/coalescing of ids yields identical rows (map_batches may
+    coalesce non-adjacent blocks into one batch; never assume a batch is a
+    contiguous range)."""
+    idx = np.asarray(idx, dtype=np.int64)
     n = len(idx)
 
     # domain: 25% hot0, 15% hot1, rest uniform over 48 cold domains
@@ -261,10 +270,7 @@ def webtext_dataset(n_rows: int, seed: int = 42, *, ray_remote_args: dict | None
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy()
-        if len(ids) == 0:
-            return generate_webtext_batch(0, 0, seed)
-        # ray.data.range blocks are contiguous ranges
-        return generate_webtext_batch(int(ids[0]), int(ids[-1]) + 1, seed)
+        return generate_webtext_rows(ids, seed)
 
     return rd.range(n_rows).map_batches(gen, batch_format="pyarrow", batch_size=32768,
                                         **(ray_remote_args or {}))

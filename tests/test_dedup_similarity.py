@@ -1,0 +1,221 @@
+"""Dedup & similarity conformance vs brute-force serial oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logparse_rs_ray.functions.hashing import (
+    band_keys,
+    hamming_distance_u64,
+    minhash_signatures,
+    shingle_hashes,
+    simhash_signatures,
+    tokenize_flat,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def brute_jaccard(texts: list[str], k: int = 3) -> dict[tuple[int, int], float]:
+    def shingles(t):
+        toks = t.lower().split()
+        if not toks:
+            return {"__EMPTY__"}
+        if len(toks) < k:
+            return {tuple(toks)}
+        return {tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = [shingles(t) for t in texts]
+    out = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            out[(i, j)] = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+    return out
+
+
+class TestSketchKernels:
+    TEXTS = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+        "",
+        "short",
+    ]
+
+    def test_minhash_estimates_match_true_jaccard(self):
+        texts = pa.array(self.TEXTS)
+        sig = minhash_signatures(texts, num_perm=256)
+        true = brute_jaccard(self.TEXTS)
+        for (i, j), tj in true.items():
+            est = (sig[i] == sig[j]).mean()
+            assert abs(est - tj) < 0.15, (i, j, tj, est)
+
+    def test_exact_dup_identical_signature(self):
+        sig = minhash_signatures(pa.array(self.TEXTS))
+        assert (sig[0] == sig[3]).all()
+        assert simhash_signatures(pa.array(self.TEXTS))[0] == simhash_signatures(pa.array(self.TEXTS))[3]
+
+    def test_partition_independence(self):
+        # signatures must not depend on batch composition
+        a = minhash_signatures(pa.array(self.TEXTS[:2]))
+        b = minhash_signatures(pa.array(self.TEXTS))[:2]
+        assert (a == b).all()
+        sa = simhash_signatures(pa.array(self.TEXTS[4:]))
+        sb = simhash_signatures(pa.array(self.TEXTS))[4:]
+        assert (sa == sb).all()
+
+    def test_short_doc_shingles_no_neighbor_leak(self):
+        sh1, off1 = shingle_hashes(pa.array(["a b", "xxxx yyyy zzzz wwww"]), k=3)
+        sh2, off2 = shingle_hashes(pa.array(["a b", "qqq rrr sss ttt"]), k=3)
+        assert sh1[off1[0]:off1[1]].tolist() == sh2[off2[0]:off2[1]].tolist()
+
+    def test_hamming(self):
+        a = np.array([0b1011, 0], dtype=np.uint64)
+        b = np.array([0b0010, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+        d = hamming_distance_u64(a, b)
+        assert list(np.asarray(d, dtype=np.int64)) == [2, 64]
+
+    def test_band_collision_iff_equal_band(self):
+        sig = minhash_signatures(pa.array(self.TEXTS), num_perm=64)
+        bk = band_keys(sig, bands=16)
+        assert (bk[0] == bk[3]).all()          # exact dups collide everywhere
+        assert (bk[0] == bk[2]).sum() == 0     # unrelated docs collide nowhere
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupPipelines:
+    def test_minhash_pairs_contain_true_near_dups(self):
+        from logparse_rs_ray.pipelines.dedup import verified_pairs_ngram
+
+        out = verified_pairs_ngram(SF, threshold=0.5).to_pandas()
+        # brute-force oracle over the whole tiny corpus
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        true = brute_jaccard(texts)
+        true_pairs = {(ids[i], ids[j]) for (i, j), jac in true.items() if jac >= 0.5}
+        got_pairs = set(zip(out["doc_a"], out["doc_b"]))
+        # verified LSH pairs must be a subset of true pairs (no false
+        # positives after verification) and recall must be high
+        assert got_pairs <= true_pairs
+        if true_pairs:
+            assert len(got_pairs) / len(true_pairs) >= 0.8
+
+    def test_simhash_pairs_verified_distance(self):
+        from logparse_rs_ray.pipelines.dedup import simhash_pairs
+
+        out = simhash_pairs(SF).to_pandas()
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        sig = simhash_signatures(t["text"].combine_chunks())
+        by_id = dict(zip(t["doc_id"].to_pylist(), sig))
+        for _, r in out.iterrows():
+            d = int(np.asarray(hamming_distance_u64(
+                np.array([by_id[r["doc_a"]]]), np.array([by_id[r["doc_b"]]]))) [0])
+            assert d == r["hamming"] and d <= 3
+
+    def test_exact_dedup_hash_matches_text_groups(self):
+        from logparse_rs_ray.pipelines.dedup import dedup_exact_hash
+
+        out = dedup_exact_hash(SF).to_pandas()
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        want = df.groupby("text")["doc_id"].agg(["min", "count"]).reset_index()
+        want = want.rename(columns={"min": "keeper_doc_id", "count": "n_copies"})
+        got = out.sort_values("keeper_doc_id").reset_index(drop=True)
+        want = want[["keeper_doc_id", "n_copies"]].sort_values("keeper_doc_id").reset_index(drop=True)
+        assert got[["keeper_doc_id", "n_copies"]].equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_ann_exact_matches_numpy_bruteforce(self):
+        from logparse_rs_ray.pipelines.similarity import ann_topk_cosine
+
+        out = ann_topk_cosine(SF).to_pandas()
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+        mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = t["vec_id"].to_numpy()
+        for q in range(3):
+            cos = norm @ norm[list(ids).index(q)]
+            mask = ids != q
+            order = np.lexsort((ids[mask], -cos[mask]))[:5]
+            want = set(ids[mask][order].tolist())
+            got = set(out[out["query_id"] == q]["vec_id"].tolist())
+            assert got == want
+
+    def test_ivf_recall_reasonable(self):
+        from logparse_rs_ray.pipelines.similarity import ann_ivf_topk, ann_topk_cosine
+
+        exact = ann_topk_cosine(SF).to_pandas()
+        approx = ann_ivf_topk(SF, nprobe=10).to_pandas()  # all cells -> exact
+        e = set(zip(exact["query_id"], exact["vec_id"]))
+        a = set(zip(approx["query_id"], approx["vec_id"]))
+        assert len(a & e) / len(e) >= 0.99  # nprobe=all cells == exact
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextops:
+    def test_fingerprint_matches_serial(self):
+        from logparse_rs_ray.core.fnv import fnv1a64
+        from logparse_rs_ray.pipelines.textops import doc_fingerprint
+        import re
+
+        out = doc_fingerprint(SF).to_pandas().set_index("doc_id")["fingerprint"]
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        for _, r in df.head(50).iterrows():
+            norm = re.sub(r"\s+", " ", r["text"].lower()).strip()
+            want = fnv1a64(norm)
+            got = int(out.loc[r["doc_id"]]) & 0xFFFFFFFFFFFFFFFF
+            assert got == want
+
+    def test_lang_id_serial_parity(self):
+        from logparse_rs_ray.pipelines.textops import _STOPWORDS, doc_lang_id
+
+        out = doc_lang_id(SF).to_pandas().set_index("doc_id")
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        langs = sorted(_STOPWORDS)
+        for _, r in df.head(50).iterrows():
+            toks = r["text"].lower().split()
+            scores = [sum(t in _STOPWORDS[lang] for t in toks) for lang in langs]
+            best = int(np.argmax(scores))
+            want = langs[best] if scores[best] > 0 else "unknown"
+            assert out.loc[r["doc_id"], "pred_lang"] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def test_decode_stub_plumbing(self):
+        from logparse_rs_ray.pipelines.multimodal import mm_decode_meta
+
+        out = mm_decode_meta(SF).to_pandas()
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        nb = df["text"].str.encode("utf-8").str.len()
+        merged = out.merge(df[["doc_id"]].assign(want=nb), on="doc_id")
+        assert (merged["n_bytes"] == merged["want"]).all()
+        assert (merged["width"] == merged["want"] % 640).all()
+
+    def test_feature_agg_totals(self):
+        from logparse_rs_ray.pipelines.multimodal import mm_feature_agg
+
+        out = mm_feature_agg(SF).to_pandas()
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+        total_bytes = int(df["text"].str.encode("utf-8").str.len().sum())
+        assert int(out["total"].sum()) == total_bytes
+        assert len(out) == 16
