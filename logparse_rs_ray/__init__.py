@@ -25,3 +25,30 @@ test fixture) owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def tune_worker_threads() -> None:
+    """Pin per-process Arrow thread pools inside Ray workers.
+
+    Every pyarrow kernel call otherwise spins a CPU pool sized to the whole
+    machine — 32 Ray workers x 32 Arrow threads oversubscribes the box ~30x
+    and measurably ANTI-scales (32-CPU runs slower than 8-CPU).  Ray already
+    reserves one CPU per map task, so one Arrow compute thread per worker is
+    the right shape.  Idempotent; no-op on the driver.
+    """
+    try:
+        import ray
+        from ray._private import worker as _w
+
+        if _w.global_worker.mode != ray.WORKER_MODE:
+            return
+        import pyarrow as _pa
+
+        if _pa.cpu_count() > 1:
+            _pa.set_cpu_count(1)
+            _pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
+tune_worker_threads()

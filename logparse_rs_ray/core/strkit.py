@@ -71,18 +71,30 @@ def extract_csv_payload(text: pa.Array | pa.ChunkedArray) -> pa.Array:
 
     Matches the reference example's ``extract_csv``
     (/root/reference/examples/pan_dynamic_parser.py:828-831), vectorized.
-    Returns a large_string array (payload, whitespace-trimmed).  Slicing at
-    the byte position of an ASCII pattern keeps UTF-8 validity, so the cast
-    back to string is safe.
+    Returns a string array (payload, whitespace-trimmed).
+
+    Implementation: one ``split_pattern(max_splits=1)`` C++ kernel + a take
+    on the per-row tail — allocation-light on purpose (this sandbox pays
+    ~35us/page on first-touch faults, so big numpy byte gathers are poison
+    in freshly-started workers).
     """
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    pos = pc.find_substring(text, " 1,").to_numpy(zero_copy_only=False).astype(np.int64)
-    # found -> start at pos+1 ('1,...'); not found -> start at 0
-    starts_rel = np.where(pos >= 0, pos + 1, 0)
-    sliced = slice_from_positions(text, starts_rel).cast(pa.large_string())
+    parts = pc.split_pattern(text, " 1,", max_splits=1)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    po = np.asarray(parts.offsets, dtype=np.int64)
+    po = po - po[0]
+    nparts = np.diff(po)
+    matched = nparts == 2
+    # matched rows -> the tail after ' 1,'; unmatched -> the whole line
+    tail_idx = po[:-1] + np.where(matched, 1, 0)
+    tail = pc.take(parts.values, pa.array(tail_idx, type=pa.int64()))
+    # reference keeps from '1,': re-prefix the stripped '1,' on matched rows
+    prefixed = pc.binary_join_element_wise(pa.scalar("1,"), tail, "")
+    out = pc.if_else(pa.array(matched), prefixed, tail)
     # .strip() on both branches in the reference
-    return pc.utf8_trim(sliced, " \t\r\n\x0b\x0c")
+    return pc.utf8_trim(out, " \t\r\n\x0b\x0c")
 
 
 def csv_split_column(payload: pa.Array | pa.ChunkedArray) -> tuple[pa.ListArray, np.ndarray]:

@@ -97,16 +97,22 @@ def _report_prep(batch: pa.Table) -> pa.Table:
 
 
 REPORT_SINK = "_report"
+SIDE_BUCKETS = 8  # per-bucket merge parallelism for report/integrity sinks
 
 
 def append_report_rows(batch: pa.Table) -> pa.Table:
     """Append this block's report partial counts as side rows
-    (``sink="_report"``, ``_rep_dim/_rep_key/_rep_count`` set, data columns
-    null) — the same zero-extra-pass trick as the integrity pairs: the
-    report then reads ONLY the tiny ``sink=_report`` directory instead of
-    re-scanning the routed data."""
+    (``sink="_reportNN"``, ``_rep_dim/_rep_key/_rep_count`` set, data
+    columns null) — the same zero-extra-pass trick as the integrity pairs.
+    NN = FNV(dim ++ key) % SIDE_BUCKETS, so the hive-partitioned write
+    hash-partitions the partials on disk and the report merge becomes one
+    independent task per bucket (a filesystem shuffle — no object-store
+    all-to-all, and per-bucket results are globally correct because buckets
+    partition the key space)."""
+    import numpy as np
     import pyarrow.compute as pc
 
+    from ..core.fnv import fnv1a64_arrow
     from ..stages.aggregate import multi_count_fn
 
     # integrity pair rows are side data, not log records — exclude them
@@ -114,7 +120,7 @@ def append_report_rows(batch: pa.Table) -> pa.Table:
     if isinstance(lt, pa.ChunkedArray):
         lt = lt.combine_chunks()
     data_rows = batch.filter(
-        pc.fill_null(pc.not_equal(lt, INTEGRITY), True)
+        pc.fill_null(pc.invert(pc.starts_with(lt, INTEGRITY)), True)
     )
     tall = multi_count_fn(dict(REPORT_DIMS))(_report_prep(data_rows))
     n = batch.num_rows
@@ -124,11 +130,17 @@ def append_report_rows(batch: pa.Table) -> pa.Table:
     if tall.num_rows == 0:
         return batch
     m = tall.num_rows
+    joined = pc.binary_join_element_wise(tall["dim"].combine_chunks(),
+                                         tall["key"].combine_chunks(), "\x00")
+    bucket = (fnv1a64_arrow(joined) % np.uint64(SIDE_BUCKETS)).astype(np.int64)
+    pool = np.array([f"{REPORT_SINK}{b:02d}" for b in range(SIDE_BUCKETS)],
+                    dtype=object)
+    sink_names = pool[bucket]
     cols: dict[str, pa.Array] = {}
     for name in batch.column_names:
         f = batch.schema.field(name)
         if name == "sink":
-            cols[name] = pa.array([REPORT_SINK] * m, type=pa.string())
+            cols[name] = pa.array(sink_names, type=pa.string())
         elif name == "_error":
             cols[name] = pa.array([""] * m, type=pa.string())
         elif name == "_rep_dim":
@@ -150,92 +162,184 @@ def read_sinks_for_report(out_dir: str):
 
     import ray.data as rd
 
-    # partition-dir pruning: list the files of every sink except _integrity
-    # (this Ray version can't bind a read filter to a hive partition column)
+    # partition-dir pruning: list the files of every DATA sink, skipping the
+    # bucketed _integrityNN/_reportNN side sinks (this Ray version can't
+    # bind a read filter to a hive partition column)
+    side = (f"sink={INTEGRITY}", f"sink={REPORT_SINK}")
     files = [f for d in glob.glob(f"{out_dir}/sinks/sink=*")
-             if not d.endswith(f"sink={INTEGRITY}")
+             if not d.split("/")[-1].startswith(side)
              for f in glob.glob(f"{d}/*.parquet")]
     cols = sorted({v for v in REPORT_DIMS.values() if v != "_error_key"} | {"_error"})
     return rd.read_parquet(files, columns=cols)
 
 
+def _bucket_dirs(out_dir: str, prefix: str) -> list[str]:
+    import glob
+
+    return sorted(glob.glob(f"{out_dir}/sinks/sink={prefix}[0-9][0-9]"))
+
+
 def report_from_partials(out_dir: str, *, k: int = 10) -> dict:
-    """Merge the ``sink=_report`` partial rows -> report dict.  Reads a few
-    MB instead of re-scanning the routed data."""
+    """Merge the bucketed ``sink=_reportNN`` partials -> report dict.
+
+    One Ray task per bucket directory: local Arrow group_by + per-dim sums
+    and top-k candidates.  Buckets partition the (dim, key) space, so
+    per-bucket counts are globally exact and the global top-k is the top-k
+    of the union of per-bucket top-k's.  The driver combines ~buckets x
+    dims x k tiny rows.  Fully parallel, no object-store shuffle — the
+    hive-partitioned write already co-located the keys on disk.
+    """
     import ray.data as rd
 
-    from ..stages.aggregate import tree_merge
+    dirs = _bucket_dirs(out_dir, REPORT_SINK)
 
-    parts = rd.read_parquet(f"{out_dir}/sinks/sink={REPORT_SINK}",
-                            columns=["_rep_dim", "_rep_key", "_rep_count"])
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
 
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["dim", "key", "count"])
+        from .. import tune_worker_threads
 
-    tall = tree_merge(parts.map_batches(rename, batch_format="pyarrow", batch_size=None),
-                      ["dim", "key"], [("count", "sum")], fanin=8)
-    return _assemble_report(tall.to_pandas(), k=k)
+        tune_worker_threads()
+        outs = []
+        for d in batch["dir"].to_pylist():
+            t = pads.dataset(d).to_table(
+                columns=["_rep_dim", "_rep_key", "_rep_count"]
+            ).rename_columns(["dim", "key", "count"])
+            g = t.group_by(["dim", "key"]).aggregate([("count", "sum")])
+            g = g.rename_columns(["dim", "key", "count"])
+            keep = []
+            for dim in REPORT_DIMS:
+                sub = g.filter(pc.equal(g["dim"], dim))
+                total = int(pc.sum(sub["count"]).as_py() or 0)
+                order = pc.sort_indices(sub, sort_keys=[("count", "descending"),
+                                                        ("key", "ascending")])
+                limit = k if dim in TOPK_DIMS else len(order)
+                picked = sub.take(order.slice(0, limit))
+                keep.append(picked)
+                keep.append(pa.table({
+                    "dim": pa.array([f"__total__{dim}"]),
+                    "key": pa.array([""]),
+                    "count": pa.array([total], type=pa.int64()),
+                }))
+            outs.append(pa.concat_tables(keep))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"dim": pa.array([], type=pa.string()),
+             "key": pa.array([], type=pa.string()),
+             "count": pa.array([], type=pa.int64())})
+
+    merged_ds = rd.from_items([{"dir": d} for d in dirs]).map_batches(
+        merge_bucket, batch_format="pyarrow", batch_size=1
+    )
+    merged = pa.Table.from_pandas(merged_ds.to_pandas(), preserve_index=False)
+    if merged.num_rows == 0:
+        merged = pa.table({"dim": pa.array([], type=pa.string()),
+                           "key": pa.array([], type=pa.string()),
+                           "count": pa.array([], type=pa.int64())})
+    import pyarrow.compute as pc
+
+    merged = merged.set_column(2, "count", merged["count"].cast(pa.int64()))
+    totals: dict[str, int] = {}
+    is_total = pc.starts_with(merged["dim"], "__total__")
+    total_rows = merged.filter(is_total)
+    for d, c in zip(total_rows["dim"].to_pylist(), total_rows["count"].to_pylist()):
+        dim = d[len("__total__"):]
+        totals[dim] = totals.get(dim, 0) + int(c)
+    cand_rows = merged.filter(pc.invert(is_total))
+    report = _assemble_report(cand_rows, k=k)
+    report["total_logs"] = totals.get("by_log_type", 0)
+    report["errors"] = totals.get("error_reasons", 0)
+    return report
 
 
 def flagship_report_from_sinks(sinks_ds, *, k: int = 10) -> dict:
     """One multi_count pass over the routed sinks -> report dict."""
     prepped = sinks_ds.map_batches(_report_prep, batch_format="pyarrow", batch_size=None)
     tall = multi_count(prepped, {d: key for d, key in REPORT_DIMS.items()})
-    return _assemble_report(tall.to_pandas(), k=k)
+    import pyarrow as _pa
+
+    return _assemble_report(_pa.Table.from_pandas(tall.to_pandas(), preserve_index=False), k=k)
 
 
-def _assemble_report(df, *, k: int = 10) -> dict:
-    # the tall table is bounded by total distinct keys across dims — for
-    # very high-cardinality dims at production scale, slice per dim with
-    # sort+limit instead of to_pandas (top_k on the tall ds); the testbed
-    # cardinalities are small enough to collect.
+def _assemble_report(tall: pa.Table, *, k: int = 10) -> dict:
+    """(dim, key, count) table -> report dict.  All sorting/top-k happens in
+    multi-threaded Arrow kernels — the heavy dims (per-source counts) can be
+    millions of rows and a per-dim pandas sort is 20x slower."""
+    import pyarrow.compute as pc
+
     report: dict = {}
     total = 0
     errors = 0
     for dim in REPORT_DIMS:
-        sub = df[df["dim"] == dim].drop(columns=["dim"]).sort_values(
-            ["count", "key"], ascending=[False, True]
-        )
+        sub = tall.filter(pc.equal(tall["dim"], dim)).select(["key", "count"])
+        dim_sum = int(pc.sum(sub["count"]).as_py() or 0)
         if dim == "by_log_type":
-            total = int(sub["count"].sum())
+            total = dim_sum
         if dim == "error_reasons":
-            errors = int(sub["count"].sum())
+            errors = dim_sum
+        order = pc.sort_indices(sub, sort_keys=[("count", "descending"),
+                                                ("key", "ascending")])
         if dim in TOPK_DIMS:
-            sub = sub.head(k)
-        report[dim] = sub.to_dict(orient="records")
+            order = order.slice(0, k)
+        picked = sub.take(order)
+        report[dim] = [
+            {"key": key, "count": cnt}
+            for key, cnt in zip(picked["key"].to_pylist(), picked["count"].to_pylist())
+        ]
     report["total_logs"] = total
     report["errors"] = errors
     return report
 
 
 def export_integrity(out_dir: str):
-    """sinks/_integrity pair rows -> deduped integrity table parquet.
+    """Bucketed ``sink=_integrityNN`` pair rows -> deduped integrity table.
 
-    groupby(field, original).first() — the canonical exact-dedup shuffle;
-    determinism of tokens makes ``first`` safe (SURVEY.md §2.6/D2).
+    The write pass hash-partitioned the (field, original) keys into bucket
+    directories, so dedup is one independent task per bucket: local Arrow
+    group_by min (determinism of tokens makes min == "first", SURVEY.md
+    §2.6/D2), written as one idempotent per-bucket parquet file — a
+    filesystem shuffle with resumable, partition-named output.
     """
+    import os
+
     import ray.data as rd
 
-    pairs = rd.read_parquet(
-        f"{out_dir}/sinks/sink={INTEGRITY}",
-        columns=["_pair_field", "_pair_original", "_pair_replacement"],
-    )
+    dirs = _bucket_dirs(out_dir, INTEGRITY)
+    dest = f"{out_dir}/integrity"
+    os.makedirs(dest, exist_ok=True)
 
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["field", "original", "replacement"])
+    def dedup_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
 
-    # exact dedup: determinism guarantees one distinct replacement per
-    # (field, original), so an associative min-merge IS "first" — the
-    # combiner tree avoids a sort shuffle entirely.  (At a scale where the
-    # distinct pair set exceeds one task, switch to a groupby shuffle.)
-    from ..stages.aggregate import tree_merge
+        from .. import tune_worker_threads
 
-    deduped = tree_merge(
-        pairs.map_batches(rename, batch_format="pyarrow", batch_size=None),
-        ["field", "original"], [("replacement", "min")], fanin=8,
-    )
-    deduped.write_parquet(f"{out_dir}/integrity")
-    return deduped
+        tune_worker_threads()
+        rows = []
+        for d in batch["dir"].to_pylist():
+            bucket = d.rsplit("=", 1)[1]
+            final = f"{dest}/{bucket}.parquet"
+            if os.path.exists(final):  # resumable: skip finished buckets
+                rows.append((bucket, pq.read_metadata(final).num_rows, True))
+                continue
+            t = pads.dataset(d).to_table(
+                columns=["_pair_field", "_pair_original", "_pair_replacement"]
+            ).rename_columns(["field", "original", "replacement"])
+            g = t.group_by(["field", "original"]).aggregate([("replacement", "min")])
+            g = g.rename_columns(["field", "original", "replacement"])
+            tmp = final + ".tmp"
+            pq.write_table(g, tmp)
+            os.replace(tmp, final)  # atomic publish
+            rows.append((bucket, g.num_rows, False))
+        return pa.table({
+            "bucket": pa.array([r[0] for r in rows], type=pa.string()),
+            "pairs": pa.array([r[1] for r in rows], type=pa.int64()),
+            "skipped": pa.array([r[2] for r in rows], type=pa.bool_()),
+        })
+
+    stats = rd.from_items([{"dir": d} for d in dirs]).map_batches(
+        dedup_bucket, batch_format="pyarrow", batch_size=1
+    ).to_pandas()
+    return stats
 
 
 def run_flagship(

@@ -51,11 +51,13 @@ class Enricher:
         url_column: str = "url",
         lang_column: str = "lang",
         emit_integrity_rows: bool = False,
+        integrity_buckets: int = 8,
     ):
         self.cfg = anon_cfg
         self.url_column = url_column
         self.lang_column = lang_column
         self.emit_integrity = emit_integrity_rows and anon_cfg is not None
+        self.integrity_buckets = integrity_buckets
         if anon_cfg is None:
             self.anon_columns: list[str] = []
         elif anonymize_columns is not None:
@@ -72,6 +74,9 @@ class Enricher:
             self._regions = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         names = set(batch.column_names)
         pairs: pa.Table | None = None
         if self.emit_integrity:
@@ -96,12 +101,15 @@ class Enricher:
             batch = batch.append_column("region", pc.take(self._regions, pos))
         if self.emit_integrity:
             # ship integrity pair columns alongside (null on data rows); pair
-            # rows carry log_type="_integrity" so the router gives them their
-            # own sink directory — integrity derivation costs ZERO extra
-            # passes over the input.
+            # rows carry log_type="_integrityNN" (NN = hash bucket of the
+            # pair key) so the hive-partitioned routed write doubles as a
+            # FILESYSTEM SHUFFLE: the later dedup is one independent task
+            # per bucket directory, no object-store all-to-all.  Integrity
+            # derivation costs ZERO extra passes over the input.
             batch = _append_null_cols(batch, ["_pair_field", "_pair_original", "_pair_replacement"])
             if pairs is not None and pairs.num_rows:
-                batch = _concat_with_pairs(batch, pairs, self.INTEGRITY_TYPE)
+                batch = _concat_with_pairs(batch, pairs, self.INTEGRITY_TYPE,
+                                           self.integrity_buckets)
         return batch
 
 
@@ -112,14 +120,26 @@ def _append_null_cols(batch: pa.Table, cols: list[str]) -> pa.Table:
     return batch
 
 
-def _concat_with_pairs(batch: pa.Table, pairs: pa.Table, integrity_type: str) -> pa.Table:
-    """Append integrity pair rows in the batch's union schema (null-filled)."""
+def _concat_with_pairs(batch: pa.Table, pairs: pa.Table, integrity_type: str,
+                       n_buckets: int = 8) -> pa.Table:
+    """Append integrity pair rows in the batch's union schema (null-filled).
+    Each pair row's log_type is ``{integrity_type}{bucket:02d}`` with
+    bucket = FNV(field ++ original) % n_buckets."""
+    from ..core.fnv import fnv1a64_arrow
+
     n = pairs.num_rows
+    field_col = pairs["field"].combine_chunks()
+    orig_col = pairs["original"].combine_chunks()
+    joined = pc.binary_join_element_wise(field_col, orig_col, "\x00")
+    bucket = (fnv1a64_arrow(joined) % np.uint64(n_buckets)).astype(np.int64)
+    names_pool = np.array([f"{integrity_type}{b:02d}" for b in range(n_buckets)],
+                          dtype=object)
+    lt = names_pool[bucket]
     cols: dict[str, pa.Array] = {}
     for name in batch.column_names:
         f = batch.schema.field(name)
         if name == "log_type":
-            cols[name] = pa.array([integrity_type] * n, type=pa.string())
+            cols[name] = pa.array(lt, type=pa.string())
         elif name == "_error":
             cols[name] = pa.array([""] * n, type=pa.string())
         elif name == "_pair_field":

@@ -64,6 +64,9 @@ class WebtextParser:
         self._union = list(schema.union_columns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         n = batch.num_rows
         text = batch[self.text_column]
         if isinstance(text, pa.ChunkedArray):
