@@ -1,0 +1,107 @@
+"""CLI entry point — the ``ray job submit`` surface of the engine.
+
+Usage (single node / in a job):
+
+    python -m logparse_rs_ray.cli run \
+        --input /path/to/webtext_parquet_dir --output /tmp/out \
+        [--schema schema.json] [--anon-config anon.json] \
+        [--partitions 8] [--max-partitions K] [--ndjson]
+
+Env-var extension points, byte-compatible with the reference's (§2.9,
+/root/reference/docs/env.md): ``LOGPARSE_PRELOAD_SCHEMA`` /
+``SCHEMA_JSON_PATH`` provide a default schema path, ``LOGPARSE_ANON_CONFIG``
+a default anonymizer config path.
+
+Re-running the same command resumes from the manifest (checkpointed
+partitions are skipped).  The CLI owns the Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_schema(path: str | None):
+    from .core.schema import load_schema
+    from .webtext import pan_schema
+
+    path = path or os.environ.get("LOGPARSE_PRELOAD_SCHEMA") or os.environ.get("SCHEMA_JSON_PATH")
+    return load_schema(path) if path else pan_schema()
+
+
+def _load_anon(path: str | None) -> dict | None:
+    path = path or os.environ.get("LOGPARSE_ANON_CONFIG")
+    if not path:
+        return None
+    with open(path, "r", encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="logparse_rs_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="resumable partitioned flagship run")
+    runp.add_argument("--input", required=True)
+    runp.add_argument("--output", required=True)
+    runp.add_argument("--schema")
+    runp.add_argument("--anon-config")
+    runp.add_argument("--partitions", type=int, default=8)
+    runp.add_argument("--max-partitions", type=int, default=None)
+    runp.add_argument("--generated-at", default="1970-01-01T00:00:00Z")
+    runp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
+    ndp = sub.add_parser("ndjson", help="parse to per-sink NDJSON (reference parse_file_to_ndjson)")
+    ndp.add_argument("--input", required=True)
+    ndp.add_argument("--output", required=True)
+    ndp.add_argument("--schema")
+    ndp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "run":
+            from .state.checkpoint import run_partitioned_flagship
+
+            result = run_partitioned_flagship(
+                args.input, args.output,
+                num_partitions=args.partitions,
+                schema=_load_schema(args.schema),
+                anon_config=_load_anon(args.anon_config),
+                max_partitions=args.max_partitions,
+                generated_at=args.generated_at,
+            )
+            print(json.dumps({
+                "completed": result["completed"], "skipped": result["skipped"],
+                "all_done": result["all_done"],
+                "total_logs": (result["report"] or {}).get("total_logs"),
+            }))
+        elif args.cmd == "ndjson":
+            import ray.data as rd
+
+            from .pipelines.flagship import parse_webtext
+            from .pipelines.ndjson import write_ndjson_sinks
+
+            schema = _load_schema(args.schema)
+            parsed = parse_webtext(rd.read_parquet(args.input), schema)
+            write_ndjson_sinks(parsed, args.output, schema)
+            print(json.dumps({"status": "ok", "output": args.output}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,13 +52,17 @@ class WebtextParser:
     """
 
     def __init__(self, schema: CompiledSchema, *, on_error: str = "skip",
-                 strip_syslog_prefix: bool = True, text_column: str = "text"):
+                 strip_syslog_prefix: bool = True, text_column: str = "text",
+                 include_all: bool = False):
         if on_error not in ("skip", "fail"):
             raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
         self.schema = schema
         self.on_error = on_error
         self.strip_syslog_prefix = strip_syslog_prefix
         self.text_column = text_column
+        # M7 (reference rust_accel.py:272-314): include_all adds a
+        # list<string> column with every positional CSV field
+        self.include_all = include_all
         # type_value -> list[(column, source CSV position)], last-dup-wins
         self._positions = {t: schema.value_positions(t) for t in schema.type_to_fields}
         self._union = list(schema.union_columns)
@@ -171,6 +175,28 @@ class WebtextParser:
         result["hash64"] = pa.array(hash64, type=pa.uint64())
         result["raw_excerpt"] = excerpt.cast(pa.string())
         result["_error"] = errors
+        if self.include_all:
+            # field_i positional copies as one list<string> column (M7).
+            # Quoted/empty rows need their exact field lists; lists don't
+            # support replace_with_mask, so rebuild via a per-row take plan
+            # only when such rows exist.
+            if patch or empty.any():
+                lists = [None] * n
+                fast = pa.LargeListArray.from_arrays(
+                    pa.array(offs.astype(np.int64)), flat.cast(pa.large_string())
+                ).to_pylist()
+                for i in range(n):
+                    if empty[i]:
+                        lists[i] = []
+                    elif i in patch:
+                        lists[i] = patch[i]
+                    else:
+                        lists[i] = fast[i]
+                result["all_fields"] = pa.array(lists, type=pa.list_(pa.string()))
+            else:
+                result["all_fields"] = pa.LargeListArray.from_arrays(
+                    pa.array(offs.astype(np.int64)), flat.cast(pa.large_string())
+                ).cast(pa.list_(pa.string()))
         return pa.table(result)
 
 

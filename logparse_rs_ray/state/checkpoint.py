@@ -1,0 +1,265 @@
+"""Resumable partitioned execution with a lineage-carrying manifest.
+
+The reference has no checkpointing (SURVEY.md §4.1: rerun from scratch).
+The north rule requires: "resumable from checkpoint with per-partition
+lineage + metrics".  Design (SURVEY.md §4.2):
+
+* the input is split into P partitions (file groups — deterministic);
+* each partition executes as its OWN streaming pipeline into an isolated
+  ``partitions/p{ID:04d}/`` directory (write to ``...inprogress``, atomic
+  rename on success — idempotent by partition id);
+* a ``manifest.jsonl`` records one line per finished partition:
+  partition id, input files, row/byte metrics, wall seconds, and the
+  LINEAGE (schema sha256, anonymizer config sha256, engine version) —
+  resume skips partitions whose manifest entry matches the current lineage
+  and re-runs the rest, so a config/code change invalidates stale work;
+* the cross-partition consolidation (integrity dedup, report merge) runs
+  over the union of the per-partition bucketed side sinks — per-bucket
+  tasks again, resumable via their own per-bucket output files.
+
+A killed run loses at most its in-flight partitions; re-running the same
+command completes the remainder and produces outputs identical to an
+uninterrupted run (tests/test_checkpoint.py pins this).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+__all__ = ["Manifest", "run_partitioned_flagship", "consolidate"]
+
+ENGINE_VERSION = "logparse_rs_ray-0.1.0"
+
+
+@dataclass
+class Manifest:
+    path: str
+    records: dict[int, dict] = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, path: str) -> "Manifest":
+        m = cls(path)
+        if os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    m.records[rec["partition_id"]] = rec
+        return m
+
+    def mark_done(self, rec: dict) -> None:
+        self.records[rec["partition_id"]] = rec
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(rec, sort_keys=True) + "\n")
+
+    def is_done(self, pid: int, lineage: dict) -> bool:
+        rec = self.records.get(pid)
+        return bool(rec and rec.get("status") == "done" and rec.get("lineage") == lineage)
+
+
+def _lineage(schema, anon_cfg_json: dict | str | None) -> dict:
+    cfg_text = json.dumps(anon_cfg_json, sort_keys=True) if isinstance(anon_cfg_json, dict) else (anon_cfg_json or "")
+    return {
+        "schema_sha256": schema.schema_sha256,
+        "anon_sha256": hashlib.sha256(cfg_text.encode()).hexdigest(),
+        "engine": ENGINE_VERSION,
+    }
+
+
+def _partition_files(input_files: list[str], num_partitions: int) -> list[list[str]]:
+    groups: list[list[str]] = [[] for _ in range(num_partitions)]
+    for i, f in enumerate(sorted(input_files)):
+        groups[i % num_partitions].append(f)
+    return [g for g in groups if g]
+
+
+def run_partitioned_flagship(
+    input_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 8,
+    schema=None,
+    anon_config: dict | None = None,
+    max_partitions: int | None = None,
+    generated_at: str = "1970-01-01T00:00:00Z",
+) -> dict:
+    """Resumable flagship run.  ``max_partitions`` limits how many pending
+    partitions run this invocation (used by the kill/resume test).
+
+    Returns {"completed": n, "skipped": n, "report": ... or None}.
+    The report/integrity consolidation only runs when every partition is
+    done.
+    """
+    import ray.data as rd
+
+    from ..core.anonymize import load_anon_config
+    from ..pipelines.flagship import append_report_rows, enrich_webtext, parse_webtext
+    from ..stages.route import add_sink_column
+    from ..webtext import default_anon_config_json, pan_schema
+
+    schema = schema or pan_schema()
+    anon_json = anon_config if anon_config is not None else default_anon_config_json()
+    cfg = load_anon_config(anon_json)
+    lineage = _lineage(schema, anon_json)
+
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet"))) or [input_path]
+    parts = _partition_files(files, num_partitions)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest.load(os.path.join(out_dir, "manifest.jsonl"))
+
+    completed = skipped = 0
+    for pid, group in enumerate(parts):
+        if manifest.is_done(pid, lineage):
+            skipped += 1
+            continue
+        if max_partitions is not None and completed >= max_partitions:
+            break
+        pdir = os.path.join(out_dir, "partitions", f"p{pid:04d}")
+        tmp = pdir + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(group)
+        parsed = parse_webtext(ds, schema)
+        enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=True)
+        routed = enriched.map_batches(add_sink_column, batch_format="pyarrow",
+                                      batch_size=None)
+        routed = routed.map_batches(append_report_rows, batch_format="pyarrow",
+                                    batch_size=None)
+        routed.write_parquet(f"{tmp}/sinks", partition_cols=["sink"])
+        os.replace(tmp, pdir)  # atomic publish: partition done
+        wall = time.perf_counter() - t0
+        import pyarrow.parquet as pq
+
+        in_rows = sum(pq.read_metadata(f).num_rows for f in group)
+        manifest.mark_done({
+            "partition_id": pid,
+            "status": "done",
+            "input_files": group,
+            "metrics": {"input_rows": in_rows, "wall_s": round(wall, 3)},
+            "lineage": lineage,
+        })
+        completed += 1
+
+    all_done = all(manifest.is_done(pid, lineage) for pid in range(len(parts)))
+    report = consolidate(out_dir, generated_at=generated_at) if all_done else None
+    return {"completed": completed, "skipped": skipped, "all_done": all_done,
+            "report": report}
+
+
+def consolidate(out_dir: str, *, generated_at: str, k: int = 10) -> dict:
+    """Cross-partition integrity dedup + report merge over the union of the
+    per-partition bucketed side sinks; per-bucket parallel tasks with
+    idempotent outputs (same mechanics as the single-run export)."""
+    import ray.data as rd
+
+    from ..pipelines.flagship import (
+        INTEGRITY,
+        REPORT_SINK,
+        SIDE_BUCKETS,
+        TOPK_DIMS,
+        REPORT_DIMS,
+        _assemble_report,
+    )
+    from ..sources import write_json_report
+
+    import pyarrow.compute as pc
+
+    def bucket_dirs(prefix: str, b: int) -> list[str]:
+        return sorted(glob.glob(
+            f"{out_dir}/partitions/p[0-9][0-9][0-9][0-9]/sinks/sink={prefix}{b:02d}"
+        ))
+
+    dest = f"{out_dir}/integrity"
+    os.makedirs(dest, exist_ok=True)
+    items = []
+    for b in range(SIDE_BUCKETS):
+        dirs_i = bucket_dirs(INTEGRITY, b)
+        dirs_r = bucket_dirs(REPORT_SINK, b)
+        items.append({"bucket": b, "integrity_dirs": json.dumps(dirs_i),
+                      "report_dirs": json.dumps(dirs_r)})
+
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        def _files(dirs: list[str]) -> list[str]:
+            return [f for d in dirs for f in sorted(glob.glob(f"{d}/*.parquet"))]
+
+        outs = []
+        for row in batch.to_pylist():
+            b = row["bucket"]
+            idirs = _files(json.loads(row["integrity_dirs"]))
+            if idirs:
+                final = f"{dest}/_integrity{b:02d}.parquet"
+                if not os.path.exists(final):
+                    t = pads.dataset(idirs).to_table(
+                        columns=["_pair_field", "_pair_original", "_pair_replacement"]
+                    ).rename_columns(["field", "original", "replacement"])
+                    g = t.group_by(["field", "original"]).aggregate([("replacement", "min")])
+                    g = g.rename_columns(["field", "original", "replacement"])
+                    tmp = final + ".tmp"
+                    pq.write_table(g, tmp)
+                    os.replace(tmp, final)
+            rdirs = _files(json.loads(row["report_dirs"]))
+            if rdirs:
+                t = pads.dataset(rdirs).to_table(
+                    columns=["_rep_dim", "_rep_key", "_rep_count"]
+                ).rename_columns(["dim", "key", "count"])
+                g = t.group_by(["dim", "key"]).aggregate([("count", "sum")])
+                g = g.rename_columns(["dim", "key", "count"])
+                keep = []
+                for dim in REPORT_DIMS:
+                    sub = g.filter(pc.equal(g["dim"], dim))
+                    total = int(pc.sum(sub["count"]).as_py() or 0)
+                    order = pc.sort_indices(sub, sort_keys=[("count", "descending"),
+                                                            ("key", "ascending")])
+                    limit = k if dim in TOPK_DIMS else len(order)
+                    keep.append(sub.take(order.slice(0, limit)))
+                    keep.append(pa.table({
+                        "dim": pa.array([f"__total__{dim}"]),
+                        "key": pa.array([""]),
+                        "count": pa.array([total], type=pa.int64()),
+                    }))
+                outs.append(pa.concat_tables(keep))
+        if not outs:
+            return pa.table({"dim": pa.array([], type=pa.string()),
+                             "key": pa.array([], type=pa.string()),
+                             "count": pa.array([], type=pa.int64())})
+        return pa.concat_tables(outs)
+
+    merged_df = rd.from_items(items).map_batches(
+        merge_bucket, batch_format="pyarrow", batch_size=1
+    ).to_pandas()
+    merged = pa.Table.from_pandas(merged_df, preserve_index=False)
+    if merged.num_rows == 0:
+        merged = pa.table({"dim": pa.array([], type=pa.string()),
+                           "key": pa.array([], type=pa.string()),
+                           "count": pa.array([], type=pa.int64())})
+    merged = merged.set_column(2, "count", merged["count"].cast(pa.int64()))
+    totals: dict[str, int] = {}
+    is_total = pc.starts_with(merged["dim"], "__total__")
+    for d, c in zip(merged.filter(is_total)["dim"].to_pylist(),
+                    merged.filter(is_total)["count"].to_pylist()):
+        dim = d[len("__total__"):]
+        totals[dim] = totals.get(dim, 0) + int(c)
+    report = _assemble_report(merged.filter(pc.invert(is_total)), k=k)
+    report["total_logs"] = totals.get("by_log_type", 0)
+    report["errors"] = totals.get("error_reasons", 0)
+    report["generated_at"] = generated_at
+    write_json_report(report, f"{out_dir}/report.json")
+    return report

@@ -1,0 +1,84 @@
+"""NDJSON envelope conformance + include_all + fail policy + parser edges."""
+
+import glob
+import json
+
+import pyarrow as pa
+import pytest
+
+from logparse_rs_ray.core.schema import TYPE_INDEX
+from logparse_rs_ray.core.tokenize import split_csv
+from logparse_rs_ray.core.fnv import fnv1a64
+from logparse_rs_ray.stages.parse import WebtextParser
+from logparse_rs_ray.webtext import generate_webtext_table, pan_schema
+
+from .oracle import extract_csv
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNdjson:
+    def test_envelope_matches_reference_shape(self, tmp_path):
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import parse_webtext
+        from logparse_rs_ray.pipelines.ndjson import write_ndjson_sinks
+
+        table = generate_webtext_table(800, seed=42)
+        schema = pan_schema()
+        parsed = parse_webtext(rd.from_arrow(table), schema)
+        out = str(tmp_path / "nd")
+        write_ndjson_sinks(parsed, out, schema)
+
+        # serial oracle over every clean line
+        want: dict[int, dict] = {}
+        for text in table["text"].to_pylist():
+            payload = extract_csv(text)
+            fields = split_csv(payload)
+            if len(fields) <= TYPE_INDEX or fields[TYPE_INDEX] not in schema.type_to_fields:
+                continue
+            t = fields[TYPE_INDEX]
+            pos = dict(schema.value_positions(t))
+            parsed_map = {name: (fields[p] if p < len(fields) else None)
+                          for name, p in pos.items()}
+            want[fnv1a64(payload)] = {
+                "parsed": parsed_map, "raw_excerpt": payload[:256], "type": t,
+            }
+
+        seen = 0
+        for t in schema.type_to_fields:
+            for f in glob.glob(f"{out}/{t}/*.json"):
+                for line in open(f):
+                    rec = json.loads(line)
+                    assert set(rec) == {"parsed", "raw_excerpt", "hash64"}
+                    w = want[rec["hash64"]]
+                    assert rec["raw_excerpt"] == w["raw_excerpt"]
+                    assert rec["parsed"] == w["parsed"], rec
+                    seen += 1
+        assert seen == len(want)
+
+
+class TestParserFlags:
+    def test_fail_policy_raises_on_malformed(self):
+        parser = WebtextParser(pan_schema(), on_error="fail", strip_syslog_prefix=False)
+        batch = pa.table({"text": ["1,t,s,TRAFFIC,sub,1.2.3.4", "1,t,s,BOGUS,x"]})
+        with pytest.raises(ValueError, match="unknown_log_type"):
+            parser(batch)
+
+    def test_skip_policy_deadletters(self):
+        parser = WebtextParser(pan_schema(), on_error="skip", strip_syslog_prefix=False)
+        batch = pa.table({"text": ["1,t,s,TRAFFIC,sub,1.2.3.4", "1,t,s,BOGUS,x", ""]})
+        out = parser(batch)
+        assert out["_error"].to_pylist() == ["", "unknown_log_type", "no_type_at_index_3"]
+
+    def test_include_all_positional_fields(self):
+        parser = WebtextParser(pan_schema(), strip_syslog_prefix=False, include_all=True)
+        lines = ['1,t,s,TRAFFIC,sub,"a,b",x', "1,t,s,THREAT,spy", ""]
+        out = parser(pa.table({"text": lines}))
+        got = out["all_fields"].to_pylist()
+        assert got[0] == split_csv(lines[0])  # exact quoted split
+        assert got[1] == split_csv(lines[1])
+        assert got[2] == []  # empty line -> zero fields
+
+    def test_invalid_policy_rejected(self):
+        with pytest.raises(ValueError):
+            WebtextParser(pan_schema(), on_error="explode")
