@@ -342,6 +342,53 @@ def export_integrity(out_dir: str):
     return stats
 
 
+def integrity_status(out_dir: str) -> dict:
+    """{enabled, fields, pairs} over the exported integrity table —
+    reference anonymizer status (bindings lib.rs:302-317)."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+
+    files = sorted(_glob.glob(f"{out_dir}/integrity/*.parquet"))
+    if not files:
+        return {"enabled": False, "fields": 0, "pairs": 0}
+    t = pads.dataset(files).to_table(columns=["field"])
+    import pyarrow.compute as pc
+
+    return {
+        "enabled": True,
+        "fields": len(pc.unique(t["field"])),
+        "pairs": t.num_rows,
+    }
+
+
+def export_integrity_json(out_dir: str, json_path: str | None = None) -> str:
+    """Pretty sorted-keys JSON export with the reference's shape
+    ``{field: {original: replacement}}`` (rust_accel.py:391-414,
+    lib.rs:319-335).  Driver-side: the integrity table is an audit
+    artifact, small relative to the corpus."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.dataset as pads
+
+    files = sorted(_glob.glob(f"{out_dir}/integrity/*.parquet"))
+    table: dict[str, dict[str, str]] = {}
+    if files:
+        t = pads.dataset(files).to_table()
+        for f, o, r in zip(t["field"].to_pylist(), t["original"].to_pylist(),
+                           t["replacement"].to_pylist()):
+            table.setdefault(f, {})[o] = r
+    json_path = json_path or f"{out_dir}/integrity_table.json"
+    tmp = json_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        _json.dump(table, fh, indent=2, sort_keys=True)
+    import os as _os
+
+    _os.replace(tmp, json_path)
+    return json_path
+
+
 def run_flagship(
     webtext_ds,
     out_dir: str,

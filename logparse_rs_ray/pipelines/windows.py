@@ -1,0 +1,189 @@
+"""Stream-shaped and specialty-join operators over the ``events`` table.
+
+Ray Data has no event-time windows (SURVEY.md §2.8 / ray guide): windows
+are expressed as ``groupby(key).map_groups`` over ts-sorted groups, with the
+ordering assumption stated per operator.  Joins Ray Data lacks natively:
+
+* **sessionize** — gap-based sessions per user (stateful streaming analog);
+  oracle: SQL window functions (lag + cumulative sum of gap flags).
+* **semi / anti join** — broadcast the key set, filter inside map_batches
+  (no shuffle; the Bloom-filter pattern at scale).
+* **as-of join** — per-key ``pd.merge_asof`` inside map_groups; the
+  partitioning assumption is that one key's rows fit one group task.
+  Oracle: DuckDB ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources import read_table
+from ..stages.aggregate import tree_merge
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+SESSION_GAP_MIN = 30
+
+
+def log_sessionize(sf_dir: str):
+    """Sessions per user: a new session starts when the gap from the
+    previous event exceeds 30 minutes.  Ordering: rows of one user are
+    processed sorted by ts inside their group (assumption documented)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g):
+        import pandas as pd
+
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        n_sessions = int((gaps > SESSION_GAP_MIN * 60).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").sort("user_id")
+
+
+LOG_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def log_semi_join_purchasers(sf_dir: str):
+    """Events of users who have >= 1 'purchase' event (broadcast semi join:
+    the purchaser key set ships in the task closure, no shuffle)."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    purchasers = pc.unique(
+        ev.filter(pc.equal(ev["event_type"], "purchase"))["user_id"].combine_chunks()
+    )
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def semi(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["user_id"], value_set=purchasers))
+
+    return ds.map_batches(semi, batch_format="pyarrow", batch_size=None).sort("event_id")
+
+
+LOG_SEMI_JOIN_SQL = """
+SELECT event_id, user_id, event_type
+FROM events e
+WHERE EXISTS (SELECT 1 FROM events p
+              WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+ORDER BY event_id
+"""
+
+
+def log_anti_join_no_errors(sf_dir: str):
+    """Users with zero 'error' events (broadcast anti join) + their event
+    counts."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    err_users = pc.unique(
+        ev.filter(pc.equal(ev["event_type"], "error"))["user_id"].combine_chunks()
+    )
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def anti_count(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.invert(pc.is_in(b["user_id"], value_set=err_users)))
+        g = keep.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    partial = ds.map_batches(anti_count, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["user_id"], [("n", "sum")], fanin=4)
+    # collect to a typed table (an all-empty Dataset loses its schema)
+    import pandas as pd
+
+    df = merged.to_pandas()
+    if len(df) == 0:
+        df = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                           "n_events": pd.Series(dtype="int64")})
+    else:
+        df = df.rename(columns={"n": "n_events"})
+    df = df.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["user_id", "n_events"]], preserve_index=False)
+
+
+LOG_ANTI_JOIN_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = e.user_id AND x.event_type = 'error')
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def log_asof_last_signup(sf_dir: str):
+    """For each purchase, the user's most recent signup at-or-before it
+    (as-of join via pd.merge_asof per user group).  Partitioning
+    assumption: one user's events fit one group task."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g):
+        import pandas as pd
+
+        g = g.sort_values("ts")
+        left = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        right = g[g["event_type"] == "signup"][["ts"]].rename(columns={"ts": "signup_ts"})
+        if len(left) == 0:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "signup_epoch_us": pd.Series(dtype="int64")})
+        if len(right) == 0:
+            merged = left.assign(signup_ts=pd.NaT)
+        else:
+            merged = pd.merge_asof(left, right.assign(ts=right["signup_ts"]),
+                                   on="ts", direction="backward")
+        out = merged[["event_id", "user_id"]].copy()
+        epoch = merged["signup_ts"].astype("int64", errors="ignore")
+        out["signup_epoch_us"] = [
+            (int(v.value) // 1000) if v is not None and v == v else -1
+            for v in merged["signup_ts"]
+        ]
+        _ = epoch
+        return out
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").sort("event_id")
+
+
+LOG_ASOF_SQL = """
+SELECT p.event_id, p.user_id,
+       COALESCE(CAST(epoch_us(s.ts) AS BIGINT), -1) AS signup_epoch_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+"""
+
+
+QUERIES = {
+    "log_sessionize": log_sessionize,
+    "log_semi_join_purchasers": log_semi_join_purchasers,
+    "log_anti_join_no_errors": log_anti_join_no_errors,
+    "log_asof_last_signup": log_asof_last_signup,
+}
+
+ORACLE_SQL = {
+    "log_sessionize": LOG_SESSIONIZE_SQL,
+    "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,
+    "log_anti_join_no_errors": LOG_ANTI_JOIN_SQL,
+    "log_asof_last_signup": LOG_ASOF_SQL,
+}

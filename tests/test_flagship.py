@@ -133,6 +133,47 @@ class TestFlagshipConformance:
         assert on_disk["total_logs"] == report["total_logs"]
 
 
+class TestIntegrityExports:
+    def test_integrity_json_export_reference_shape(self, flagship_run):
+        from logparse_rs_ray.pipelines.flagship import export_integrity_json
+
+        _table, _report, oracle, out = flagship_run
+        path = export_integrity_json(out)
+        got = json.load(open(path))
+        assert got == oracle["integrity"]
+        # pretty + sorted (reference rust_accel.py:391-414)
+        text = open(path).read()
+        assert text == json.dumps(got, indent=2, sort_keys=True)
+
+    def test_integrity_status(self, flagship_run):
+        from logparse_rs_ray.pipelines.flagship import integrity_status
+
+        _table, _report, oracle, out = flagship_run
+        st = integrity_status(out)
+        assert st["enabled"]
+        assert st["fields"] == len(oracle["integrity"])
+        assert st["pairs"] == sum(len(m) for m in oracle["integrity"].values())
+
+
+class TestSaltedRouting:
+    def test_salt_column_splits_hot_key(self, ray_session):
+        import pyarrow as pa
+
+        from logparse_rs_ray.stages.route import add_salt_column
+
+        # a pathologically hot key: every row identical sink, distinct hashes
+        batch = pa.table({
+            "hash64": pa.array(list(range(10_000)), type=pa.uint64()),
+            "sink": pa.array(["hot"] * 10_000),
+        })
+        salted = add_salt_column(batch, num_salts=16)
+        counts = salted.group_by(["salt"]).aggregate([([], "count_all")])
+        per_salt = counts["count_all"].to_pylist()
+        assert len(per_salt) == 16
+        # near-uniform split: no sub-partition holds more than 2x the mean
+        assert max(per_salt) < 2 * (10_000 / 16)
+
+
 class TestDeterministicGeneration:
     def test_partition_independence(self):
         from logparse_rs_ray.webtext import generate_webtext_batch
