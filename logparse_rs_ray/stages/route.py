@@ -36,19 +36,37 @@ __all__ = ["add_sink_column", "add_salt_column", "route_write", "DEADLETTER"]
 DEADLETTER = "_deadletter"
 
 
-def add_sink_column(batch: pa.Table) -> pa.Table:
-    """sink = log_type for clean rows, "_deadletter" for rows with _error."""
+def add_sink_column(batch: pa.Table, *, key_col: str = "log_type",
+                    hot_keys: list[str] | None = None,
+                    num_salts: int = 16) -> pa.Table:
+    """sink = routing key for clean rows, "_deadletter" for rows with _error.
+
+    ``key_col`` selects the fan-out key (log type for the reference's sinks;
+    ``domain`` for the webtext north star's per-domain writers).  When
+    ``hot_keys`` is given, rows of those keys also get a ``salt`` column
+    (= hash64 % num_salts, 0 elsewhere) so a Zipf-hot key's directory is
+    split into num_salts sub-partitions — no single writer, reader or
+    downstream task ever owns an entire hot key (north-rule skew handling).
+    """
     err = batch["_error"]
     if isinstance(err, pa.ChunkedArray):
         err = err.combine_chunks()
     bad = pc.not_equal(err, "")
-    lt = batch["log_type"]
+    lt = batch[key_col]
     if isinstance(lt, pa.ChunkedArray):
         lt = lt.combine_chunks()
-    sink = pc.if_else(bad, pa.scalar(DEADLETTER, type=pa.string()), lt)
-    # unknown types are routed to the dead letter too; null-safe
+    sink = pc.if_else(bad, pa.scalar(DEADLETTER, type=pa.string()), lt.cast(pa.string()))
+    # unknown/absent keys are routed to the dead letter too; null-safe
     sink = pc.if_else(pc.is_valid(sink), sink, pa.scalar(DEADLETTER, type=pa.string()))
-    return batch.append_column("sink", sink)
+    batch = batch.append_column("sink", sink)
+    if hot_keys:
+        h = batch["hash64"]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        salt_all = (np.asarray(h, dtype=np.uint64) % np.uint64(num_salts)).astype(np.int32)
+        is_hot = np.asarray(pc.is_in(sink, value_set=pa.array(hot_keys, type=pa.string())))
+        batch = batch.append_column("salt", pa.array(np.where(is_hot, salt_all, 0)))
+    return batch
 
 
 def add_salt_column(batch: pa.Table, *, num_salts: int = 16) -> pa.Table:

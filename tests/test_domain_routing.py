@@ -1,0 +1,61 @@
+"""Domain-keyed routed writes with salted hot keys (north-rule skew gate)."""
+
+import glob
+from collections import Counter
+
+import pyarrow.dataset as pads
+import pytest
+
+from logparse_rs_ray.webtext import _HOT_DOMAINS, generate_webtext_table
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDomainRouting:
+    def test_per_domain_sinks_with_salted_hot_keys(self, tmp_path):
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import enrich_webtext, parse_webtext
+        from logparse_rs_ray.stages.route import add_sink_column
+
+        table = generate_webtext_table(4000, seed=42)
+        parsed = parse_webtext(rd.from_arrow(table))
+        enriched = enrich_webtext(parsed)
+        routed = enriched.map_batches(
+            lambda b: add_sink_column(b, key_col="domain",
+                                      hot_keys=list(_HOT_DOMAINS), num_salts=8),
+            batch_format="pyarrow", batch_size=None,
+        )
+        out = str(tmp_path / "by_domain")
+        routed.write_parquet(out, partition_cols=["sink", "salt"])
+
+        # oracle: per-domain clean-row counts
+        want = Counter()
+        urls = table["url"].to_pylist()
+        texts = table["text"].to_pylist()
+        from .oracle import extract_csv
+        from logparse_rs_ray.core.tokenize import split_csv
+        from logparse_rs_ray.core.schema import TYPE_INDEX
+        from logparse_rs_ray.webtext import pan_schema
+
+        schema = pan_schema()
+        for url, text in zip(urls, texts):
+            fields = split_csv(extract_csv(text))
+            if len(fields) > TYPE_INDEX and fields[TYPE_INDEX] in schema.type_to_fields:
+                want[url.split("/")[2]] += 1
+
+        got = Counter()
+        salt_dirs_per_sink: dict[str, int] = {}
+        for d in glob.glob(f"{out}/sink=*"):
+            sink = d.rsplit("=", 1)[1]
+            if sink == "_deadletter":
+                continue
+            salts = glob.glob(f"{d}/salt=*")
+            salt_dirs_per_sink[sink] = len(salts)
+            got[sink] = pads.dataset(d).count_rows()
+        assert got == want
+
+        # hot domains split across many salt sub-partitions; cold ones don't
+        for hot in _HOT_DOMAINS:
+            assert salt_dirs_per_sink[hot] == 8, hot
+        cold = [s for s in salt_dirs_per_sink if s not in _HOT_DOMAINS]
+        assert cold and all(salt_dirs_per_sink[c] == 1 for c in cold)

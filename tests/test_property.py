@@ -1,0 +1,113 @@
+"""Property-based conformance (hypothesis): the vectorized/batch kernels must
+agree with the serial reference-semantics oracles on arbitrary inputs."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from logparse_rs_ray.core.anonymize import (
+    SerialAnonymizer,
+    anonymize_column,
+    load_anon_config,
+)
+from logparse_rs_ray.core.fnv import fnv1a64, fnv1a64_arrow
+from logparse_rs_ray.core.strkit import csv_split_column, extract_csv_payload
+from logparse_rs_ray.core.tokenize import extract_field, split_csv
+
+# lines over a CSV-hostile alphabet (quotes, commas, whitespace, unicode)
+line_st = st.text(
+    alphabet=st.sampled_from(list('abc",é中 13\t.')), max_size=40
+)
+value_st = st.text(max_size=20)
+
+
+class TestTokenizerProperties:
+    @settings(max_examples=300, deadline=None)
+    @given(line_st)
+    def test_extract_field_agrees_with_split(self, line):
+        fields = split_csv(line)
+        for i in range(len(fields)):
+            assert extract_field(line, i) == fields[i]
+        edge = extract_field(line, len(fields))
+        assert edge == (None if line.endswith(",") else "")
+        assert extract_field(line, len(fields) + 1) is None
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(line_st, max_size=20))
+    def test_vectorized_split_fast_path_matches_serial(self, lines):
+        # the batch layer: quote-free rows must match split_csv exactly;
+        # quoted rows are flagged for the exact fallback
+        arr = pa.array(lines, type=pa.string())
+        splits, quoted = csv_split_column(arr)
+        for i, line in enumerate(lines):
+            if quoted[i] or line == "":
+                continue  # fallback path / empty-line special case
+            assert splits[i].as_py() == split_csv(line), line
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(max_size=30), max_size=20))
+    def test_fnv_vector_matches_scalar(self, values):
+        arr = pa.array(values, type=pa.string())
+        vec = fnv1a64_arrow(arr)
+        for i, v in enumerate(values):
+            assert int(vec[i]) == fnv1a64(v)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(alphabet=st.sampled_from(list("ab 1,:x\n")), max_size=30),
+                    max_size=10))
+    def test_payload_extraction_matches_python_oracle(self, texts):
+        def oracle(line: str) -> str:
+            idx = line.find(" 1,")
+            return line[idx + 1:].strip() if idx != -1 else line.strip()
+
+        arr = pa.array(texts, type=pa.string())
+        out = extract_csv_payload(arr)
+        for i, t in enumerate(texts):
+            assert out[i].as_py() == oracle(t), repr(t)
+
+
+ANON_CFG = load_anon_config({
+    "version": 1,
+    "defaults": {"mode": "tokenize", "tokenize": {"prefix": "T_", "salt": "s"}},
+    "fields": {
+        "m": {"mode": "map", "map": {"a": "A", "b": "B"}, "fallback": "tokenize",
+              "tokenize": {"prefix": "M_", "salt": "fs"}},
+        "r": {"mode": "map", "map": {"a": "A"}, "fallback": "reject"},
+        "f": {"mode": "fixed"},
+    },
+})
+
+
+class TestAnonymizerProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.sampled_from(["m", "r", "f", "other"]),
+           st.lists(st.one_of(value_st, st.none()), max_size=15))
+    def test_column_matches_serial_engine(self, field, values):
+        col = pa.array(values, type=pa.string())
+        out, replaced = anonymize_column(ANON_CFG, field, col)
+        oracle = SerialAnonymizer(ANON_CFG)
+        for i, v in enumerate(values):
+            if v is None:
+                assert not out[i].is_valid
+                continue
+            want = oracle.anonymize_one(field, v)
+            if want is None:
+                assert out[i].as_py() == v
+                assert not replaced[i].as_py()
+            else:
+                assert out[i].as_py() == want
+                assert replaced[i].as_py()
+
+
+class TestGeneratorProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 5000), st.integers(1, 60))
+    def test_any_slice_matches_whole(self, start, length):
+        from logparse_rs_ray.webtext import generate_webtext_rows
+
+        ids = np.arange(start, start + length, dtype=np.int64)
+        a = generate_webtext_rows(ids)
+        # non-contiguous subset must equal row-wise selection
+        sub = ids[::2]
+        b = generate_webtext_rows(sub)
+        assert b.equals(a.take(pa.array(np.arange(0, length, 2))))
