@@ -237,7 +237,29 @@ def log_anonymize_users(sf_dir: str):
     return out.sort("user_id")
 
 
+def approx_distinct_parts(sf_dir: str):
+    """Approximate distinct l_partkey via mergeable HyperLogLog sketches:
+    one 4 KiB register array per block, elementwise-max merge, one estimate.
+    Rows-only (approximate by construction); pytest pins <5% error vs exact.
+    """
+    import pickle
+
+    from ..functions.sketches import hll_estimate, hll_merge, hll_sketch
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def sketch(b: pa.Table) -> pa.Table:
+        s = hll_sketch(pc.cast(b["l_partkey"], pa.string()))
+        return pa.table({"sketch": pa.array([pickle.dumps(s)], type=pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow", batch_size=None).to_pandas()
+    merged = hll_merge([pickle.loads(b) for b in parts["sketch"]])
+    return pa.table({"approx_distinct_parts": pa.array([int(round(hll_estimate(merged)))],
+                                                       type=pa.int64())})
+
+
 QUERIES = {
+    "approx_distinct_parts": approx_distinct_parts,
     "log_parse_props": log_parse_props,
     "log_route_counts": log_route_counts,
     "log_topk_users": log_topk_users,

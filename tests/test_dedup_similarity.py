@@ -219,3 +219,33 @@ class TestMultimodal:
         total_bytes = int(df["text"].str.encode("utf-8").str.len().sum())
         assert int(out["total"].sum()) == total_bytes
         assert len(out) == 16
+
+
+class TestSketches:
+    def test_hll_accuracy_and_mergeability(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from logparse_rs_ray.functions.sketches import (
+            hll_estimate, hll_merge, hll_sketch,
+        )
+
+        vals = pa.array([f"key-{i}" for i in range(50_000)])
+        whole = hll_sketch(vals)
+        est = hll_estimate(whole)
+        assert abs(est - 50_000) / 50_000 < 0.05
+        # merge of disjoint halves == sketch of the whole
+        a = hll_sketch(vals.slice(0, 25_000))
+        b = hll_sketch(vals.slice(25_000))
+        assert np.array_equal(hll_merge([a, b]), whole)
+
+    def test_hll_query_within_tolerance(self, ray_session):
+        import duckdb
+
+        from logparse_rs_ray.pipelines.logops import approx_distinct_parts
+
+        got = approx_distinct_parts(SF)["approx_distinct_parts"][0].as_py()
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT l_partkey) FROM read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert abs(got - exact) / exact < 0.05
