@@ -95,7 +95,7 @@ SELECT doc_id,
        strlen(text) AS n_bytes,
        strlen(text) % 640 AS width,
        strlen(text) % 480 AS height,
-       3 AS channels
+       CAST(3 AS BIGINT) AS channels
 FROM documents
 ORDER BY doc_id
 """

@@ -104,7 +104,7 @@ def q6_revenue_forecast(sf_dir: str):
 
 
 Q6_SQL = """
-SELECT 1 AS one,
+SELECT CAST(1 AS BIGINT) AS one,
        CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_rows
 FROM lineitem
