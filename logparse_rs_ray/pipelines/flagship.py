@@ -179,58 +179,103 @@ def _bucket_dirs(out_dir: str, prefix: str) -> list[str]:
     return sorted(glob.glob(f"{out_dir}/sinks/sink={prefix}[0-9][0-9]"))
 
 
-def report_from_partials(out_dir: str, *, k: int = 10) -> dict:
-    """Merge the bucketed ``sink=_reportNN`` partials -> report dict.
+def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
+                      k: int = 10) -> dict:
+    """Integrity dedup + report merge over bucketed side sinks, in ONE Ray
+    execution: one task per bucket handles both that bucket's integrity
+    directories (dedup -> idempotent per-bucket parquet under
+    ``integrity_dest``) and its report directories (merged counts -> per-dim
+    totals + top-k candidate rows).
 
-    One Ray task per bucket directory: local Arrow group_by + per-dim sums
-    and top-k candidates.  Buckets partition the (dim, key) space, so
-    per-bucket counts are globally exact and the global top-k is the top-k
-    of the union of per-bucket top-k's.  The driver combines ~buckets x
-    dims x k tiny rows.  Fully parallel, no object-store shuffle — the
-    hive-partitioned write already co-located the keys on disk.
+    Buckets partition their key spaces, so per-bucket results are globally
+    exact: the global top-k is the top-k of the union of per-bucket top-k's,
+    and per-bucket integrity tables are disjoint.  Data reaches the tasks
+    through the bucket directories the routed write already produced — a
+    filesystem shuffle, no object-store all-to-all.  ``sink_roots`` may span
+    multiple partition runs (checkpointed executions).
     """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
     import ray.data as rd
 
-    dirs = _bucket_dirs(out_dir, REPORT_SINK)
+    _os.makedirs(integrity_dest, exist_ok=True)
+    items = []
+    for b in range(SIDE_BUCKETS):
+        idirs = [d for root in sink_roots
+                 for d in sorted(_glob.glob(f"{root}/sink={INTEGRITY}{b:02d}"))]
+        rdirs = [d for root in sink_roots
+                 for d in sorted(_glob.glob(f"{root}/sink={REPORT_SINK}{b:02d}"))]
+        if idirs or rdirs:
+            items.append({"bucket": b, "integrity_dirs": _json.dumps(idirs),
+                          "report_dirs": _json.dumps(rdirs)})
 
     def merge_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
 
         from .. import tune_worker_threads
 
         tune_worker_threads()
-        outs = []
-        for d in batch["dir"].to_pylist():
-            t = pads.dataset(d).to_table(
-                columns=["_rep_dim", "_rep_key", "_rep_count"]
-            ).rename_columns(["dim", "key", "count"])
-            g = t.group_by(["dim", "key"]).aggregate([("count", "sum")])
-            g = g.rename_columns(["dim", "key", "count"])
-            keep = []
-            for dim in REPORT_DIMS:
-                sub = g.filter(pc.equal(g["dim"], dim))
-                total = int(pc.sum(sub["count"]).as_py() or 0)
-                order = pc.sort_indices(sub, sort_keys=[("count", "descending"),
-                                                        ("key", "ascending")])
-                limit = k if dim in TOPK_DIMS else len(order)
-                picked = sub.take(order.slice(0, limit))
-                keep.append(picked)
-                keep.append(pa.table({
-                    "dim": pa.array([f"__total__{dim}"]),
-                    "key": pa.array([""]),
-                    "count": pa.array([total], type=pa.int64()),
-                }))
-            outs.append(pa.concat_tables(keep))
-        return pa.concat_tables(outs) if outs else pa.table(
-            {"dim": pa.array([], type=pa.string()),
-             "key": pa.array([], type=pa.string()),
-             "count": pa.array([], type=pa.int64())})
 
-    merged_ds = rd.from_items([{"dir": d} for d in dirs]).map_batches(
-        merge_bucket, batch_format="pyarrow", batch_size=1
-    )
-    merged = pa.Table.from_pandas(merged_ds.to_pandas(), preserve_index=False)
+        def files(dirs):
+            return [f for d in dirs for f in sorted(_glob.glob(f"{d}/*.parquet"))]
+
+        outs = []
+        for row in batch.to_pylist():
+            b = row["bucket"]
+            ifiles = files(_json.loads(row["integrity_dirs"]))
+            if ifiles:
+                final = f"{integrity_dest}/{INTEGRITY}{b:02d}.parquet"
+                if not _os.path.exists(final):  # resumable per-bucket output
+                    t = pads.dataset(ifiles).to_table(
+                        columns=["_pair_field", "_pair_original", "_pair_replacement"]
+                    ).rename_columns(["field", "original", "replacement"])
+                    g = t.group_by(["field", "original"]).aggregate(
+                        [("replacement", "min")]
+                    ).rename_columns(["field", "original", "replacement"])
+                    tmp = final + ".tmp"
+                    pq.write_table(g, tmp)
+                    _os.replace(tmp, final)  # atomic publish
+            rfiles = files(_json.loads(row["report_dirs"]))
+            if rfiles:
+                t = pads.dataset(rfiles).to_table(
+                    columns=["_rep_dim", "_rep_key", "_rep_count"]
+                ).rename_columns(["dim", "key", "count"])
+                g = t.group_by(["dim", "key"]).aggregate([("count", "sum")])
+                g = g.rename_columns(["dim", "key", "count"])
+                keep = []
+                for dim in REPORT_DIMS:
+                    sub = g.filter(pc.equal(g["dim"], dim))
+                    total = int(pc.sum(sub["count"]).as_py() or 0)
+                    order = pc.sort_indices(
+                        sub, sort_keys=[("count", "descending"), ("key", "ascending")]
+                    )
+                    limit = k if dim in TOPK_DIMS else len(order)
+                    keep.append(sub.take(order.slice(0, limit)))
+                    keep.append(pa.table({
+                        "dim": pa.array([f"__total__{dim}"]),
+                        "key": pa.array([""]),
+                        "count": pa.array([total], type=pa.int64()),
+                    }))
+                outs.append(pa.concat_tables(keep))
+        if not outs:
+            return pa.table({"dim": pa.array([], type=pa.string()),
+                             "key": pa.array([], type=pa.string()),
+                             "count": pa.array([], type=pa.int64())})
+        return pa.concat_tables(outs)
+
+    if items:
+        merged_df = rd.from_items(items).map_batches(
+            merge_bucket, batch_format="pyarrow", batch_size=1
+        ).to_pandas()
+        merged = pa.Table.from_pandas(merged_df, preserve_index=False)
+    else:
+        merged = pa.table({"dim": pa.array([], type=pa.string()),
+                           "key": pa.array([], type=pa.string()),
+                           "count": pa.array([], type=pa.int64())})
     if merged.num_rows == 0:
         merged = pa.table({"dim": pa.array([], type=pa.string()),
                            "key": pa.array([], type=pa.string()),
@@ -244,11 +289,18 @@ def report_from_partials(out_dir: str, *, k: int = 10) -> dict:
     for d, c in zip(total_rows["dim"].to_pylist(), total_rows["count"].to_pylist()):
         dim = d[len("__total__"):]
         totals[dim] = totals.get(dim, 0) + int(c)
-    cand_rows = merged.filter(pc.invert(is_total))
-    report = _assemble_report(cand_rows, k=k)
+    report = _assemble_report(merged.filter(pc.invert(is_total)), k=k)
     report["total_logs"] = totals.get("by_log_type", 0)
     report["errors"] = totals.get("error_reasons", 0)
     return report
+
+
+def report_from_partials(out_dir: str, *, k: int = 10) -> dict:
+    """Back-compat wrapper: report-only consolidation of one run's sinks."""
+    import tempfile
+
+    return consolidate_sinks([f"{out_dir}/sinks"],
+                             tempfile.mkdtemp(prefix="integ_unused_"), k=k)
 
 
 def flagship_report_from_sinks(sinks_ds, *, k: int = 10) -> dict:
@@ -291,55 +343,9 @@ def _assemble_report(tall: pa.Table, *, k: int = 10) -> dict:
 
 
 def export_integrity(out_dir: str):
-    """Bucketed ``sink=_integrityNN`` pair rows -> deduped integrity table.
-
-    The write pass hash-partitioned the (field, original) keys into bucket
-    directories, so dedup is one independent task per bucket: local Arrow
-    group_by min (determinism of tokens makes min == "first", SURVEY.md
-    §2.6/D2), written as one idempotent per-bucket parquet file — a
-    filesystem shuffle with resumable, partition-named output.
-    """
-    import os
-
-    import ray.data as rd
-
-    dirs = _bucket_dirs(out_dir, INTEGRITY)
-    dest = f"{out_dir}/integrity"
-    os.makedirs(dest, exist_ok=True)
-
-    def dedup_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.dataset as pads
-        import pyarrow.parquet as pq
-
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        rows = []
-        for d in batch["dir"].to_pylist():
-            bucket = d.rsplit("=", 1)[1]
-            final = f"{dest}/{bucket}.parquet"
-            if os.path.exists(final):  # resumable: skip finished buckets
-                rows.append((bucket, pq.read_metadata(final).num_rows, True))
-                continue
-            t = pads.dataset(d).to_table(
-                columns=["_pair_field", "_pair_original", "_pair_replacement"]
-            ).rename_columns(["field", "original", "replacement"])
-            g = t.group_by(["field", "original"]).aggregate([("replacement", "min")])
-            g = g.rename_columns(["field", "original", "replacement"])
-            tmp = final + ".tmp"
-            pq.write_table(g, tmp)
-            os.replace(tmp, final)  # atomic publish
-            rows.append((bucket, g.num_rows, False))
-        return pa.table({
-            "bucket": pa.array([r[0] for r in rows], type=pa.string()),
-            "pairs": pa.array([r[1] for r in rows], type=pa.int64()),
-            "skipped": pa.array([r[2] for r in rows], type=pa.bool_()),
-        })
-
-    stats = rd.from_items([{"dir": d} for d in dirs]).map_batches(
-        dedup_bucket, batch_format="pyarrow", batch_size=1
-    ).to_pandas()
-    return stats
+    """Back-compat wrapper: integrity-only consolidation of one run's sinks
+    (see consolidate_sinks for the mechanics)."""
+    consolidate_sinks([f"{out_dir}/sinks"], f"{out_dir}/integrity")
 
 
 def integrity_status(out_dir: str) -> dict:
@@ -415,10 +421,10 @@ def run_flagship(
     routed = routed.map_batches(append_report_rows, batch_format="pyarrow", batch_size=None, **mk)
     routed.write_parquet(f"{out_dir}/sinks", partition_cols=["sink"])
 
-    if write_integrity:
-        export_integrity(out_dir)
-
-    report = report_from_partials(out_dir, k=k)
+    # integrity dedup + report merge share one per-bucket consolidation
+    # execution (the integrity dirs are simply absent when write_integrity
+    # is off)
+    report = consolidate_sinks([f"{out_dir}/sinks"], f"{out_dir}/integrity", k=k)
     report["generated_at"] = generated_at
     report["schema_sha256"] = schema.schema_sha256
     report["deadletter_sink"] = DEADLETTER

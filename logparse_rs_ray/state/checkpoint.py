@@ -160,106 +160,13 @@ def run_partitioned_flagship(
 
 def consolidate(out_dir: str, *, generated_at: str, k: int = 10) -> dict:
     """Cross-partition integrity dedup + report merge over the union of the
-    per-partition bucketed side sinks; per-bucket parallel tasks with
-    idempotent outputs (same mechanics as the single-run export)."""
-    import ray.data as rd
-
-    from ..pipelines.flagship import (
-        INTEGRITY,
-        REPORT_SINK,
-        SIDE_BUCKETS,
-        TOPK_DIMS,
-        REPORT_DIMS,
-        _assemble_report,
-    )
+    per-partition bucketed side sinks — delegates to the shared per-bucket
+    consolidation (pipelines.flagship.consolidate_sinks)."""
+    from ..pipelines.flagship import consolidate_sinks
     from ..sources import write_json_report
 
-    import pyarrow.compute as pc
-
-    def bucket_dirs(prefix: str, b: int) -> list[str]:
-        return sorted(glob.glob(
-            f"{out_dir}/partitions/p[0-9][0-9][0-9][0-9]/sinks/sink={prefix}{b:02d}"
-        ))
-
-    dest = f"{out_dir}/integrity"
-    os.makedirs(dest, exist_ok=True)
-    items = []
-    for b in range(SIDE_BUCKETS):
-        dirs_i = bucket_dirs(INTEGRITY, b)
-        dirs_r = bucket_dirs(REPORT_SINK, b)
-        items.append({"bucket": b, "integrity_dirs": json.dumps(dirs_i),
-                      "report_dirs": json.dumps(dirs_r)})
-
-    def merge_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.dataset as pads
-        import pyarrow.parquet as pq
-
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        def _files(dirs: list[str]) -> list[str]:
-            return [f for d in dirs for f in sorted(glob.glob(f"{d}/*.parquet"))]
-
-        outs = []
-        for row in batch.to_pylist():
-            b = row["bucket"]
-            idirs = _files(json.loads(row["integrity_dirs"]))
-            if idirs:
-                final = f"{dest}/_integrity{b:02d}.parquet"
-                if not os.path.exists(final):
-                    t = pads.dataset(idirs).to_table(
-                        columns=["_pair_field", "_pair_original", "_pair_replacement"]
-                    ).rename_columns(["field", "original", "replacement"])
-                    g = t.group_by(["field", "original"]).aggregate([("replacement", "min")])
-                    g = g.rename_columns(["field", "original", "replacement"])
-                    tmp = final + ".tmp"
-                    pq.write_table(g, tmp)
-                    os.replace(tmp, final)
-            rdirs = _files(json.loads(row["report_dirs"]))
-            if rdirs:
-                t = pads.dataset(rdirs).to_table(
-                    columns=["_rep_dim", "_rep_key", "_rep_count"]
-                ).rename_columns(["dim", "key", "count"])
-                g = t.group_by(["dim", "key"]).aggregate([("count", "sum")])
-                g = g.rename_columns(["dim", "key", "count"])
-                keep = []
-                for dim in REPORT_DIMS:
-                    sub = g.filter(pc.equal(g["dim"], dim))
-                    total = int(pc.sum(sub["count"]).as_py() or 0)
-                    order = pc.sort_indices(sub, sort_keys=[("count", "descending"),
-                                                            ("key", "ascending")])
-                    limit = k if dim in TOPK_DIMS else len(order)
-                    keep.append(sub.take(order.slice(0, limit)))
-                    keep.append(pa.table({
-                        "dim": pa.array([f"__total__{dim}"]),
-                        "key": pa.array([""]),
-                        "count": pa.array([total], type=pa.int64()),
-                    }))
-                outs.append(pa.concat_tables(keep))
-        if not outs:
-            return pa.table({"dim": pa.array([], type=pa.string()),
-                             "key": pa.array([], type=pa.string()),
-                             "count": pa.array([], type=pa.int64())})
-        return pa.concat_tables(outs)
-
-    merged_df = rd.from_items(items).map_batches(
-        merge_bucket, batch_format="pyarrow", batch_size=1
-    ).to_pandas()
-    merged = pa.Table.from_pandas(merged_df, preserve_index=False)
-    if merged.num_rows == 0:
-        merged = pa.table({"dim": pa.array([], type=pa.string()),
-                           "key": pa.array([], type=pa.string()),
-                           "count": pa.array([], type=pa.int64())})
-    merged = merged.set_column(2, "count", merged["count"].cast(pa.int64()))
-    totals: dict[str, int] = {}
-    is_total = pc.starts_with(merged["dim"], "__total__")
-    for d, c in zip(merged.filter(is_total)["dim"].to_pylist(),
-                    merged.filter(is_total)["count"].to_pylist()):
-        dim = d[len("__total__"):]
-        totals[dim] = totals.get(dim, 0) + int(c)
-    report = _assemble_report(merged.filter(pc.invert(is_total)), k=k)
-    report["total_logs"] = totals.get("by_log_type", 0)
-    report["errors"] = totals.get("error_reasons", 0)
+    sink_roots = sorted(glob.glob(f"{out_dir}/partitions/p[0-9][0-9][0-9][0-9]/sinks"))
+    report = consolidate_sinks(sink_roots, f"{out_dir}/integrity", k=k)
     report["generated_at"] = generated_at
     write_json_report(report, f"{out_dir}/report.json")
     return report
