@@ -11,11 +11,10 @@ pytest against the serial oracle instead).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.anonymize import AnonConfig, anonymize_column
+from ..core.anonymize import anonymize_column
 from ..sources import read_table
 from ..stages.aggregate import count_by, grouped_agg
 

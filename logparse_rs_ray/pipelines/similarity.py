@@ -71,8 +71,6 @@ def ann_topk_cosine(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES):
     partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
 
     def global_topk(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = batch.to_pandas()
         df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
         df = df.groupby("query_id", as_index=False).head(k)

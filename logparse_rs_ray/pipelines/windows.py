@@ -15,7 +15,6 @@ ordering assumption stated per operator.  Joins Ray Data lacks natively:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -32,8 +32,6 @@ import shutil
 import time
 from dataclasses import dataclass, field
 
-import pyarrow as pa
-
 __all__ = ["Manifest", "run_partitioned_flagship", "consolidate"]
 
 ENGINE_VERSION = "logparse_rs_ray-0.1.0"
