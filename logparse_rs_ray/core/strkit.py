@@ -93,8 +93,9 @@ def extract_csv_payload(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     # reference keeps from '1,': re-prefix the stripped '1,' on matched rows
     prefixed = pc.binary_join_element_wise(pa.scalar("1,"), tail, "")
     out = pc.if_else(pa.array(matched), prefixed, tail)
-    # .strip() on both branches in the reference
-    return pc.utf8_trim(out, " \t\r\n\x0b\x0c")
+    # .strip() on both branches in the reference — Python strips UNICODE
+    # whitespace, so use the unicode-aware trim
+    return pc.utf8_trim_whitespace(out)
 
 
 def csv_split_column(payload: pa.Array | pa.ChunkedArray) -> tuple[pa.ListArray, np.ndarray]:

@@ -53,7 +53,7 @@ class TestTokenizerProperties:
             assert int(vec[i]) == fnv1a64(v)
 
     @settings(max_examples=200, deadline=None)
-    @given(st.lists(st.text(alphabet=st.sampled_from(list("ab 1,:x\n")), max_size=30),
+    @given(st.lists(st.text(alphabet=st.sampled_from(list("ab 1,:x\n\xa0\u2009")), max_size=30),
                     max_size=10))
     def test_payload_extraction_matches_python_oracle(self, texts):
         def oracle(line: str) -> str:
