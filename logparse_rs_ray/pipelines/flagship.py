@@ -415,6 +415,13 @@ def run_flagship(
     cfg = load_anon_config(anon_config if anon_config is not None else default_anon_config_json())
     mk = map_kwargs or {}
 
+    # a rerun must not append into stale outputs (write_parquet adds files
+    # to an existing directory) — for resumable runs use state/checkpoint
+    import shutil
+
+    shutil.rmtree(f"{out_dir}/sinks", ignore_errors=True)
+    shutil.rmtree(f"{out_dir}/integrity", ignore_errors=True)
+
     parsed = parse_webtext(webtext_ds, schema, **mk)
     enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=write_integrity, **mk)
     routed = enriched.map_batches(add_sink_column, batch_format="pyarrow", batch_size=None, **mk)

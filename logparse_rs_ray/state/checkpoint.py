@@ -151,6 +151,15 @@ def run_partitioned_flagship(
         completed += 1
 
     all_done = all(manifest.is_done(pid, lineage) for pid in range(len(parts)))
+    if completed > 0:
+        # some partition was (re)computed this invocation — drop previously
+        # consolidated outputs so skip-if-exists bucket files can't serve
+        # stale results (e.g. after a lineage change forced recomputation)
+        shutil.rmtree(os.path.join(out_dir, "integrity"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(out_dir, "report.json"))
+        except FileNotFoundError:
+            pass
     report = consolidate(out_dir, generated_at=generated_at) if all_done else None
     return {"completed": completed, "skipped": skipped, "all_done": all_done,
             "report": report}

@@ -85,3 +85,29 @@ class TestResume:
             assert rec["metrics"]["input_rows"] > 0
             assert rec["metrics"]["wall_s"] > 0
             assert set(rec["lineage"]) == {"schema_sha256", "anon_sha256", "engine"}
+
+    def test_lineage_change_rerun_refreshes_consolidated_outputs(self, webtext_input, tmp_path):
+        """After a config change forces recomputation, the consolidated
+        integrity table must reflect the NEW tokens, not stale bucket files."""
+        import glob
+
+        import pyarrow.dataset as pads
+
+        from logparse_rs_ray.state.checkpoint import run_partitioned_flagship
+        from logparse_rs_ray.webtext import default_anon_config_json
+
+        out = str(tmp_path / "relin")
+        run_partitioned_flagship(webtext_input, out, num_partitions=2)
+        t1 = pads.dataset(glob.glob(f"{out}/integrity/*.parquet")).to_table()
+        tokens1 = set(t1["replacement"].to_pylist())
+
+        cfg = default_anon_config_json()
+        cfg["fields"]["src_ip"]["tokenize"]["salt"] = "rotated-salt"
+        r = run_partitioned_flagship(webtext_input, out, num_partitions=2,
+                                     anon_config=cfg)
+        assert r["all_done"] and r["completed"] == 2 and r["skipped"] == 0
+        t2 = pads.dataset(glob.glob(f"{out}/integrity/*.parquet")).to_table()
+        tokens2 = set(t2["replacement"].to_pylist())
+        ip1 = {t for t in tokens1 if t.startswith("IP_")}
+        ip2 = {t for t in tokens2 if t.startswith("IP_")}
+        assert ip1 and ip2 and ip1.isdisjoint(ip2)
