@@ -46,11 +46,15 @@ N_DOCS = int(os.environ.get("WEBTEXT_ROWS", str(int(6_000_000 * SF))))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q_customer_regions",
+    "q_order_lineitem_join",
     "q_top_parts_by_quantity",
     "log_parse_props",
     "log_hourly_window",
+    "log_sessionize",
     "doc_token_stats",
     "doc_exact_dedup",
+    "dedup_minhash_pairs",
+    "ann_topk_cosine",
 ]
 
 
