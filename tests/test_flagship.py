@@ -190,3 +190,20 @@ class TestDeterministicGeneration:
         domains = Counter(u.split("/")[2] for u in t["url"].to_pylist())
         top2 = sum(c for _, c in domains.most_common(2))
         assert 0.3 < top2 / 5000 < 0.5
+
+
+class TestActorPoolMode:
+    def test_actor_pool_stages_match_task_mode(self, ray_session, tmp_path):
+        """The parse/enrich stages run identically as an actor pool
+        (concurrency=N — state built once per actor) and as stateless
+        tasks; results must be byte-identical."""
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import run_flagship
+
+        table = generate_webtext_table(1500, seed=42)
+        rep_task = run_flagship(rd.from_arrow(table), str(tmp_path / "task"))
+        rep_pool = run_flagship(rd.from_arrow(table), str(tmp_path / "pool"),
+                                map_kwargs={"concurrency": 2})
+        for k in ("total_logs", "errors", "by_log_type", "top_domains", "by_region"):
+            assert rep_task[k] == rep_pool[k], k
