@@ -59,3 +59,25 @@ class TestDomainRouting:
             assert salt_dirs_per_sink[hot] == 8, hot
         cold = [s for s in salt_dirs_per_sink if s not in _HOT_DOMAINS]
         assert cold and all(salt_dirs_per_sink[c] == 1 for c in cold)
+
+    def test_project_per_sink_narrow_files(self, tmp_path):
+        """route_write(project_per_sink=True): each sink directory carries
+        only that type's columns (narrow files for downstream readers)."""
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import enrich_webtext, parse_webtext
+        from logparse_rs_ray.stages.route import route_write
+        from logparse_rs_ray.webtext import pan_schema
+
+        schema = pan_schema()
+        table = generate_webtext_table(800, seed=42)
+        enriched = enrich_webtext(parse_webtext(rd.from_arrow(table)))
+        out = str(tmp_path / "pps")
+        route_write(enriched, out, schema, project_per_sink=True)
+
+        t = pads.dataset(f"{out}/sink=SYSTEM").to_table()
+        cols = set(t.column_names)
+        assert set(schema.type_to_columns["SYSTEM"]) <= cols
+        # TRAFFIC-only columns must be absent from the SYSTEM sink
+        assert "src_port" not in cols and "application" not in cols
+        assert {"url", "hash64", "extracted_text"} <= cols
