@@ -277,6 +277,90 @@ ORDER BY o_orderpriority
 """
 
 
+# --- union ------------------------------------------------------------------
+
+def q_union_counts(sf_dir: str):
+    """UNION ALL of two filtered subsets -> grouped counts (ds.union)."""
+    hi = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    lo = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def f_hi(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["l_quantity"], 45.0)).select(["l_returnflag"])
+
+    def f_lo(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["l_quantity"], 5.0)).select(["l_returnflag"])
+
+    u = hi.map_batches(f_hi, batch_format="pyarrow", batch_size=None).union(
+        lo.map_batches(f_lo, batch_format="pyarrow", batch_size=None)
+    )
+    return count_by(u, "l_returnflag", count_name="n_rows",
+                    final_partitions=1).sort("l_returnflag")
+
+
+Q_UNION_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows FROM (
+  SELECT l_returnflag FROM lineitem WHERE l_quantity > 45
+  UNION ALL
+  SELECT l_returnflag FROM lineitem WHERE l_quantity < 5
+) GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- grouped filter (HAVING) ------------------------------------------------
+
+def q_having_active_customers(sf_dir: str):
+    """Customers with >= 15 orders (post-aggregation filter = HAVING)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+    counts = count_by(ds, "o_custkey", count_name="n_orders")
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_orders"], 15))
+
+    return counts.map_batches(having, batch_format="pyarrow",
+                              batch_size=None).sort("o_custkey")
+
+
+Q_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+ORDER BY o_custkey
+"""
+
+
+# --- scalar-subquery pattern ------------------------------------------------
+
+def q_above_average_orders(sf_dir: str):
+    """Count orders above the global average total price per status.
+
+    The scalar (global average) is computed first and broadcast into the
+    filter — the distributed form of a scalar subquery.  Counts only, so
+    float averaging differences cannot surface in the output."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    avg = pc.mean(t["o_totalprice"]).as_py()
+    ds = read_table(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"], avg)).select(["o_orderstatus"])
+
+    return count_by(ds.map_batches(above, batch_format="pyarrow", batch_size=None),
+                    "o_orderstatus", count_name="n_above",
+                    final_partitions=1).sort("o_orderstatus")
+
+
+Q_ABOVE_AVG_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_above
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_revenue_forecast": q6_revenue_forecast,
@@ -287,6 +371,9 @@ QUERIES = {
     "q_filter_project": q_filter_project,
     "q_distinct_flags": q_distinct_flags,
     "q_count_by_priority": q_count_by_priority,
+    "q_union_counts": q_union_counts,
+    "q_having_active_customers": q_having_active_customers,
+    "q_above_average_orders": q_above_average_orders,
 }
 
 ORACLE_SQL = {
@@ -299,4 +386,7 @@ ORACLE_SQL = {
     "q_filter_project": Q_FILTER_PROJECT_SQL,
     "q_distinct_flags": Q_DISTINCT_SQL,
     "q_count_by_priority": Q_COUNT_PRIORITY_SQL,
+    "q_union_counts": Q_UNION_SQL,
+    "q_having_active_customers": Q_HAVING_SQL,
+    "q_above_average_orders": Q_ABOVE_AVG_SQL,
 }
