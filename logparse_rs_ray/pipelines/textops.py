@@ -66,6 +66,47 @@ ORDER BY doc_id
 """
 
 
+# --- BPE-ish token counting -------------------------------------------------
+
+# GPT-2-style pre-tokenizer approximation in RE2 syntax (both pyarrow and
+# DuckDB use RE2, so the counts match exactly; RE2 has no lookahead, so the
+# trailing-space subtlety of the original pattern is simplified away)
+BPE_ISH_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[[:alpha:]]+| ?[[:digit:]]+"
+    r"| ?[^\s[:alpha:][:digit:]]+|\s+"
+)
+
+
+def doc_bpe_token_stats(sf_dir: str):
+    """Per-lang totals of BPE-ish subword-ish token counts — the training-
+    data-pipeline token budget estimator (whitespace counting is in
+    doc_token_stats; this is the tokenizer-shaped variant)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(b["text"], BPE_ISH_PATTERN)
+        return pa.table({"lang": b["lang"], "tokens": pc.cast(toks, pa.int64())})
+
+    from ..stages.aggregate import grouped_agg
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+                      ["lang"], {"sum_bpe_tokens": "tokens"}, count_name="n_docs",
+                      final_partitions=1)
+    return out.sort("lang")
+
+
+# the pattern contains a single quote -> double it for the SQL literal
+DOC_BPE_TOKEN_SQL = f"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text,
+            '{BPE_ISH_PATTERN.replace("'", "''")}'))) AS BIGINT) AS sum_bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- language-ID heuristic (rows-only) -------------------------------------
 
 # tiny per-language stopword lists; scoring = argmax of stopword hits
@@ -136,12 +177,14 @@ def doc_fingerprint(sf_dir: str):
 
 QUERIES = {
     "doc_quality": doc_quality,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
 }
 
 ORACLE_SQL = {
     "doc_quality": DOC_QUALITY_SQL,
+    "doc_bpe_token_stats": DOC_BPE_TOKEN_SQL,
     # doc_lang_id, doc_fingerprint: rows-only (heuristic / FNV); pytest
     # verifies both against serial Python oracles.
 }
