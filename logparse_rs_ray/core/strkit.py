@@ -11,7 +11,39 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["slice_from_positions", "extract_csv_payload", "csv_split_column"]
+__all__ = ["slice_from_positions", "extract_csv_payload", "csv_split_column",
+           "utf8_safe_truncate"]
+
+
+def utf8_safe_truncate(arr: pa.Array | pa.ChunkedArray, max_bytes: int) -> pa.Array:
+    """First <= max_bytes BYTES of each string, backed off to a UTF-8 char
+    boundary.  The reference byte-slices a &str (lib.rs:158) and would panic
+    on a char straddling the boundary; this engine trims the partial char
+    instead of crashing (documented divergence — identical output whenever
+    the reference doesn't panic).  Vectorized: only rows longer than
+    max_bytes are inspected, and only their last 3 boundary bytes.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets, data = _string_buffers(arr)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    cut = np.minimum(lens, max_bytes)
+    long_rows = np.nonzero(lens > max_bytes)[0]
+    if len(long_rows):
+        # a cut is mid-char iff the byte AT the cut is a continuation byte
+        # (0b10xxxxxx); back off until the cut lands on a char start
+        for _ in range(3):
+            pos = starts[long_rows] + cut[long_rows]
+            is_cont = (data[pos] & 0xC0) == 0x80
+            if not is_cont.any():
+                break
+            cut[long_rows] = cut[long_rows] - is_cont.astype(np.int64)
+    out_off, out_data = _gather_varlen(data, starts, cut)
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(arr),
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_data.tobytes())],
+    ).cast(pa.large_string())
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -80,6 +112,10 @@ def extract_csv_payload(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     """
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    # null rows must NOT collapse to zero-length list slots — the take-based
+    # tail extraction below would then read the NEXT row's content.  A null
+    # line is treated as an empty line (it dead-letters downstream).
+    text = pc.fill_null(text, "")
     parts = pc.split_pattern(text, " 1,", max_splits=1)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()

@@ -27,7 +27,19 @@ __all__ = [
     "band_keys",
     "simhash_signatures",
     "hamming_distance_u64",
+    "segment_sum",
 ]
+
+
+def segment_sum(arr: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sums over offset boundaries, SAFE for empty segments
+    anywhere (np.add.reduceat raises IndexError when a segment start equals
+    len(arr) — e.g. a batch whose last document has zero tokens)."""
+    arr2 = arr if arr.ndim == 2 else arr[:, None]
+    cs = np.vstack([np.zeros((1, arr2.shape[1]), dtype=arr2.dtype),
+                    np.cumsum(arr2, axis=0)])
+    out = cs[offsets[1:]] - cs[offsets[:-1]]
+    return out if arr.ndim == 2 else out[:, 0]
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 _U = np.uint64
@@ -108,19 +120,30 @@ def shingle_hashes(texts: pa.Array | pa.ChunkedArray, k: int = 3) -> tuple[np.nd
 
 def minhash_signatures(texts: pa.Array | pa.ChunkedArray, *, num_perm: int = 64,
                        k: int = 3, seed: int = 7) -> np.ndarray:
-    """(n_docs, num_perm) uint64 MinHash signature matrix."""
+    """(n_docs, num_perm) uint64 MinHash signature matrix.
+
+    Permutation p is the splitmix64 finalizer applied to ``x ^ salt_p`` —
+    a strong 64-bit mixer per permutation (hash-based MinHash).  A naive
+    ``(a*x + b) mod M`` in wrapping uint64 arithmetic would overflow mod
+    2^64 before the Mersenne mod and lose its universality guarantee; the
+    bijective mixer family avoids modular arithmetic entirely.
+    """
     sh, off = shingle_hashes(texts, k=k)
     n_docs = len(off) - 1
-    a = _rand_u64(num_perm, seed)
-    b = _rand_u64(num_perm, seed + 1)
+    salts = _rand_u64(num_perm, seed)
     sig = np.empty((n_docs, num_perm), dtype=np.uint64)
     starts = off[:-1]
     with np.errstate(over="ignore"):
         for p in range(num_perm):
-            hp = (a[p] * sh + b[p]) % _MERSENNE61
+            hp = sh ^ salts[p]
+            hp = (hp ^ (hp >> _U(30))) * _U(0xBF58476D1CE4E5B9)
+            hp = (hp ^ (hp >> _U(27))) * _U(0x94D049BB133111EB)
+            hp = hp ^ (hp >> _U(31))
             if len(hp) == 0:
                 sig[:, p] = 0
             else:
+                # shingle_hashes guarantees >= 1 shingle per doc (sentinel
+                # for empty docs), so reduceat starts are always in range
                 sig[:, p] = np.minimum.reduceat(hp, starts) if n_docs else hp[:0]
     return sig
 
@@ -149,9 +172,7 @@ def simhash_signatures(texts: pa.Array | pa.ChunkedArray, *, seed: int = 0) -> n
         return np.zeros(n_docs, dtype=np.uint64)
     bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U(1)).astype(np.int32)
     contrib = bits * 2 - 1  # +1 / -1
-    starts = off[:-1]
-    # docs with zero tokens: reduceat repeats; fix below
-    sums = np.add.reduceat(contrib, starts, axis=0) if n_docs else contrib[:0]
+    sums = segment_sum(contrib, off)
     ntok = np.diff(off)
     sums[ntok == 0] = -1  # empty docs -> all-zero signature
     sig_bits = (sums > 0).astype(np.uint64)

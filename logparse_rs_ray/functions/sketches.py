@@ -24,6 +24,7 @@ def hll_sketch(values: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """uint8[2^P] register array for one batch of string values."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
+    values = values.drop_null()  # SQL COUNT(DISTINCT) semantics: nulls don't count
     regs = np.zeros(_M, dtype=np.uint8)
     if len(values) == 0:
         return regs

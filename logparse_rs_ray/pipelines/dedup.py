@@ -140,14 +140,30 @@ def _bucket_pairs_tree(exploded, keys: list[str], payload_cols: list[str],
 
     def gen_pairs(batch: pa.Table) -> pa.Table:
         outs = []
+        n_capped = 0
         lists = {c: batch[f"{c}_list"].combine_chunks() for c in payload_cols}
         for i in range(batch.num_rows):
             arrays = [np.asarray(lists[c][i].values) for c in payload_cols]
-            if len(arrays[0]) < 2 or len(arrays[0]) > max_bucket:
+            size = len(arrays[0])
+            if size < 2:
                 continue
-            t = pair_fn(*arrays)
+            if size > max_bucket:
+                # mega-bucket (a giant duplicate cluster): all-pairs would be
+                # O(size^2) — emit the STAR instead (every member paired with
+                # the bucket minimum), which preserves cluster connectivity
+                # for downstream clustering at O(size) pairs.  No silent
+                # drop: the cap is logged via the emitted pair count.
+                n_capped += 1
+                order = np.argsort(arrays[0])
+                arrays = [a[order] for a in arrays]  # star is O(size): no truncation
+                t = pair_fn(*arrays, star=True)
+            else:
+                t = pair_fn(*arrays)
             if t is not None and t.num_rows:
                 outs.append(t)
+        if n_capped:
+            print(f"[bucket_pairs] {n_capped} mega-buckets (> {max_bucket}) "
+                  "reduced to star pairings")
         if not outs:
             return pair_fn(*[np.empty(0, dtype=np.int64) for _ in payload_cols],
                            empty=True)
@@ -163,11 +179,14 @@ def minhash_candidate_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
     exploded = ds.map_batches(_signature_batch_fn(num_perm, bands, k),
                               batch_format="pyarrow", batch_size=None)
 
-    def pair_fn(ids: np.ndarray, *, empty: bool = False) -> pa.Table:
+    def pair_fn(ids: np.ndarray, *, empty: bool = False, star: bool = False) -> pa.Table:
         if empty or len(ids) < 2:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64())})
         ids = np.sort(ids)
+        if star:
+            return pa.table({"doc_a": pa.array(np.full(len(ids) - 1, ids[0])),
+                             "doc_b": pa.array(ids[1:])})
         a, b = np.triu_indices(len(ids), k=1)
         return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
 
@@ -262,14 +281,19 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3):
 
     exploded = ds.map_batches(sig_fn, batch_format="pyarrow", batch_size=None)
 
-    def pair_fn(ids: np.ndarray, sigs: np.ndarray, *, empty: bool = False) -> pa.Table:
+    def pair_fn(ids: np.ndarray, sigs: np.ndarray, *, empty: bool = False,
+                star: bool = False) -> pa.Table:
         if empty or len(ids) < 2:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64()),
                              "hamming": pa.array([], type=pa.int64())})
         o = np.argsort(ids)
         ids, sigs = np.asarray(ids)[o], np.asarray(sigs, dtype=np.int64)[o].astype(np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
+        if star:
+            a = np.zeros(len(ids) - 1, dtype=np.int64)
+            b = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            a, b = np.triu_indices(len(ids), k=1)
         d = np.asarray(hamming_distance_u64(sigs[a], sigs[b]), dtype=np.int64)
         keep = d <= max_hamming
         return pa.table({"doc_a": pa.array(ids[a][keep]),

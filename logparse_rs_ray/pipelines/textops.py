@@ -133,13 +133,16 @@ class LangIdScorer:
         flat = toks.values
         off = np.asarray(toks.offsets, dtype=np.int64)
         off = off - off[0]
+        from ..functions.hashing import segment_sum
+
         n = batch.num_rows
         scores = np.zeros((n, len(self.langs)), dtype=np.int64)
         for li, vs in enumerate(self.sets):
             hit = np.asarray(pc.is_in(flat, value_set=vs), dtype=np.int64)
             if len(hit):
-                scores[:, li] = np.add.reduceat(hit, off[:-1]) if n else hit[:0]
-                scores[np.diff(off) == 0, li] = 0
+                # segment_sum is safe for zero-token docs anywhere in the
+                # batch (reduceat raises on a trailing empty segment)
+                scores[:, li] = segment_sum(hit, off)
         best = np.argmax(scores, axis=1)
         best_score = scores[np.arange(n), best]
         lang = np.array(self.langs, dtype=object)[best]

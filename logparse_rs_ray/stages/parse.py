@@ -162,7 +162,9 @@ class WebtextParser:
             columns[col] = out
 
         hash64 = fnv1a64_arrow(payload)
-        excerpt = pc.binary_slice(payload.cast(pa.large_binary()), 0, 256).cast(pa.large_string())
+        from ..core.strkit import utf8_safe_truncate
+
+        excerpt = utf8_safe_truncate(payload, 256)
 
         result: dict[str, pa.Array | pa.ChunkedArray] = {}
         for c in PASSTHROUGH_COLUMNS:
@@ -178,25 +180,24 @@ class WebtextParser:
         if self.include_all:
             # field_i positional copies as one list<string> column (M7).
             # Quoted/empty rows need their exact field lists; lists don't
-            # support replace_with_mask, so rebuild via a per-row take plan
-            # only when such rows exist.
-            if patch or empty.any():
-                lists = [None] * n
-                fast = pa.LargeListArray.from_arrays(
-                    pa.array(offs.astype(np.int64)), flat.cast(pa.large_string())
-                ).to_pylist()
-                for i in range(n):
-                    if empty[i]:
-                        lists[i] = []
-                    elif i in patch:
-                        lists[i] = patch[i]
-                    else:
-                        lists[i] = fast[i]
-                result["all_fields"] = pa.array(lists, type=pa.list_(pa.string()))
+            # support replace_with_mask, so splice ONLY the affected rows
+            # via concat + take — the unaffected majority stays columnar.
+            fast = pa.LargeListArray.from_arrays(
+                pa.array(offs.astype(np.int64)), flat.cast(pa.large_string())
+            ).cast(pa.list_(pa.string()))
+            affected = sorted(set(patch) | set(np.nonzero(empty)[0].tolist()))
+            if affected:
+                repl = pa.array(
+                    [[] if empty[i] else patch[i] for i in affected],
+                    type=pa.list_(pa.string()),
+                )
+                comb = pa.concat_arrays([fast, repl])
+                idx = np.arange(n, dtype=np.int64)
+                for r, i in enumerate(affected):
+                    idx[i] = n + r
+                result["all_fields"] = comb.take(pa.array(idx))
             else:
-                result["all_fields"] = pa.LargeListArray.from_arrays(
-                    pa.array(offs.astype(np.int64)), flat.cast(pa.large_string())
-                ).cast(pa.list_(pa.string()))
+                result["all_fields"] = fast
         return pa.table(result)
 
 

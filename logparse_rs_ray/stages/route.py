@@ -99,7 +99,8 @@ def route_write(
     routed = ds.map_batches(add_sink_column, batch_format="pyarrow", batch_size=None)
     if num_salts:
         routed = routed.map_batches(
-            lambda b: add_salt_column(b, num_salts=num_salts), batch_format="pyarrow"
+            lambda b: add_salt_column(b, num_salts=num_salts),
+            batch_format="pyarrow", batch_size=None,
         )
     if not project_per_sink:
         cols = ["sink", "salt"] if num_salts else ["sink"]

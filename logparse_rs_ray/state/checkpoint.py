@@ -60,9 +60,16 @@ class Manifest:
         with open(self.path, "a", encoding="utf-8") as fh:
             fh.write(json.dumps(rec, sort_keys=True) + "\n")
 
-    def is_done(self, pid: int, lineage: dict) -> bool:
+    def is_done(self, pid: int, lineage: dict, input_files: list[str] | None = None) -> bool:
+        """A partition only counts as done if lineage AND its input file
+        group match — adding files to the input dir or changing
+        --partitions regroups the files, which must invalidate the old
+        record (skipping on id+lineage alone would silently drop the new
+        files from the run)."""
         rec = self.records.get(pid)
-        return bool(rec and rec.get("status") == "done" and rec.get("lineage") == lineage)
+        if not (rec and rec.get("status") == "done" and rec.get("lineage") == lineage):
+            return False
+        return input_files is None or rec.get("input_files") == input_files
 
 
 def _lineage(schema, anon_cfg_json: dict | str | None) -> dict:
@@ -116,9 +123,15 @@ def run_partitioned_flagship(
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest.load(os.path.join(out_dir, "manifest.jsonl"))
 
+    # partition dirs beyond the current grouping (e.g. --partitions shrank)
+    # would otherwise leak stale data into the consolidation glob
+    for d in glob.glob(os.path.join(out_dir, "partitions", "p[0-9][0-9][0-9][0-9]")):
+        if int(os.path.basename(d)[1:]) >= len(parts):
+            shutil.rmtree(d, ignore_errors=True)
+
     completed = skipped = 0
     for pid, group in enumerate(parts):
-        if manifest.is_done(pid, lineage):
+        if manifest.is_done(pid, lineage, group):
             skipped += 1
             continue
         if max_partitions is not None and completed >= max_partitions:
@@ -150,7 +163,7 @@ def run_partitioned_flagship(
         })
         completed += 1
 
-    all_done = all(manifest.is_done(pid, lineage) for pid in range(len(parts)))
+    all_done = all(manifest.is_done(pid, lineage, g) for pid, g in enumerate(parts))
     if completed > 0:
         # some partition was (re)computed this invocation — drop previously
         # consolidated outputs so skip-if-exists bucket files can't serve
