@@ -173,7 +173,28 @@ ORDER BY p.event_id
 """
 
 
+def log_streaming_window(sf_dir: str):
+    """Incremental keyed-actor tumbling windows (pipelines/streaming.py) —
+    the stateful-streaming tier of the operator ladder, still SQL-checkable
+    because the closed-window results equal the batch GROUP BY."""
+    from .streaming import streaming_tumbling_counts
+
+    return streaming_tumbling_counts(sf_dir)
+
+
+LOG_STREAMING_WINDOW_SQL = """
+SELECT user_id,
+       CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY user_id, window_start_us
+"""
+
+
 QUERIES = {
+    "log_streaming_window": log_streaming_window,
     "log_sessionize": log_sessionize,
     "log_semi_join_purchasers": log_semi_join_purchasers,
     "log_anti_join_no_errors": log_anti_join_no_errors,
@@ -181,6 +202,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,
     "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,
     "log_anti_join_no_errors": LOG_ANTI_JOIN_SQL,

@@ -82,3 +82,27 @@ class TestParserFlags:
     def test_invalid_policy_rejected(self):
         with pytest.raises(ValueError):
             WebtextParser(pan_schema(), on_error="explode")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStreamingWindows:
+    def test_incremental_actor_windows_match_batch_oracle(self):
+        """Stateful keyed window actors over the ordered stream must produce
+        exactly the batch (GROUP BY user, hour-bucket) result."""
+        import duckdb
+
+        from logparse_rs_ray.pipelines.streaming import streaming_tumbling_counts
+
+        sf = "/root/testdata/sf0.001"
+        got = streaming_tumbling_counts(sf).to_pandas()
+        want = duckdb.sql(f"""
+            SELECT user_id,
+                   CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2 ORDER BY user_id, window_start_us
+        """).fetchdf()
+        assert len(got) == len(want)
+        for col in ("user_id", "window_start_us", "n_events", "sum_value_cents"):
+            assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
