@@ -126,9 +126,98 @@ def mm_feature_agg(sf_dir: str):
     ).sort("bin")
 
 
+class ThumbnailStub:
+    """Actor-pool resize stage.  A real version decodes and resizes with a
+    codec loaded in ``__init__``; the stub emits a deterministic fixed-size
+    "thumbnail" (first TH_BYTES payload bytes, zero-padded) plus the target
+    dims — the Ray plumbing (binary in, fixed-width binary out, small
+    batches for large payloads) is the real contract."""
+
+    TH_BYTES = 64
+
+    def __init__(self, width: int = 32, height: int = 32):
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32,
+                                count=len(payload) + 1,
+                                offset=payload.offset * 4).astype(np.int64)
+        data = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.empty(0, np.uint8)
+        n = len(payload)
+        lens = np.minimum(np.diff(offsets), self.TH_BYTES)
+        thumbs = np.zeros((n, self.TH_BYTES), dtype=np.uint8)
+        for b in range(self.TH_BYTES):  # TH_BYTES fixed small; vector over rows
+            m = lens > b
+            thumbs[m, b] = data[offsets[:-1][m] + b]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "thumb": pa.array(list(thumbs.tobytes()[i * self.TH_BYTES:(i + 1) * self.TH_BYTES]
+                                   for i in range(n)), type=pa.binary()),
+            "thumb_w": pa.array(np.full(n, self.width, dtype=np.int64)),
+            "thumb_h": pa.array(np.full(n, self.height, dtype=np.int64)),
+        })
+
+
+class FrameSampleStub:
+    """Actor-pool video frame-sampling stage: picks ``n_frames`` evenly
+    spaced byte offsets per payload (a real version seeks those timestamps)
+    and emits the FNV hash of each "frame" window — a list<uint64-ish>
+    column, the shape a real frame featurizer produces."""
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 32):
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.fnv import fnv1a64
+
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        out: list[list[int]] = []
+        for v in payload.to_pylist():  # per-row: frame extraction is
+            # inherently per-payload work in the real decoder too
+            if not v:
+                out.append([])
+                continue
+            step = max(1, len(v) // self.n_frames)
+            hashes = []
+            for fi in range(self.n_frames):
+                start = min(fi * step, max(0, len(v) - 1))
+                window = v[start:start + self.frame_bytes]
+                hashes.append(fnv1a64(window) & 0x7FFFFFFFFFFFFFFF)
+            out.append(hashes)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "frame_hashes": pa.array(out, type=pa.list_(pa.int64())),
+        })
+
+
+def mm_thumbnails(sf_dir: str):
+    """Rows-only: thumbnail bytes aren't SQL-friendly; pytest pins the
+    deterministic stub output."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(ThumbnailStub, batch_format="pyarrow",
+                          batch_size=2048, concurrency=2).sort("doc_id")
+
+
+def mm_frame_samples(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(FrameSampleStub, batch_format="pyarrow",
+                          batch_size=2048, concurrency=2).sort("doc_id")
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_feature_agg": mm_feature_agg,
+    "mm_thumbnails": mm_thumbnails,
+    "mm_frame_samples": mm_frame_samples,
 }
 
 ORACLE_SQL = {

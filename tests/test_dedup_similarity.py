@@ -249,3 +249,28 @@ class TestSketches:
             f"SELECT COUNT(DISTINCT l_partkey) FROM read_parquet('{SF}/lineitem.parquet')"
         ).fetchone()[0]
         assert abs(got - exact) / exact < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodalStubs:
+    def test_thumbnails_deterministic(self):
+        from logparse_rs_ray.pipelines.multimodal import mm_thumbnails
+
+        out = mm_thumbnails(SF).to_pandas().set_index("doc_id")
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        for _, r in df.head(20).iterrows():
+            raw = r["text"].encode("utf-8")[:64]
+            want = raw + b"\x00" * (64 - len(raw))
+            assert bytes(out.loc[r["doc_id"], "thumb"]) == want
+            assert out.loc[r["doc_id"], "thumb_w"] == 32
+
+    def test_frame_samples_shape_and_determinism(self):
+        from logparse_rs_ray.pipelines.multimodal import mm_frame_samples
+
+        a = mm_frame_samples(SF).to_pandas().set_index("doc_id")
+        b = mm_frame_samples(SF).to_pandas().set_index("doc_id")
+        assert (a["frame_hashes"].map(len) == 4).all()
+        for did in list(a.index[:20]):
+            assert list(a.loc[did, "frame_hashes"]) == list(b.loc[did, "frame_hashes"])
