@@ -40,10 +40,15 @@ def utf8_safe_truncate(arr: pa.Array | pa.ChunkedArray, max_bytes: int) -> pa.Ar
                 break
             cut[long_rows] = cut[long_rows] - is_cont.astype(np.int64)
     out_off, out_data = _gather_varlen(data, starts, cut)
-    return pa.Array.from_buffers(
+    built = pa.Array.from_buffers(
         pa.large_binary(), len(arr),
         [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_data.tobytes())],
     ).cast(pa.large_string())
+    if arr.null_count:
+        # null rows have zero-length buffer ranges; restore their nullness
+        built = pc.if_else(pc.is_valid(arr), built,
+                           pa.scalar(None, type=pa.large_string()))
+    return built
 
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:

@@ -7,9 +7,9 @@ buffer-level FNV kernel, and per-document reductions use
 no Python loop touches a row.
 
 MinHash/LSH follow the standard construction (Broder; MMDS ch.3): k-token
-shingles hashed to u64, ``num_perm`` universal-hash permutations
-``(a*x + b) mod 2^61-1``, banded into ``bands`` groups of ``rows`` values
-whose hash becomes the LSH bucket key.
+shingles hashed to u64, ``num_perm`` permutations realized as per-salt
+splitmix64 mixers (see minhash_signatures), banded into ``bands`` groups of
+``rows`` values whose hash becomes the LSH bucket key.
 """
 
 from __future__ import annotations
@@ -33,15 +33,20 @@ __all__ = [
 
 def segment_sum(arr: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-segment sums over offset boundaries, SAFE for empty segments
-    anywhere (np.add.reduceat raises IndexError when a segment start equals
-    len(arr) — e.g. a batch whose last document has zero tokens)."""
+    anywhere (bare np.add.reduceat raises IndexError when a segment start
+    equals len(arr) — e.g. a batch whose last document has zero tokens).
+
+    One appended zero row makes every start index valid for reduceat (no
+    full-array cumsum — that would cost an int64 promotion plus two copies
+    on the hot simhash path); empty segments, for which reduceat reports
+    ``a[start]``, are zeroed afterwards."""
     arr2 = arr if arr.ndim == 2 else arr[:, None]
-    cs = np.vstack([np.zeros((1, arr2.shape[1]), dtype=arr2.dtype),
-                    np.cumsum(arr2, axis=0)])
-    out = cs[offsets[1:]] - cs[offsets[:-1]]
+    pad = np.zeros((1, arr2.shape[1]), dtype=arr2.dtype)
+    a = np.concatenate([arr2, pad], axis=0)
+    out = np.add.reduceat(a, offsets[:-1], axis=0)
+    out[offsets[1:] == offsets[:-1]] = 0
     return out if arr.ndim == 2 else out[:, 0]
 
-_MERSENNE61 = np.uint64((1 << 61) - 1)
 _U = np.uint64
 
 

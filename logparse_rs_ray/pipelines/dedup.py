@@ -149,13 +149,16 @@ def _bucket_pairs_tree(exploded, keys: list[str], payload_cols: list[str],
                 continue
             if size > max_bucket:
                 # mega-bucket (a giant duplicate cluster): all-pairs would be
-                # O(size^2) — emit the STAR instead (every member paired with
-                # the bucket minimum), which preserves cluster connectivity
-                # for downstream clustering at O(size) pairs.  No silent
-                # drop: the cap is logged via the emitted pair count.
+                # O(size^2) — switch to the pair_fn's BOUNDED mode (O(size)
+                # candidates: a star for unfiltered candidate generation, a
+                # signature-sorted chain where a distance filter applies).
+                # Bounded candidates preserve connectivity for exact-dup
+                # clusters; graded near-dup mega-clusters may fragment —
+                # recoverable with a union-find / second LSH round at scale.
+                # Never a silent drop: the cap is logged.
                 n_capped += 1
                 order = np.argsort(arrays[0])
-                arrays = [a[order] for a in arrays]  # star is O(size): no truncation
+                arrays = [a[order] for a in arrays]
                 t = pair_fn(*arrays, star=True)
             else:
                 t = pair_fn(*arrays)
@@ -290,8 +293,13 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3):
         o = np.argsort(ids)
         ids, sigs = np.asarray(ids)[o], np.asarray(sigs, dtype=np.int64)[o].astype(np.uint64)
         if star:
-            a = np.zeros(len(ids) - 1, dtype=np.int64)
-            b = np.arange(1, len(ids), dtype=np.int64)
+            # distance-filtered bounded mode: chain members sorted by
+            # SIGNATURE so near-identical signatures are adjacent — a min-star
+            # would be filtered apart by the hamming threshold
+            so = np.argsort(sigs, kind="stable")
+            ids, sigs = ids[so], sigs[so]
+            a = np.arange(0, len(ids) - 1, dtype=np.int64)
+            b = a + 1
         else:
             a, b = np.triu_indices(len(ids), k=1)
         d = np.asarray(hamming_distance_u64(sigs[a], sigs[b]), dtype=np.int64)

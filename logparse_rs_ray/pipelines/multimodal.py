@@ -53,6 +53,9 @@ class ImageDecodeStub:
         return width, height, channels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
@@ -140,6 +143,9 @@ class ThumbnailStub:
         self.height = height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
@@ -153,10 +159,12 @@ class ThumbnailStub:
         for b in range(self.TH_BYTES):  # TH_BYTES fixed small; vector over rows
             m = lens > b
             thumbs[m, b] = data[offsets[:-1][m] + b]
+        thumb_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.TH_BYTES), n, [None, pa.py_buffer(thumbs.tobytes())]
+        )
         return pa.table({
             "doc_id": batch["doc_id"],
-            "thumb": pa.array(list(thumbs.tobytes()[i * self.TH_BYTES:(i + 1) * self.TH_BYTES]
-                                   for i in range(n)), type=pa.binary()),
+            "thumb": thumb_arr,
             "thumb_w": pa.array(np.full(n, self.width, dtype=np.int64)),
             "thumb_h": pa.array(np.full(n, self.height, dtype=np.int64)),
         })
@@ -173,7 +181,10 @@ class FrameSampleStub:
         self.frame_bytes = frame_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
         from ..core.fnv import fnv1a64
+
+        tune_worker_threads()
 
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
