@@ -150,7 +150,7 @@ def run_scaling() -> dict:
     Uses 4x the default row count (unless WEBTEXT_ROWS overrides) so compute
     dominates the fixed per-execution overhead.
     """
-    n_docs = int(os.environ.get("WEBTEXT_ROWS", str(4 * N_DOCS)))
+    n_docs = int(os.environ.get("WEBTEXT_ROWS", str(8 * N_DOCS)))
     lo_cpus = int(os.environ.get("SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("SCALE_HI", str(4 * lo_cpus)))
 
@@ -162,10 +162,18 @@ def run_scaling() -> dict:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # the first child materializes the cached input; the second reuses it
+    # the first child materializes the cached input; later children reuse it
     # (identical bytes both levels); each child warms its own worker pool
-    # and the page cache with an untimed full pass before its timed run
-    lo, hi = run_at(lo_cpus), run_at(hi_cpus)
+    # and the page cache with an untimed full pass before its timed run.
+    # The sandbox shows sustained multi-minute slow windows (other tenants),
+    # so the levels are INTERLEAVED and the best run per level is kept —
+    # a sustained slowdown then hits both levels instead of biasing one.
+    lo_runs = [run_at(lo_cpus)]
+    hi_runs = [run_at(hi_cpus)]
+    lo_runs.append(run_at(lo_cpus))
+    hi_runs.append(run_at(hi_cpus))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     return {
         "metric": f"scaling efficiency ({lo_cpus} -> {hi_cpus} CPUs, same input)",
