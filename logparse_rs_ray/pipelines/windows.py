@@ -193,9 +193,36 @@ ORDER BY user_id, window_start_us
 """
 
 
+def log_first_event_per_user(sf_dir: str):
+    """Per-partition ranking (ROW_NUMBER() = 1 analog): each user's first
+    event by (ts, event_id).  groupby().map_groups over sorted groups — the
+    per-key window-function tier."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def first(g):
+        g = g.sort_values(["ts", "event_id"])
+        return g.head(1)[["user_id", "event_id", "event_type"]]
+
+    return ds.groupby("user_id").map_groups(first, batch_format="pandas").sort("user_id")
+
+
+LOG_FIRST_EVENT_SQL = """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+
 QUERIES = {
     "log_streaming_window": log_streaming_window,
     "log_sessionize": log_sessionize,
+    "log_first_event_per_user": log_first_event_per_user,
     "log_semi_join_purchasers": log_semi_join_purchasers,
     "log_anti_join_no_errors": log_anti_join_no_errors,
     "log_asof_last_signup": log_asof_last_signup,
@@ -204,6 +231,7 @@ QUERIES = {
 ORACLE_SQL = {
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,
+    "log_first_event_per_user": LOG_FIRST_EVENT_SQL,
     "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,
     "log_anti_join_no_errors": LOG_ANTI_JOIN_SQL,
     "log_asof_last_signup": LOG_ASOF_SQL,
