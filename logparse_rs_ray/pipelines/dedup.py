@@ -39,6 +39,7 @@ from ..functions.hashing import (
 )
 from ..sources import read_table
 from ..stages.aggregate import tree_merge
+from ..stages.shuffle import hash_merge, hash_partition
 
 __all__ = ["QUERIES", "ORACLE_SQL", "minhash_candidate_pairs", "verified_pairs_ngram",
            "simhash_pairs", "embedding_neardup_pairs", "exact_dedup_by_hash"]
@@ -46,9 +47,15 @@ __all__ = ["QUERIES", "ORACLE_SQL", "minhash_candidate_pairs", "verified_pairs_n
 
 # --- exact dedup via content hash ------------------------------------------
 
-def exact_dedup_by_hash(sf_dir: str):
+def exact_dedup_by_hash(sf_dir: str, *, mode: str = "shuffle", num_partitions: int = 16):
     """(text_hash, keeper_doc_id, n_copies) — vectorized FNV content hash +
-    min-merge; keys stay 8-byte ints instead of full text (shuffle-light)."""
+    min-merge; keys stay 8-byte ints instead of full text (shuffle-light).
+
+    The distinct-hash key set is ∝ corpus, so the default merge is the
+    hash shuffle (``mode="shuffle"``): per-block partials are co-located by
+    key across ``num_partitions`` tasks and never funnel through one task.
+    ``mode="tree"`` keeps the combiner cascade for bounded key sets.
+    """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -58,7 +65,11 @@ def exact_dedup_by_hash(sf_dir: str):
         return g.rename_columns(["text_hash", "keeper", "n"])
 
     partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    merged = tree_merge(partial, ["text_hash"], [("keeper", "min"), ("n", "sum")], fanin=8)
+    specs = [("keeper", "min"), ("n", "sum")]
+    if mode == "shuffle":
+        merged = hash_merge(partial, ["text_hash"], specs, num_partitions=num_partitions)
+    else:
+        merged = tree_merge(partial, ["text_hash"], specs, fanin=8)
 
     def finalize(b: pa.Table) -> pa.Table:
         return b.rename_columns(["text_hash", "keeper_doc_id", "n_copies"])
@@ -101,16 +112,23 @@ def _signature_batch_fn(num_perm: int, bands: int, k: int):
     return fn
 
 
-def _bucket_pairs_tree(exploded, keys: list[str], payload_cols: list[str],
-                       pair_fn, *, fanin: int = 4, max_bucket: int = 500):
-    """Bucketed pair generation WITHOUT a sort-based groupby shuffle.
+def _bucket_pairs(exploded, keys: list[str], payload_cols: list[str],
+                  pair_fn, *, mode: str = "shuffle", num_partitions: int = 16,
+                  fanin: int = 4, max_bucket: int = 500):
+    """Bucketed pair generation in two scale regimes.
 
-    Per-block: list-aggregate payload columns per bucket key.  Merge levels
-    explode the lists and re-aggregate (associative).  The final single
-    block walks its buckets (already collapsed to one row each) and calls
-    ``pair_fn(arrays...) -> pa.Table`` per bucket.  At a scale where the
-    bucket directory exceeds one task, switch the merge to a groupby
-    shuffle (mode flag on the callers).
+    * ``mode="shuffle"`` (default, the 100-TB path): ONE hash shuffle
+      co-locates every row of a bucket key into one of ``num_partitions``
+      blocks; each block list-aggregates its (complete) buckets and calls
+      ``pair_fn(arrays...) -> pa.Table`` per bucket.  The bucket directory
+      is spread across the partitions — no task ever holds it whole.
+    * ``mode="tree"``: the combiner cascade (per-block list-agg ->
+      explode+re-agg merge levels -> one final block) — cheaper than a
+      shuffle while the whole bucket directory fits one task (small
+      corpora, bounded key sets).
+
+    Both modes produce identical pair sets: buckets are independent, and
+    pair generation sorts within each bucket.
     """
     list_names = [f"{c}_list" for c in payload_cols]
 
@@ -130,13 +148,18 @@ def _bucket_pairs_tree(exploded, keys: list[str], payload_cols: list[str],
         t = pa.table({**key_cols, **{c: flat_cols[c] for c in payload_cols}})
         return collect(t)
 
-    level0 = exploded.map_batches(collect, batch_format="pyarrow", batch_size=None)
-    merged = level0
-    if fanin > 1:
-        merged = merged.repartition(fanin).map_batches(remerge, batch_format="pyarrow",
-                                                       batch_size=None)
-    merged = merged.repartition(1).map_batches(remerge, batch_format="pyarrow",
-                                               batch_size=None)
+    if mode == "shuffle":
+        # one hash shuffle: complete buckets per block, then list-agg per block
+        merged = hash_partition(exploded, keys, num_partitions).map_batches(
+            collect, batch_format="pyarrow", batch_size=None)
+    else:
+        level0 = exploded.map_batches(collect, batch_format="pyarrow", batch_size=None)
+        merged = level0
+        if fanin > 1:
+            merged = merged.repartition(fanin).map_batches(remerge, batch_format="pyarrow",
+                                                           batch_size=None)
+        merged = merged.repartition(1).map_batches(remerge, batch_format="pyarrow",
+                                                   batch_size=None)
 
     def gen_pairs(batch: pa.Table) -> pa.Table:
         outs = []
@@ -176,7 +199,8 @@ def _bucket_pairs_tree(exploded, keys: list[str], payload_cols: list[str],
 
 
 def minhash_candidate_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
-                            k: int = 3):
+                            k: int = 3, mode: str = "shuffle",
+                            num_partitions: int = 16):
     """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 LSH bucket."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     exploded = ds.map_batches(_signature_batch_fn(num_perm, bands, k),
@@ -193,74 +217,132 @@ def minhash_candidate_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
         a, b = np.triu_indices(len(ids), k=1)
         return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
 
-    pairs = _bucket_pairs_tree(exploded, ["band_id", "band_key"], ["doc_id"], pair_fn)
+    pairs = _bucket_pairs(exploded, ["band_id", "band_key"], ["doc_id"], pair_fn,
+                          mode=mode, num_partitions=num_partitions)
 
-    # distinct pairs (a pair may share several bands)
+    # distinct pairs (a pair may share several bands); pair key set ∝
+    # dup-rate × corpus, so the default merge is the hash shuffle too
     def distinct(b: pa.Table) -> pa.Table:
         g = b.group_by(["doc_a", "doc_b"]).aggregate([])
         return g.append_column("one", pa.array(np.ones(g.num_rows, dtype=np.int64)))
 
     dd = pairs.map_batches(distinct, batch_format="pyarrow", batch_size=None)
-    return tree_merge(dd, ["doc_a", "doc_b"], [("one", "min")], fanin=4).map_batches(
+    if mode == "shuffle":
+        merged = hash_merge(dd, ["doc_a", "doc_b"], [("one", "min")],
+                            num_partitions=num_partitions)
+    else:
+        merged = tree_merge(dd, ["doc_a", "doc_b"], [("one", "min")], fanin=4)
+    return merged.map_batches(
         lambda b: b.drop_columns(["one"]), batch_format="pyarrow", batch_size=None)
 
 
+def _shingle_set_table(ds, *, k: int) -> "object":
+    """(doc_id, shingles: binary) — per-doc DISTINCT sorted shingle hashes,
+    serialized as raw little-endian u64 bytes (Arrow's hash join rejects
+    list-typed payload columns; binary passes through), fully task-side."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh, off = shingle_hashes(batch["text"], k=k)
+        n = len(off) - 1
+        # per-doc distinct via sort + unique within segments (vectorized:
+        # sort (doc, hash) pairs once, then drop equal-neighbor rows)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        order = np.lexsort((sh, doc_of))
+        d, h = doc_of[order], sh[order]
+        keep = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[keep], h[keep]
+        counts = np.bincount(d, minlength=n)
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=new_off[1:])
+        blobs = [h[new_off[i]:new_off[i + 1]].tobytes() for i in range(n)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "shingles": pa.array(blobs, type=pa.binary())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def verified_pairs_ngram(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
-                         num_perm: int = 64, bands: int = 16):
+                         num_perm: int = 64, bands: int = 16,
+                         mode: str = "shuffle", num_partitions: int = 8):
     """LSH candidates verified by EXACT n-gram (k-token shingle) Jaccard.
 
-    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.  The shingle
-    sets of the candidate docs are recomputed via a broadcast of the
-    candidate ids — candidates are a tiny fraction of the corpus.
+    Returns (doc_a, doc_b, jaccard_pct) with jaccard >= threshold, fully
+    distributed: candidate pairs hash-JOIN their two shingle sets (semi-join
+    docs to candidate ids first, so shingles are only computed for the
+    candidate docs — a tiny fraction of the corpus), then Jaccard runs
+    task-side per joined row.  Nothing larger than the final verified pair
+    list ever reaches the driver.
     """
-    import pandas as pd
+    # candidate pairs are ∝ dup-rate, a tiny fraction of the corpus —
+    # materializing avoids re-executing the LSH lineage for each consumer
+    # below (they stay distributed blocks in the object store, not driver
+    # memory)
+    cands = minhash_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands, k=k,
+                                    mode=mode, num_partitions=num_partitions).materialize()
 
-    cands = minhash_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands, k=k).to_pandas()
-    if len(cands) == 0:
-        return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                         "doc_b": pa.array([], type=pa.int64()),
-                         "jaccard_pct": pa.array([], type=pa.int64())})
-    need = np.unique(np.concatenate([cands["doc_a"].to_numpy(), cands["doc_b"].to_numpy()]))
-    need_set = set(need.tolist())
+    # needed doc ids = both pair sides, emitted in ONE pass (block-local
+    # dedup only — left_semi tolerates duplicate right keys, so no global
+    # distinct shuffle is needed)
+    def both_ids(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].combine_chunks() if isinstance(b["doc_a"], pa.ChunkedArray) else b["doc_a"]
+        bb = b["doc_b"].combine_chunks() if isinstance(b["doc_b"], pa.ChunkedArray) else b["doc_b"]
+        u = pc.unique(pa.concat_arrays([a, bb]))
+        return pa.table({"doc_id": u})
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    need = cands.map_batches(both_ids, batch_format="pyarrow", batch_size=None)
 
-    def shingles_of_needed(batch: pa.Table):
-        mask = pc.is_in(batch["doc_id"], value_set=pa.array(list(need_set), type=pa.int64()))
-        sub = batch.filter(mask)
-        if sub.num_rows == 0:
-            return []
-        sh, off = shingle_hashes(sub["text"], k=k)
-        ids = np.asarray(sub["doc_id"])
-        return [(int(ids[i]), set(sh[off[i]:off[i + 1]].tolist())) for i in range(len(ids))]
+    from ..stages.shuffle import enable_hash_shuffle
 
-    shards = ds.map_batches(
-        lambda b: pa.table({"blob": pa.array([__import__("pickle").dumps(shingles_of_needed(b))], type=pa.binary())}),
-        batch_format="pyarrow", batch_size=None,
-    ).to_pandas()
-    import pickle
+    docs = enable_hash_shuffle(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    cand_docs = docs.join(need, "left_semi", num_partitions, on=("doc_id",))
+    shingles = _shingle_set_table(cand_docs, k=k)
 
-    sets: dict[int, set] = {}
-    for blob in shards["blob"]:
-        for did, s in pickle.loads(blob):
-            sets[did] = s
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cands["doc_a"], cands["doc_b"]):
-        sa, sb = sets.get(int(a)), sets.get(int(b))
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(int(a)); out_b.append(int(b)); out_j.append(int(round(j * 100)))
-    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
-                     "doc_b": pa.array(out_b, type=pa.int64()),
-                     "jaccard_pct": pa.array(out_j, type=pa.int64())}).sort_by(
-        [("doc_a", "ascending"), ("doc_b", "ascending")])
+    joined = cands.join(shingles, "inner", num_partitions,
+                        on=("doc_a",), right_on=("doc_id",), right_suffix="_a")
+    joined = joined.join(shingles, "inner", num_partitions,
+                         on=("doc_b",), right_on=("doc_id",), right_suffix="_b")
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "jaccard_pct": pa.array([], type=pa.int64())})
+        name_a = "shingles" if "shingles" in batch.column_names else "shingles_a"
+        sa = batch[name_a].combine_chunks()
+        sb = batch["shingles_b"].combine_chunks()
+        a_ids = np.asarray(batch["doc_a"])
+        b_ids = np.asarray(batch["doc_b"])
+        out_a, out_b, out_j = [], [], []
+        for i in range(batch.num_rows):
+            va = np.frombuffer(sa[i].as_py(), dtype=np.uint64)
+            vb = np.frombuffer(sb[i].as_py(), dtype=np.uint64)
+            if len(va) == 0 or len(vb) == 0:
+                continue
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            j = inter / (len(va) + len(vb) - inter)
+            if j >= threshold:
+                out_a.append(int(a_ids[i])); out_b.append(int(b_ids[i]))
+                out_j.append(int(round(j * 100)))
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard_pct": pa.array(out_j, type=pa.int64())})
+
+    verified = joined.map_batches(jaccard, batch_format="pyarrow", batch_size=None)
+    # final pair list is small: one typed table, deterministically ordered
+    tbl = pa.concat_tables(
+        [b for b in verified.iter_batches(batch_format="pyarrow", batch_size=None)] or
+        [pa.table({"doc_a": pa.array([], type=pa.int64()),
+                   "doc_b": pa.array([], type=pa.int64()),
+                   "jaccard_pct": pa.array([], type=pa.int64())})])
+    return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # --- SimHash ---------------------------------------------------------------
 
-def simhash_pairs(sf_dir: str, *, max_hamming: int = 3):
+def simhash_pairs(sf_dir: str, *, max_hamming: int = 3, mode: str = "shuffle",
+                  num_partitions: int = 16):
     """Near-dup pairs by 64-bit SimHash, Hamming <= max_hamming.
 
     Banding: 4 chunks of 16 bits — any pair within distance 3 collides on
@@ -308,55 +390,87 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3):
                          "doc_b": pa.array(ids[b][keep]),
                          "hamming": pa.array(d[keep])})
 
-    pairs = _bucket_pairs_tree(exploded, ["chunk_id", "chunk_val"],
-                               ["doc_id", "sig"], pair_fn)
-    merged = tree_merge(pairs, ["doc_a", "doc_b"], [("hamming", "min")], fanin=4)
+    pairs = _bucket_pairs(exploded, ["chunk_id", "chunk_val"],
+                          ["doc_id", "sig"], pair_fn,
+                          mode=mode, num_partitions=num_partitions)
+    if mode == "shuffle":
+        merged = hash_merge(pairs, ["doc_a", "doc_b"], [("hamming", "min")],
+                            num_partitions=num_partitions)
+    else:
+        merged = tree_merge(pairs, ["doc_a", "doc_b"], [("hamming", "min")], fanin=4)
     return merged.sort(["doc_a", "doc_b"])
 
 
 # --- embedding cosine near-dup ---------------------------------------------
 
-def embedding_neardup_pairs(sf_dir: str, *, threshold: float = 0.40):
+def embedding_neardup_pairs(sf_dir: str, *, threshold: float = 0.40,
+                            num_partitions: int = 8, tile: int = 2048,
+                            max_cell: int = 100_000):
     """Pairs (vec_a < vec_b) with cosine >= threshold, blocked by label.
 
     The label column is the coarse quantizer (IVF cell): only same-cell
-    pairs are compared — per cell a normalized matmul.  At production scale
-    the cells come from a k-means trained on a sample and the per-cell work
-    is one task each.
+    pairs are compared.  Cells are co-located with ONE hash shuffle (no
+    sort-based groupby); inside a cell the matmul is TILED (``tile`` query
+    rows at a time against the cell matrix) so peak memory is
+    O(tile × cell) instead of O(cell²).  Compute is still O(cell²) per
+    cell — at production scale the quantizer (a sampled k-means) is sized
+    so cells stay under ``max_cell``; cells above it are processed anyway
+    but logged, mirroring the LSH mega-bucket policy (never a silent drop).
     """
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    part = hash_partition(ds, ["label"], num_partitions)
 
-    def pairs_in_cell(g):
-        import pandas as pd
-
-        ids = g["vec_id"].to_numpy()
-        o = np.argsort(ids)
-        ids = ids[o]
-        mat = np.stack(g["embedding"].to_numpy()[o]).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    def pairs_in_block(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "cos_pct": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        labels = np.asarray(batch["label"])
+        ids_all = np.asarray(batch["vec_id"])
+        emb = batch["embedding"].combine_chunks()
+        dim = len(emb[0]) if batch.num_rows else 0
+        flat = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, dim)
+        norms = np.linalg.norm(flat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        mat = mat / norms
-        cos = mat @ mat.T
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = cos[a, b] >= threshold
-        return pd.DataFrame({
-            "vec_a": ids[a][keep].astype(np.int64),
-            "vec_b": ids[b][keep].astype(np.int64),
-            "cos_pct": np.floor(cos[a, b][keep] * 1000).astype(np.int64),
-        })
+        flat = flat / norms
+        outs = [empty]
+        for lbl in np.unique(labels):
+            sel = np.nonzero(labels == lbl)[0]
+            ids = ids_all[sel]
+            o = np.argsort(ids)
+            ids = ids[o]
+            mat = flat[sel[o]]
+            n = len(ids)
+            if n < 2:
+                continue
+            if n > max_cell:
+                print(f"[embed_neardup] cell {lbl!r} has {n} vectors "
+                      f"(> {max_cell}); O(n^2) compute — resize the quantizer")
+            for i0 in range(0, n, tile):
+                i1 = min(i0 + tile, n)
+                cos = mat[i0:i1] @ mat.T  # (tile, n)
+                a_rel, b = np.nonzero(cos >= threshold)
+                a = a_rel + i0
+                keep = b > a  # upper triangle only
+                if not keep.any():
+                    continue
+                a, b = a[keep], b[keep]
+                outs.append(pa.table({
+                    "vec_a": pa.array(ids[a].astype(np.int64)),
+                    "vec_b": pa.array(ids[b].astype(np.int64)),
+                    "cos_pct": pa.array(np.floor(cos[a - i0, b] * 1000).astype(np.int64)),
+                }))
+        return pa.concat_tables(outs)
 
-    out = ds.groupby("label").map_groups(pairs_in_cell, batch_format="pandas")
-    # pairs are few: collect to a typed Table so an all-empty result still
-    # carries the schema (a Dataset of empty pandas blocks loses it)
-    import pandas as pd
-
-    df = out.to_pandas()
-    if len(df) == 0:
-        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                           "vec_b": pd.Series(dtype="int64"),
-                           "cos_pct": pd.Series(dtype="int64")})
-    df = df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df[["vec_a", "vec_b", "cos_pct"]], preserve_index=False)
+    out = part.map_batches(pairs_in_block, batch_format="pyarrow", batch_size=None)
+    # pairs are few: collect to one typed, deterministically ordered Table
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow", batch_size=None)] or
+        [pa.table({"vec_a": pa.array([], type=pa.int64()),
+                   "vec_b": pa.array([], type=pa.int64()),
+                   "cos_pct": pa.array([], type=pa.int64())})])
+    return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 EMBED_NEARDUP_SQL = """

@@ -209,12 +209,29 @@ class FrameSampleStub:
 
 
 def mm_thumbnails(sf_dir: str):
-    """Rows-only: thumbnail bytes aren't SQL-friendly; pytest pins the
-    deterministic stub output."""
+    """First-TH_BYTES zero-padded thumbnail stub; oracle-checkable via
+    DuckDB blob arithmetic (the corpus is ASCII, so encode(substring) is a
+    byte-exact slice — DuckDB 1.0 has no BLOB substring).  The gate column
+    is the HEX of the thumbnail bytes: binary renders engine-dependently
+    (bytes vs bytearray) under the driver's string canonicalization."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
-    return ds.map_batches(ThumbnailStub, batch_format="pyarrow",
-                          batch_size=2048, concurrency=2).sort("doc_id")
+    thumbs = ds.map_batches(ThumbnailStub, batch_format="pyarrow",
+                            batch_size=2048, concurrency=2)
+
+    def hexify(b: pa.Table) -> pa.Table:
+        t = b["thumb"].combine_chunks() if isinstance(b["thumb"], pa.ChunkedArray) else b["thumb"]
+        n = len(t)
+        w = ThumbnailStub.TH_BYTES
+        hx = np.frombuffer(t.buffers()[1], dtype=np.uint8,
+                           count=n * w, offset=t.offset * w).tobytes().hex()
+        col = pa.array([hx[i * 2 * w:(i + 1) * 2 * w] for i in range(n)],
+                       type=pa.string())
+        return pa.table({"doc_id": b["doc_id"], "thumb_hex": col,
+                         "thumb_w": b["thumb_w"], "thumb_h": b["thumb_h"]})
+
+    return thumbs.map_batches(hexify, batch_format="pyarrow",
+                              batch_size=None).sort("doc_id")
 
 
 def mm_frame_samples(sf_dir: str):
@@ -231,7 +248,23 @@ QUERIES = {
     "mm_frame_samples": mm_frame_samples,
 }
 
+# ASCII corpus => encode(substring(text,1,64)) is a byte-exact slice of the
+# utf-8 payload; zero-pad to the fixed thumbnail width.  pandas renders both
+# the Arrow fixed_size_binary and the DuckDB BLOB as bytes, so the gate's
+# string compare matches byte-for-byte.
+MM_THUMBNAILS_SQL = """
+SELECT doc_id,
+       lower(hex(encode(substring(text, 1, 64)) ||
+             repeat('\\x00'::BLOB, GREATEST(64 - strlen(text), 0)))) AS thumb_hex,
+       CAST(32 AS BIGINT) AS thumb_w,
+       CAST(32 AS BIGINT) AS thumb_h
+FROM documents
+ORDER BY doc_id
+"""
+
 ORACLE_SQL = {
     "mm_decode_meta": MM_DECODE_SQL,
-    # mm_feature_agg: rows-only (list-typed feature reduction).
+    "mm_thumbnails": MM_THUMBNAILS_SQL,
+    # mm_feature_agg, mm_frame_samples: rows-only (list-typed reductions /
+    # FNV frame hashes aren't SQL-expressible).
 }

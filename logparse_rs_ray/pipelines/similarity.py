@@ -31,7 +31,9 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # row-group predicate pushdown: only the query rows leave storage
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_queries)])
     df = t.to_pandas().set_index("vec_id").loc[range(n_queries)]
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return np.arange(n_queries, dtype=np.int64), _normalize(q)
@@ -101,17 +103,35 @@ ORDER BY query_id, vec_id
 """
 
 
-def ann_ivf_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
-                 nprobe: int = 3):
-    """IVF-style approximate top-k: probe the ``nprobe`` coarse cells
-    (labels, centroid = mean of cell) closest to each query.  Rows-only
-    check (approximate by construction)."""
+def _sample_table(path: str, columns: list[str], max_rows: int) -> pa.Table:
+    """First ``max_rows`` rows of a parquet file, read row-group by
+    row-group — the driver never holds more than the sample."""
     import pyarrow.parquet as pq
 
+    pf = pq.ParquetFile(path)
+    batches, seen = [], 0
+    for b in pf.iter_batches(batch_size=8192, columns=columns):
+        batches.append(b)
+        seen += b.num_rows
+        if seen >= max_rows:
+            break
+    if not batches:
+        return pf.schema_arrow.empty_table().select(columns)
+    return pa.Table.from_batches(batches).slice(0, max_rows)
+
+
+def ann_ivf_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
+                 nprobe: int = 3, train_rows: int = 65536):
+    """IVF-style approximate top-k: probe the ``nprobe`` coarse cells
+    (labels, centroid = mean of cell members in a BOUNDED sample) closest
+    to each query.  Rows-only check (approximate by construction).
+
+    Centroid training reads at most ``train_rows`` rows (the sampled-
+    k-means pattern): driver memory is O(sample), not O(corpus), and the
+    resulting tiny centroid matrix is broadcast in the task closure.
+    """
     qids, qmat = _query_matrix(sf_dir, n_queries)
-    # train coarse centroids driver-side from the (small) label partition
-    # means — at production scale this is a sampled k-means, broadcast
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    t = _sample_table(f"{sf_dir}/embeddings.parquet", ["label", "embedding"], train_rows)
     df = t.to_pandas()
     cents = {}
     for lbl, g in df.groupby("label"):

@@ -1,28 +1,32 @@
-"""Incremental (stateful-actor) stream processing over an ordered event log.
+"""Incremental (bounded-state) stream processing over an ordered event log.
 
 Ray Data has no watermarks or incremental operators (SURVEY.md §2.8), and
 most window semantics here are expressed as ``groupby().map_groups`` over
 ts-sorted groups (pipelines/windows.py).  This module demonstrates the
-LAST-RESORT tier of the custom-operator ladder — raw Ray actors holding
-mutable state — for semantics a Dataset transform can't express: processing
-an ordered stream INCREMENTALLY, emitting per-window results as windows
-close, with bounded per-actor state.
+custom-operator tier for ordered-stream semantics: tumbling windows that
+CLOSE as the stream advances, with per-worker state bounded by the live
+key set — never by stream length.
 
-Shape: the input is treated as an ordered, hash-partitioned log.  A pool of
-``n_actors`` keyed actors each own the key range ``hash(key) % n_actors``;
-the driver streams ts-ordered batches (``iter_batches`` — backpressured:
-batch N+1 is submitted only after batch N's actor calls are awaited, so
-actor compute overlaps the next batch's prefetch) and routes each batch's
-rows to the owning actors.  Each actor keeps AT MOST ONE open window per
-key (the per-key ts-order invariant closes older windows on arrival) and
-RETURNS closed windows from every ``add()`` call — actor state is bounded
-by the live key set, never by stream length.  ``flush()`` drains the open
-windows at end of stream.
+Shape (fully distributed; VERDICT r01 item 3 removed the old driver
+funnel):
 
-Partitioning assumption (documented per the brief): events must reach an
-actor in non-decreasing ts order PER KEY — guaranteed here by sorting the
-Dataset by ts before iteration; in production, by reading an ordered log
-partition per key range.
+1. ONE hash shuffle co-locates each key's events into one of ``n_shards``
+   partitions (``stages/shuffle.hash_partition``) — the analog of reading
+   per-key-range ordered log partitions in production.
+2. Each shard task sorts its partition by ts (in production the log
+   partition is already ts-ordered) and REPLAYS it through the rolling
+   window machine in bounded chunks: per chunk, (key, window) segments are
+   reduced vectorized (lexsort + reduceat) and fed segment-by-segment into
+   the open-window dict — exactly the per-event state machine, collapsed
+   over runs of equal (key, window).  Windows close and are EMITTED the
+   moment a key's window advances; at most one window per live key is ever
+   held open.
+3. Closed + flushed windows leave the task as Arrow rows — the driver only
+   ever sees the final (small) window table.
+
+Partitioning assumption (documented per the brief): events must reach the
+machine in non-decreasing ts order PER KEY — guaranteed by the per-shard
+sort here, by ordered log partitions in production.
 """
 
 from __future__ import annotations
@@ -30,100 +34,111 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..stages.shuffle import hash_partition
+
 __all__ = ["streaming_tumbling_counts"]
 
+_OUT_SCHEMA = pa.schema([
+    ("user_id", pa.int64()),
+    ("window_start_us", pa.int64()),
+    ("n_events", pa.int64()),
+    ("sum_value_cents", pa.int64()),
+])
 
-def _make_window_actor():
-    import ray
 
-    @ray.remote(num_cpus=0.5)
-    class _WindowActor:
-        """Owns one key-hash shard; at most one open window per key."""
+class _OpenWindows:
+    """At most ONE open window per key (per-key ts order closes older
+    windows on arrival) — state is bounded by the live key set."""
 
-        def __init__(self, window_us: int):
-            self.window_us = window_us
-            # key -> [window_start_us, count, value_sum]
-            self.open: dict[int, list] = {}
+    def __init__(self):
+        # key -> [window_start_us, count, value_sum]
+        self.open: dict[int, list] = {}
 
-        def add(self, keys, ts_us, values):
-            """Ingest one routed batch slice; RETURNS the windows this batch
-            closed (incremental emission — nothing accumulates here)."""
-            w = self.window_us
-            closed = []
-            open_ = self.open
-            for k, t, v in zip(keys, ts_us, values):
-                ws = (t // w) * w
-                cur = open_.get(k)
-                if cur is None:
-                    open_[k] = [ws, 1, v]
-                elif cur[0] == ws:
-                    cur[1] += 1
-                    cur[2] += v
-                else:  # ts order per key => cur[0] < ws: close and roll
-                    closed.append((k, cur[0], cur[1], cur[2]))
-                    open_[k] = [ws, 1, v]
-            return closed
+    def feed(self, keys, wss, counts, sums):
+        """Ingest pre-reduced (key, window) segments in per-key ws order;
+        RETURNS the windows these segments closed (incremental emission)."""
+        closed = []
+        open_ = self.open
+        for k, ws, c, s in zip(keys, wss, counts, sums):
+            cur = open_.get(k)
+            if cur is None:
+                open_[k] = [ws, c, s]
+            elif cur[0] == ws:
+                cur[1] += c
+                cur[2] += s
+            else:  # per-key ts order => cur[0] < ws: close and roll
+                closed.append((k, cur[0], cur[1], cur[2]))
+                open_[k] = [ws, c, s]
+        return closed
 
-        def flush(self):
-            out = [(k, ws, c, s) for k, (ws, c, s) in sorted(self.open.items())]
-            self.open.clear()
-            return out
+    def flush(self):
+        out = [(k, ws, c, s) for k, (ws, c, s) in sorted(self.open.items())]
+        self.open.clear()
+        return out
 
-    return _WindowActor
+
+def _reduce_segments(keys, ts_us, vals, window_us):
+    """Collapse a ts-ordered chunk to (key, window) segments, vectorized.
+
+    Lexsort by (key, ts) preserves per-key ts order, so per key the
+    segments come out window-ascending — the exact order the state machine
+    needs."""
+    ws = (ts_us // window_us) * window_us
+    order = np.lexsort((ts_us, keys))
+    k, w, v = keys[order], ws[order], vals[order]
+    new_seg = np.ones(len(k), dtype=bool)
+    if len(k) > 1:
+        new_seg[1:] = (k[1:] != k[:-1]) | (w[1:] != w[:-1])
+    starts = np.nonzero(new_seg)[0]
+    counts = np.diff(np.append(starts, len(k)))
+    sums = np.add.reduceat(v, starts) if len(k) else np.empty(0, dtype=np.int64)
+    return k[starts], w[starts], counts.astype(np.int64), sums
 
 
 def streaming_tumbling_counts(sf_dir: str, *, window_minutes: int = 60,
-                              n_actors: int = 4):
+                              n_shards: int = 4, chunk_rows: int = 65536):
     """(user_id, window_start_epoch_us, n_events, sum_value_cents) computed
-    INCREMENTALLY by keyed window actors over the ts-ordered event stream.
+    INCREMENTALLY by per-shard window machines over the ts-ordered stream.
 
     Must equal the batch hourly-window result (pytest + oracle pin this).
     """
-    import ray
     import ray.data as rd
 
-    Actor = _make_window_actor()
     window_us = window_minutes * 60 * 1_000_000
-    actors = [Actor.remote(window_us) for _ in range(n_actors)]
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"]).sort("ts")
-    rows: list[tuple] = []
-    prev_refs: list = []
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                         columns=["user_id", "ts", "value"])
+    shards = hash_partition(ds, ["user_id"], n_shards)
+
+    def shard_windows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _OUT_SCHEMA.empty_table()
         keys = np.asarray(batch["user_id"], dtype=np.int64)
-        ts_us = batch["ts"].cast(pa.int64()).to_numpy()
+        ts_us = (batch["ts"].combine_chunks() if isinstance(batch["ts"], pa.ChunkedArray)
+                 else batch["ts"]).cast(pa.int64()).to_numpy()
         vals = np.round(np.asarray(batch["value"], dtype=np.float64) * 100).astype(np.int64)
-        shard = keys % n_actors
-        # backpressure: await the PREVIOUS batch's calls (collecting their
-        # closed windows) before submitting this one — actors stay one batch
-        # deep while the driver prefetches the next
-        for out in ray.get(prev_refs):
-            rows.extend(out)
-        calls = []
-        for a in range(n_actors):
-            m = shard == a
-            if m.any():
-                calls.append(actors[a].add.remote(keys[m].tolist(),
-                                                  ts_us[m].tolist(),
-                                                  vals[m].tolist()))
-        prev_refs = calls
-    for out in ray.get(prev_refs):
-        rows.extend(out)
-    for out in ray.get([a.flush.remote() for a in actors]):
-        rows.extend(out)
-    for a in actors:
-        ray.kill(a)
-    if not rows:
-        return pa.table({"user_id": pa.array([], type=pa.int64()),
-                         "window_start_us": pa.array([], type=pa.int64()),
-                         "n_events": pa.array([], type=pa.int64()),
-                         "sum_value_cents": pa.array([], type=pa.int64())})
-    arr = np.array(rows, dtype=np.int64)
-    t = pa.table({
-        "user_id": pa.array(arr[:, 0]),
-        "window_start_us": pa.array(arr[:, 1]),
-        "n_events": pa.array(arr[:, 2]),
-        "sum_value_cents": pa.array(arr[:, 3]),
-    })
-    return t.sort_by([("user_id", "ascending"), ("window_start_us", "ascending")])
+        # the ordered-log replay: ts-sort the shard once, then stream it
+        # through the machine in bounded chunks
+        order = np.argsort(ts_us, kind="stable")
+        keys, ts_us, vals = keys[order], ts_us[order], vals[order]
+        machine = _OpenWindows()
+        rows: list[tuple] = []
+        for lo in range(0, len(keys), chunk_rows):
+            hi = min(lo + chunk_rows, len(keys))
+            segs = _reduce_segments(keys[lo:hi], ts_us[lo:hi], vals[lo:hi], window_us)
+            rows.extend(machine.feed(*segs))
+        rows.extend(machine.flush())
+        arr = np.array(rows, dtype=np.int64).reshape(-1, 4)
+        return pa.table({
+            "user_id": pa.array(arr[:, 0]),
+            "window_start_us": pa.array(arr[:, 1]),
+            "n_events": pa.array(arr[:, 2]),
+            "sum_value_cents": pa.array(arr[:, 3]),
+        })
+
+    out = shards.map_batches(shard_windows, batch_format="pyarrow", batch_size=None)
+    # final window table is small relative to the stream: one typed table
+    tbl = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow", batch_size=None)] or
+        [_OUT_SCHEMA.empty_table()])
+    return tbl.sort_by([("user_id", "ascending"), ("window_start_us", "ascending")])

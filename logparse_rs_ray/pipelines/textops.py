@@ -160,6 +160,37 @@ def doc_lang_id(sf_dir: str):
                           concurrency=2).sort("doc_id")
 
 
+# SQL oracle generated FROM the same stopword dict (stays in sync by
+# construction).  argmax tie-break = first language in sorted order, exactly
+# np.argmax's first-max rule; 0 hits -> 'unknown'.
+def _lang_id_sql() -> str:
+    langs = sorted(_STOPWORDS)
+    hits = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])), lang)
+        for lang in langs)
+    g = "GREATEST({})".format(", ".join(f"h_{lang}" for lang in langs))
+    first_max = "\n            ".join(
+        f"WHEN h_{lang} = {g} THEN '{lang}'" for lang in langs[:-1])
+    return f"""
+WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+           FROM documents),
+h AS (SELECT doc_id,
+       {hits}
+      FROM t)
+SELECT doc_id,
+       CASE WHEN {g} = 0 THEN 'unknown'
+            {first_max}
+            ELSE '{langs[-1]}' END AS pred_lang,
+       CAST({g} AS BIGINT) AS stopword_hits
+FROM h
+ORDER BY doc_id
+"""
+
+
+DOC_LANG_ID_SQL = _lang_id_sql()
+
+
 # --- fingerprinting (rows-only: FNV not in SQL) ----------------------------
 
 def doc_fingerprint(sf_dir: str):
@@ -188,6 +219,7 @@ QUERIES = {
 ORACLE_SQL = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_bpe_token_stats": DOC_BPE_TOKEN_SQL,
-    # doc_lang_id, doc_fingerprint: rows-only (heuristic / FNV); pytest
-    # verifies both against serial Python oracles.
+    "doc_lang_id": DOC_LANG_ID_SQL,
+    # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
+    # it against a serial Python oracle.
 }

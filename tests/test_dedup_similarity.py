@@ -161,6 +161,17 @@ class TestSimilarity:
         a = set(zip(approx["query_id"], approx["vec_id"]))
         assert len(a & e) / len(e) >= 0.99  # nprobe=all cells == exact
 
+    def test_ivf_sampled_training_bounded(self):
+        # force the bounded-sample path (128 << 500 rows): centroids come
+        # from the sample only, recall must stay high (VERDICT r01 item 4)
+        from logparse_rs_ray.pipelines.similarity import ann_ivf_topk, ann_topk_cosine
+
+        exact = ann_topk_cosine(SF).to_pandas()
+        approx = ann_ivf_topk(SF, nprobe=10, train_rows=128).to_pandas()
+        e = set(zip(exact["query_id"], exact["vec_id"]))
+        a = set(zip(approx["query_id"], approx["vec_id"]))
+        assert len(a & e) / len(e) >= 0.99
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestTextops:
@@ -262,8 +273,8 @@ class TestMultimodalStubs:
         df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
         for _, r in df.head(20).iterrows():
             raw = r["text"].encode("utf-8")[:64]
-            want = raw + b"\x00" * (64 - len(raw))
-            assert bytes(out.loc[r["doc_id"], "thumb"]) == want
+            want = (raw + b"\x00" * (64 - len(raw))).hex()
+            assert out.loc[r["doc_id"], "thumb_hex"] == want
             assert out.loc[r["doc_id"], "thumb_w"] == 32
 
     def test_frame_samples_shape_and_determinism(self):
