@@ -93,7 +93,9 @@ def run_bench() -> dict:
     # every worker process pre-faults its allocator pools — this sandbox has
     # ~35us/page first-touch faults, which otherwise dominate the first task
     # on every fresh worker and poison the scaling comparison
+    t0 = time.perf_counter()
     rd.read_parquet(wt_path).count()
+    io_scan_s = time.perf_counter() - t0  # read+scan-only baseline for the hint
     warm_dir = "/tmp/logparse_bench_warmup"
     shutil.rmtree(warm_dir, ignore_errors=True)
     run_flagship(rd.read_parquet(wt_path), warm_dir,
@@ -111,6 +113,45 @@ def run_bench() -> dict:
         times.append(time.perf_counter() - t0)
     headline = sorted(times)[len(times) // 2]  # median vs sandbox timing noise
 
+    # per-iteration wall_ms stats block (reference README.md:241-247 parity)
+    ms = sorted(t * 1000 for t in times)
+
+    def pctl(p: float) -> float:
+        i = min(len(ms) - 1, max(0, round(p / 100 * (len(ms) - 1))))
+        return ms[i]
+
+    stats = {
+        "wall_ms": {
+            "mean": round(sum(ms) / len(ms), 1),
+            "median": round(pctl(50), 1),
+            "p90": round(pctl(90), 1),
+            "p99": round(pctl(99), 1),
+            "min": round(ms[0], 1),
+            "max": round(ms[-1], 1),
+        },
+        "iterations": repeat,
+        # read+scan-only pass vs the full pipeline: if scanning the input
+        # already costs most of the wall time, the pipeline is IO-bound
+        "bottleneck_hint": ("io_scan" if io_scan_s > 0.5 * headline
+                            else "compute(parse+enrich+write)"),
+    }
+
+    # domain-routed variant (north-star fan-out shape: per-domain writers,
+    # salted Zipf-hot domains) — one timed pass
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        from logparse_rs_ray.webtext import _HOT_DOMAINS
+
+        dom_dir = "/tmp/logparse_bench_dom"
+        shutil.rmtree(dom_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_flagship(rd.read_parquet(wt_path), dom_dir,
+                     generated_at="1970-01-01T00:00:00Z",
+                     route_key="domain", hot_keys=list(_HOT_DOMAINS))
+        domain_routed = time.perf_counter() - t0
+        shutil.rmtree(dom_dir, ignore_errors=True)
+    else:
+        domain_routed = None
+
     import __ray_entry__ as entrymod
 
     qfns = entrymod.queries()
@@ -125,7 +166,7 @@ def run_bench() -> dict:
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "end-to-end parse->route->aggregate throughput (docs/sec)",
         "value": round(headline, 3),
         "unit": "sec",
@@ -134,7 +175,12 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": N_DOCS,
         "docs_per_sec": round(N_DOCS / headline, 1),
+        "stats": stats,
     }
+    if domain_routed is not None:
+        out["domain_routed_sec"] = round(domain_routed, 3)
+        out["domain_routed_docs_per_sec"] = round(N_DOCS / domain_routed, 1)
+    return out
 
 
 def run_scaling() -> dict:
@@ -182,6 +228,10 @@ def run_scaling() -> dict:
         f"docs_per_sec_{lo_cpus}cpu": lo["docs_per_sec"],
         f"docs_per_sec_{hi_cpus}cpu": hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # ALL interleaved child runs, so the best-of-two estimator is
+        # auditable (VERDICT r01 item 10)
+        "raw_runs_sec": {f"{lo_cpus}cpu": [r["value"] for r in lo_runs],
+                         f"{hi_cpus}cpu": [r["value"] for r in hi_runs]},
         "docs": n_docs,
         "sf": SF,
     }

@@ -143,6 +143,8 @@ def append_report_rows(batch: pa.Table) -> pa.Table:
             cols[name] = pa.array(sink_names, type=pa.string())
         elif name == "_error":
             cols[name] = pa.array([""] * m, type=pa.string())
+        elif name == "salt":  # domain-routed runs: side rows go to salt=0
+            cols[name] = pa.array(np.zeros(m, dtype=np.int32))
         elif name == "_rep_dim":
             cols[name] = tall["dim"].combine_chunks()
         elif name == "_rep_key":
@@ -166,9 +168,10 @@ def read_sinks_for_report(out_dir: str):
     # bucketed _integrityNN/_reportNN side sinks (this Ray version can't
     # bind a read filter to a hive partition column)
     side = (f"sink={INTEGRITY}", f"sink={REPORT_SINK}")
+    # recursive: domain-routed runs nest salt=N sub-partitions under sinks
     files = [f for d in glob.glob(f"{out_dir}/sinks/sink=*")
              if not d.split("/")[-1].startswith(side)
-             for f in glob.glob(f"{d}/*.parquet")]
+             for f in glob.glob(f"{d}/**/*.parquet", recursive=True)]
     cols = sorted({v for v in REPORT_DIMS.values() if v != "_error_key"} | {"_error"})
     return rd.read_parquet(files, columns=cols)
 
@@ -221,7 +224,9 @@ def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
         tune_worker_threads()
 
         def files(dirs):
-            return [f for d in dirs for f in sorted(_glob.glob(f"{d}/*.parquet"))]
+            # recursive: salted runs nest salt=N sub-dirs under each bucket
+            return [f for d in dirs
+                    for f in sorted(_glob.glob(f"{d}/**/*.parquet", recursive=True))]
 
         outs = []
         for row in batch.to_pylist():
@@ -268,8 +273,11 @@ def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
         return pa.concat_tables(outs)
 
     if items:
-        merged_df = rd.from_items(items).map_batches(
-            merge_bucket, batch_format="pyarrow", batch_size=1
+        # one block per bucket item => one merge task per bucket dir, with
+        # the standard batch_size=None whole-block contract (ADVICE r01:
+        # batch_size=1 was an undocumented carve-out of the repo hard rule)
+        merged_df = rd.from_items(items).repartition(len(items)).map_batches(
+            merge_bucket, batch_format="pyarrow", batch_size=None
         ).to_pandas()
         merged = pa.Table.from_pandas(merged_df, preserve_index=False)
     else:
@@ -405,11 +413,20 @@ def run_flagship(
     write_integrity: bool = True,
     k: int = 10,
     map_kwargs: dict | None = None,
+    route_key: str = "log_type",
+    hot_keys: list[str] | None = None,
+    num_salts: int = 16,
 ) -> dict:
     """Full pipeline; returns the report dict (also written under out_dir).
 
     ``generated_at`` is injected, never datetime.now() — reproducibility
     (SURVEY.md §7.4 risk 6).
+
+    ``route_key`` selects the fan-out key: ``"log_type"`` reproduces the
+    reference's per-type sinks; ``"domain"`` is the north star's per-domain
+    writer fan-out.  ``hot_keys`` (e.g. ``webtext._HOT_DOMAINS``) adds the
+    ``salt`` sub-partition for Zipf-hot keys so no single writer or reader
+    ever owns an entire hot directory.
     """
     schema = schema or pan_schema()
     cfg = load_anon_config(anon_config if anon_config is not None else default_anon_config_json())
@@ -424,9 +441,15 @@ def run_flagship(
 
     parsed = parse_webtext(webtext_ds, schema, **mk)
     enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=write_integrity, **mk)
-    routed = enriched.map_batches(add_sink_column, batch_format="pyarrow", batch_size=None, **mk)
+
+    def route(b: pa.Table) -> pa.Table:
+        return add_sink_column(b, key_col=route_key, hot_keys=hot_keys,
+                               num_salts=num_salts)
+
+    routed = enriched.map_batches(route, batch_format="pyarrow", batch_size=None, **mk)
     routed = routed.map_batches(append_report_rows, batch_format="pyarrow", batch_size=None, **mk)
-    routed.write_parquet(f"{out_dir}/sinks", partition_cols=["sink"])
+    partition_cols = ["sink", "salt"] if hot_keys else ["sink"]
+    routed.write_parquet(f"{out_dir}/sinks", partition_cols=partition_cols)
 
     # integrity dedup + report merge share one per-bucket consolidation
     # execution (the integrity dirs are simply absent when write_integrity

@@ -95,7 +95,10 @@ def log_hourly_window(sf_dir: str):
         return pa.table({
             "hour": hour,
             "event_type": b["event_type"],
-            "value_cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            # half_towards_infinity == DuckDB ROUND (half away from zero)
+            "value_cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                            round_mode="half_towards_infinity"),
+                                   pa.int64()),
         })
 
     out = grouped_agg(ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
@@ -177,7 +180,10 @@ ORDER BY lang
 
 # --- exact dedup: keeper per distinct text ---------------------------------
 
-def doc_exact_dedup(sf_dir: str):
+def doc_exact_dedup(sf_dir: str, *, mode: str = "shuffle", num_partitions: int = 16):
+    """Keeper per distinct FULL TEXT.  The key domain is the corpus itself,
+    so the default merge is the hash shuffle (keys co-located across
+    ``num_partitions`` tasks); ``mode="tree"`` remains for small corpora."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -186,9 +192,14 @@ def doc_exact_dedup(sf_dir: str):
         return g.rename_columns(["text", "keeper", "n"])
 
     from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_merge
 
     partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    merged = tree_merge(partial, ["text"], [("keeper", "min"), ("n", "sum")], fanin=8)
+    specs = [("keeper", "min"), ("n", "sum")]
+    if mode == "shuffle":
+        merged = hash_merge(partial, ["text"], specs, num_partitions=num_partitions)
+    else:
+        merged = tree_merge(partial, ["text"], specs, fanin=8)
 
     def finalize(b: pa.Table) -> pa.Table:
         t = b.rename_columns(["text", "keeper_doc_id", "n_copies"])

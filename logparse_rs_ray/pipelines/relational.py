@@ -30,7 +30,10 @@ def _read_small(sf_dir: str, name: str, columns=None) -> pa.Table:
 
 
 def _cents(col, scale: int = 100):
-    return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+    # half_towards_infinity == DuckDB ROUND (half away from zero); pyarrow's
+    # default is banker's rounding, which diverges on exact .5 (ADVICE r01)
+    return pc.cast(pc.round(pc.multiply(col, float(scale)),
+                            round_mode="half_towards_infinity"), pa.int64())
 
 
 def _ts(y: int, m: int, d: int) -> pa.Scalar:

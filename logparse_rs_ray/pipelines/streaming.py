@@ -116,7 +116,9 @@ def streaming_tumbling_counts(sf_dir: str, *, window_minutes: int = 60,
         keys = np.asarray(batch["user_id"], dtype=np.int64)
         ts_us = (batch["ts"].combine_chunks() if isinstance(batch["ts"], pa.ChunkedArray)
                  else batch["ts"]).cast(pa.int64()).to_numpy()
-        vals = np.round(np.asarray(batch["value"], dtype=np.float64) * 100).astype(np.int64)
+        # half away from zero (== DuckDB ROUND); np.round is half-even
+        v = np.asarray(batch["value"], dtype=np.float64) * 100
+        vals = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         # the ordered-log replay: ts-sort the shard once, then stream it
         # through the machine in bounded chunks
         order = np.argsort(ts_us, kind="stable")

@@ -62,9 +62,20 @@ class Enricher:
             self.anon_columns: list[str] = []
         elif anonymize_columns is not None:
             self.anon_columns = anonymize_columns
+        elif anon_cfg.defaults_mode is not None:
+            # defaults.mode applies to EVERY field in the reference
+            # anonymizer (table.rs rule resolution), not just configured
+            # ones — restricting to cfg.fields would silently
+            # under-anonymize (ADVICE r01).  Column-set defaulting can't
+            # know "all fields" up front (it's per-batch), so require an
+            # explicit column list for such configs.
+            raise ValueError(
+                "anon config sets defaults.mode: pass anonymize_columns "
+                "explicitly (defaults apply to all fields, and the column "
+                "set must be stated, not inferred from cfg.fields)")
         else:
-            # default: the explicitly configured fields (defaults.mode=None in
-            # the flagship config means other fields pass through anyway)
+            # defaults.mode=None: only the explicitly configured fields
+            # transform; every other field passes through by definition
             self.anon_columns = sorted(anon_cfg.fields)
         if lang_region:
             self._langs = pa.array(list(lang_region.keys()), type=pa.string())

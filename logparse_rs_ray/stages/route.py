@@ -58,11 +58,20 @@ def add_sink_column(batch: pa.Table, *, key_col: str = "log_type",
     sink = pc.if_else(bad, pa.scalar(DEADLETTER, type=pa.string()), lt.cast(pa.string()))
     # unknown/absent keys are routed to the dead letter too; null-safe
     sink = pc.if_else(pc.is_valid(sink), sink, pa.scalar(DEADLETTER, type=pa.string()))
+    if key_col != "log_type" and "log_type" in batch.column_names:
+        # side rows (integrity pairs, log_type="_integrityNN") must keep
+        # their bucketed side sink regardless of the data routing key
+        side_lt = batch["log_type"]
+        if isinstance(side_lt, pa.ChunkedArray):
+            side_lt = side_lt.combine_chunks()
+        is_side = pc.fill_null(pc.starts_with(side_lt, "_"), False)
+        sink = pc.if_else(is_side, side_lt.cast(pa.string()), sink)
     batch = batch.append_column("sink", sink)
     if hot_keys:
         h = batch["hash64"]
         if isinstance(h, pa.ChunkedArray):
             h = h.combine_chunks()
+        h = pc.fill_null(h, 0)  # side rows carry null hash64 -> salt 0
         salt_all = (np.asarray(h, dtype=np.uint64) % np.uint64(num_salts)).astype(np.int32)
         is_hot = np.asarray(pc.is_in(sink, value_set=pa.array(hot_keys, type=pa.string())))
         batch = batch.append_column("salt", pa.array(np.where(is_hot, salt_all, 0)))

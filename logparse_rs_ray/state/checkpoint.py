@@ -51,14 +51,31 @@ class Manifest:
                     line = line.strip()
                     if not line:
                         continue
-                    rec = json.loads(line)
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        # torn trailing line from a kill mid-append (records
+                        # embed full input_files lists, which can exceed one
+                        # write buffer): treat as an unfinished partition —
+                        # the exact kill/resume scenario this module exists
+                        # to survive (ADVICE r01)
+                        continue
                     m.records[rec["partition_id"]] = rec
         return m
 
     def mark_done(self, rec: dict) -> None:
         self.records[rec["partition_id"]] = rec
+        # if a prior append was killed mid-line, the file ends without a
+        # newline — appending directly would concatenate this record onto
+        # the torn fragment, corrupting it too; terminate the fragment first
+        prefix = ""
+        if os.path.exists(self.path) and os.path.getsize(self.path) > 0:
+            with open(self.path, "rb") as fh:
+                fh.seek(-1, os.SEEK_END)
+                if fh.read(1) != b"\n":
+                    prefix = "\n"
         with open(self.path, "a", encoding="utf-8") as fh:
-            fh.write(json.dumps(rec, sort_keys=True) + "\n")
+            fh.write(prefix + json.dumps(rec, sort_keys=True) + "\n")
 
     def is_done(self, pid: int, lineage: dict, input_files: list[str] | None = None) -> bool:
         """A partition only counts as done if lineage AND its input file

@@ -81,3 +81,39 @@ class TestDomainRouting:
         # TRAFFIC-only columns must be absent from the SYSTEM sink
         assert "src_port" not in cols and "application" not in cols
         assert {"url", "hash64", "extracted_text"} <= cols
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRunFlagshipDomainRouted:
+    def test_domain_variant_matches_type_variant_report(self, tmp_path):
+        """run_flagship(route_key="domain", hot_keys=...) — the north-star
+        fan-out shape (VERDICT r01 item 8): same report + integrity table as
+        the log_type-routed run, plus salted hot-domain sub-partitions."""
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import run_flagship
+
+        table = generate_webtext_table(3000, seed=7)
+        r_type = run_flagship(rd.from_arrow(table), str(tmp_path / "bytype"),
+                              generated_at="T0")
+        r_dom = run_flagship(rd.from_arrow(table), str(tmp_path / "bydomain"),
+                             generated_at="T0", route_key="domain",
+                             hot_keys=list(_HOT_DOMAINS), num_salts=4)
+        # report content is routing-invariant (partials ride the write)
+        assert r_dom == r_type
+
+        # integrity tables byte-identical (glob explicitly: the _integrityNN
+        # file names start with "_", which pads.dataset directory discovery
+        # skips by default)
+        t1 = pads.dataset(glob.glob(str(tmp_path / "bytype" / "integrity" / "*.parquet"))).to_table()
+        t2 = pads.dataset(glob.glob(str(tmp_path / "bydomain" / "integrity" / "*.parquet"))).to_table()
+        key = [("field", "ascending"), ("original", "ascending")]
+        assert t1.sort_by(key).equals(t2.sort_by(key))
+
+        # hot domains fan out across salt sub-dirs; integrity side sinks
+        # kept their buckets despite domain routing
+        for hot in _HOT_DOMAINS:
+            salts = glob.glob(str(tmp_path / "bydomain" / "sinks" / f"sink={hot}" / "salt=*"))
+            assert len(salts) == 4, hot
+        ibuckets = glob.glob(str(tmp_path / "bydomain" / "sinks" / "sink=_integrity[0-9][0-9]"))
+        assert ibuckets

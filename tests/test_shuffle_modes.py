@@ -85,3 +85,10 @@ class TestDedupModeEquivalence:
         shuf = _df(exact_dedup_by_hash(SF, mode="shuffle", num_partitions=5))
         tree = _df(exact_dedup_by_hash(SF, mode="tree"))
         pd.testing.assert_frame_equal(shuf, tree)
+
+    def test_doc_exact_dedup_shuffle_equals_tree(self):
+        from logparse_rs_ray.pipelines.logops import doc_exact_dedup
+
+        shuf = _df(doc_exact_dedup(SF, mode="shuffle", num_partitions=5))
+        tree = _df(doc_exact_dedup(SF, mode="tree"))
+        pd.testing.assert_frame_equal(shuf, tree)
