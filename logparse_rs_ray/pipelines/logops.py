@@ -180,10 +180,13 @@ ORDER BY lang
 
 # --- exact dedup: keeper per distinct text ---------------------------------
 
-def doc_exact_dedup(sf_dir: str, *, mode: str = "shuffle", num_partitions: int = 16):
+def doc_exact_dedup(sf_dir: str, *, mode: str = "auto", num_partitions: int = 16):
     """Keeper per distinct FULL TEXT.  The key domain is the corpus itself,
     so the default merge is the hash shuffle (keys co-located across
     ``num_partitions`` tasks); ``mode="tree"`` remains for small corpora."""
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def prep(b: pa.Table) -> pa.Table:

@@ -10,9 +10,12 @@ envelope per line::
 Reference policies preserved: empty/malformed/unknown-type lines are
 SKIPPED (they flow to the dead-letter parquet sink instead of erroring —
 lib.rs:412-423); ``parsed`` contains exactly the type's schema fields with
-null for missing trailing fields (parser.rs:19-22).  ``runtime_ns`` is a
-per-record timing in the reference; timings here are Ray stage metrics,
-not data, so the envelope omits it (documented divergence).
+null for missing trailing fields (parser.rs:19-22).  ``runtime_ns``
+(lib.rs:153-162, a per-record parse timing) is emitted when the upstream
+parse ran with ``record_timing=True`` (``WebtextParser`` then carries a
+``_parse_ns`` column = batch parse wall amortized per row — the honest
+vectorized analog of row-at-a-time timing); absent that column the envelope
+omits the field, as before.
 """
 
 from __future__ import annotations
@@ -40,11 +43,14 @@ def write_ndjson_sinks(parsed_ds, out_dir: str, schema: CompiledSchema | None = 
                  for c in _cols],
                 names=list(_cols),
             )
-            return pa.table({
+            out = {
                 "parsed": parsed,
                 "raw_excerpt": sub["raw_excerpt"],
                 "hash64": sub["hash64"],
-            })
+            }
+            if "_parse_ns" in sub.column_names:  # envelope runtime_ns parity
+                out["runtime_ns"] = sub["_parse_ns"]
+            return pa.table(out)
 
         out = parsed_ds.map_batches(envelope, batch_format="pyarrow", batch_size=None)
         out.write_json(f"{out_dir}/{t}")

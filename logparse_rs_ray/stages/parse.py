@@ -30,6 +30,8 @@ Design notes (SURVEY.md §2.2, §7):
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -53,13 +55,18 @@ class WebtextParser:
 
     def __init__(self, schema: CompiledSchema, *, on_error: str = "skip",
                  strip_syslog_prefix: bool = True, text_column: str = "text",
-                 include_all: bool = False):
+                 include_all: bool = False, record_timing: bool = False):
         if on_error not in ("skip", "fail"):
             raise ValueError(f"on_error must be 'skip' or 'fail', got {on_error!r}")
         self.schema = schema
         self.on_error = on_error
         self.strip_syslog_prefix = strip_syslog_prefix
         self.text_column = text_column
+        # reference lib.rs:153-162 measures per-record parse nanoseconds;
+        # the vectorized analog is the batch's parse wall amortized per row,
+        # emitted as a `_parse_ns` column when requested (NDJSON envelope
+        # `runtime_ns` parity)
+        self.record_timing = record_timing
         # M7 (reference rust_accel.py:272-314): include_all adds a
         # list<string> column with every positional CSV field
         self.include_all = include_all
@@ -71,6 +78,7 @@ class WebtextParser:
         from .. import tune_worker_threads
 
         tune_worker_threads()
+        t_start = time.perf_counter_ns() if self.record_timing else 0
         n = batch.num_rows
         text = batch[self.text_column]
         if isinstance(text, pa.ChunkedArray):
@@ -198,6 +206,9 @@ class WebtextParser:
                 result["all_fields"] = comb.take(pa.array(idx))
             else:
                 result["all_fields"] = fast
+        if self.record_timing:
+            per_row = (time.perf_counter_ns() - t_start) // max(n, 1)
+            result["_parse_ns"] = pa.array(np.full(n, per_row, dtype=np.int64))
         return pa.table(result)
 
 

@@ -34,6 +34,21 @@ __all__ = ["enable_hash_shuffle", "hash_partition", "hash_merge"]
 _AGG_CPUS_PER_PARTITION = 0.01
 
 
+def _aggregator_cap() -> int:
+    """Aggregator-actor pool size scaled to the cluster: spawning an actor
+    costs a worker process (~150 ms+), and on a small box that fixed cost
+    dominates small shuffles — 4 aggregators handle 16 partitions fine.
+    On a big cluster more aggregators spread the exchange (Ray caps at 64).
+    """
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        ncpu = 0
+    return max(4, min(64, (ncpu or 32) // 8))
+
+
 def enable_hash_shuffle(ds):
     """Switch ``ds``'s (per-plan) context to hash shuffling with lightweight
     aggregator actors.  Returns ``ds`` for chaining."""
@@ -44,7 +59,31 @@ def enable_hash_shuffle(ds):
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = _AGG_CPUS_PER_PARTITION
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = _AGG_CPUS_PER_PARTITION
     ctx.join_operator_actor_num_cpus_per_partition_override = _AGG_CPUS_PER_PARTITION
+    ctx.max_hash_shuffle_aggregators = _aggregator_cap()
     return ds
+
+
+# Size-based planner cutover for the dual-mode (tree | shuffle) merges: the
+# combiner tree funnels the distinct-key partials into ONE task, which is
+# the cheaper plan while that fits comfortably — above the threshold the
+# hash shuffle spreads the key directory.  64 MiB of on-disk input is far
+# below any single-task limit, so the cutover is conservative in the safe
+# direction; correctness is mode-invariant (tested both ways).
+AUTO_TREE_MAX_BYTES = 64 << 20
+
+
+def resolve_mode(mode: str, *paths: str) -> str:
+    """``"auto"`` -> ``"tree"`` when every input file is under
+    ``AUTO_TREE_MAX_BYTES``, else ``"shuffle"``; other values pass through."""
+    if mode != "auto":
+        return mode
+    import os
+
+    try:
+        total = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        return "shuffle"  # unknown size: assume big
+    return "tree" if total < AUTO_TREE_MAX_BYTES else "shuffle"
 
 
 def hash_partition(ds, keys: list[str], num_partitions: int):

@@ -106,3 +106,38 @@ class TestStreamingWindows:
         assert len(got) == len(want)
         for col in ("user_id", "window_start_us", "n_events", "sum_value_cents"):
             assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRuntimeNsEnvelope:
+    def test_runtime_ns_emitted_when_timing_enabled(self, tmp_path):
+        """Reference lib.rs:153-162 envelope parity: runtime_ns present (as
+        the amortized per-row batch parse time) iff record_timing is on."""
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.ndjson import write_ndjson_sinks
+
+        table = generate_webtext_table(300, seed=42)
+        schema = pan_schema()
+        parsed = rd.from_arrow(table).map_batches(
+            WebtextParser(schema, record_timing=True),
+            batch_format="pyarrow", batch_size=None)
+        out = str(tmp_path / "nd_t")
+        write_ndjson_sinks(parsed, out, schema)
+        lines = []
+        for f in glob.glob(f"{out}/*/*.json"):
+            with open(f) as fh:
+                lines += [json.loads(l) for l in fh if l.strip()]
+        assert lines
+        assert all("runtime_ns" in l and l["runtime_ns"] > 0 for l in lines)
+
+        # and absent without the flag (back-compat shape)
+        parsed2 = rd.from_arrow(table).map_batches(
+            WebtextParser(schema), batch_format="pyarrow", batch_size=None)
+        out2 = str(tmp_path / "nd_n")
+        write_ndjson_sinks(parsed2, out2, schema)
+        for f in glob.glob(f"{out2}/*/*.json"):
+            with open(f) as fh:
+                for l in fh:
+                    if l.strip():
+                        assert "runtime_ns" not in json.loads(l)

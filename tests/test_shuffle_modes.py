@@ -86,6 +86,13 @@ class TestDedupModeEquivalence:
         tree = _df(exact_dedup_by_hash(SF, mode="tree"))
         pd.testing.assert_frame_equal(shuf, tree)
 
+    def test_ngram_verify_broadcast_equals_hashjoin(self):
+        from logparse_rs_ray.pipelines.dedup import verified_pairs_ngram
+
+        bc = _df(verified_pairs_ngram(SF))                          # broadcast path
+        hj = _df(verified_pairs_ngram(SF, broadcast_max_cands=0))   # hash-join path
+        pd.testing.assert_frame_equal(bc, hj)
+
     def test_doc_exact_dedup_shuffle_equals_tree(self):
         from logparse_rs_ray.pipelines.logops import doc_exact_dedup
 
