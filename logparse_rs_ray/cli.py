@@ -24,12 +24,23 @@ import os
 import sys
 
 
+_SCHEMA_CACHE = None
+
+
 def _load_schema(path: str | None):
-    from .core.schema import load_schema
+    """CLI-tier schema resolution with the reference's hot-reload semantics
+    (ensure_schema_loaded, schema.rs:97-115): a repeated call in the same
+    process recompiles only when the file's mtime changed."""
+    global _SCHEMA_CACHE
+    from .core.schema import SchemaCache
     from .webtext import pan_schema
 
     path = path or os.environ.get("LOGPARSE_PRELOAD_SCHEMA") or os.environ.get("SCHEMA_JSON_PATH")
-    return load_schema(path) if path else pan_schema()
+    if not path:
+        return pan_schema()
+    if _SCHEMA_CACHE is None:
+        _SCHEMA_CACHE = SchemaCache()
+    return _SCHEMA_CACHE.get(path)
 
 
 def _load_anon(path: str | None) -> dict | None:

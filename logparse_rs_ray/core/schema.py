@@ -127,3 +127,32 @@ def compile_schema(schema_json: str | dict) -> CompiledSchema:
 def load_schema(path: str) -> CompiledSchema:
     with open(path, "r", encoding="utf-8") as fh:
         return compile_schema(fh.read())
+
+
+class SchemaCache:
+    """Mtime-checked schema cache — the reference's ``ensure_schema_loaded``
+    (crates/logparse_core/src/schema.rs:97-115): a long-running service
+    recompiles when the file on disk changes, otherwise reuses the compiled
+    schema.
+
+    Batch pipelines intentionally DON'T use this (one immutable compiled
+    schema per run, its sha256 recorded in checkpoint lineage, so a
+    mid-run edit can never split a run across two schema versions); the
+    cache is for the CLI/service tier where the reference's hot-reload
+    semantics apply between runs.
+    """
+
+    def __init__(self):
+        self._path: str | None = None
+        self._mtime: float | None = None
+        self._schema: CompiledSchema | None = None
+
+    def get(self, path: str) -> CompiledSchema:
+        import os
+
+        mtime = os.stat(path).st_mtime
+        if self._schema is None or path != self._path or mtime != self._mtime:
+            self._schema = load_schema(path)
+            self._path = path
+            self._mtime = mtime
+        return self._schema

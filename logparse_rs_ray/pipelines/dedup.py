@@ -572,16 +572,129 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --- connected components over the near-dup pair graph ---------------------
+
+def _union_find_clusters(pairs: pa.Table) -> pa.Table:
+    """Small-graph fast path: classic union-find over a BOUNDED pair list
+    (gated by the caller), min-id canonical labels."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["vec_a"].to_pylist(), pairs["vec_b"].to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:  # union by min id keeps labels canonical
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    items = sorted((n, find(n)) for n in parent)
+    return pa.table({"vec_id": pa.array([n for n, _ in items], type=pa.int64()),
+                     "cluster_id": pa.array([c for _, c in items], type=pa.int64())})
+
+
+def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
+                     num_partitions: int = 8, max_rounds: int = 50,
+                     small_graph_max_pairs: int = 100_000):
+    """(vec_id, cluster_id) — connected components of the embedding
+    near-dup graph; cluster_id = min vec_id reachable (the canonical
+    keeper).
+
+    Two size regimes (same planner pattern as the n-gram verification):
+    below ``small_graph_max_pairs`` the bounded pair list runs through a
+    driver union-find; above it, distributed min-label propagation — each
+    round joins the edge list against the current labels and hash-merges
+    the min per node, O(cluster diameter) rounds of bounded shuffles.
+    Near-dup clusters have tiny diameters, so rounds stay single-digit.
+    """
+    import ray.data as rd
+
+    from ..stages.shuffle import enable_hash_shuffle
+
+    pairs = embedding_neardup_pairs(sf_dir, threshold=threshold)  # pa.Table
+    if pairs.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "cluster_id": pa.array([], type=pa.int64())})
+    if pairs.num_rows <= small_graph_max_pairs:
+        return _union_find_clusters(pairs)
+
+    # undirected edge list, both directions
+    src = pa.concat_arrays([pairs["vec_a"].combine_chunks(), pairs["vec_b"].combine_chunks()])
+    dst = pa.concat_arrays([pairs["vec_b"].combine_chunks(), pairs["vec_a"].combine_chunks()])
+    edge_tbl = pa.table({"src": src, "dst": dst})
+    nodes = pc.unique(src)
+
+    edges = enable_hash_shuffle(rd.from_arrow(edge_tbl)).materialize()
+    labels = enable_hash_shuffle(
+        rd.from_arrow(pa.table({"node": nodes, "label": nodes}))).materialize()
+
+    from ..stages.shuffle import hash_merge
+
+    for _ in range(max_rounds):
+        # neighbor labels: edges ⋈ labels on src -> (dst, label)
+        prop = edges.join(labels, "inner", num_partitions,
+                          on=("src",), right_on=("node",))
+
+        def as_candidate(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b["dst"], "label": b["label"]})
+
+        cand = prop.map_batches(as_candidate, batch_format="pyarrow",
+                                batch_size=None).union(labels)
+        new_labels = hash_merge(cand, ["node"], [("label", "min")],
+                                num_partitions=num_partitions).materialize()
+        # convergence: sum of labels strictly decreases until fixpoint
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+
+    out = pa.concat_tables(list(labels.map_batches(
+        lambda b: pa.table({"vec_id": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow", batch_size=None,
+    ).iter_batches(batch_format="pyarrow", batch_size=None)))
+    return out.sort_by([("vec_id", "ascending")])
+
+
+NEARDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+),
+edges AS (SELECT va AS src, vb AS dst FROM pairs
+          UNION ALL SELECT vb, va FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+)
+SELECT node AS vec_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY node
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_minhash_pairs": verified_pairs_ngram,
     "dedup_simhash_pairs": simhash_pairs,
     "embed_neardup_cosine": embedding_neardup_pairs,
+    "embed_neardup_clusters": neardup_clusters,
 }
 
 ORACLE_SQL = {
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "embed_neardup_cosine": EMBED_NEARDUP_SQL,
+    "embed_neardup_clusters": NEARDUP_CLUSTERS_SQL,
     # minhash/simhash: probabilistic sketches, not SQL-expressible; pytest
     # verifies them against brute-force oracles on tiny corpora instead.
 }

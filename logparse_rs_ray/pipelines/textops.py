@@ -209,17 +209,135 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=None).sort("doc_id")
 
 
+# --- exact distributed grouped quantiles (value-histogram method) ----------
+
+def doc_len_quantiles(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
+    """Exact p50/p90/p99 of n_chars per lang WITHOUT a global sort: the
+    integer value domain is histogrammed per block ((lang, n_chars) counts,
+    pre-combined per block), merged associatively, and the quantile is read
+    off the cumulative histogram.  Shuffle volume = O(distinct values), not
+    O(rows) — the scale shape for quantiles over discrete domains.
+
+    Quantile rule matches DuckDB ``quantile_disc``: index ceil(n*q)-1 of
+    the sorted values.
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    partial = ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["lang", "n_chars"], [("cnt", "sum")], fanin=8)
+
+    def quantiles(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             **{f"p{int(q*100)}": pa.array([], type=pa.int64())
+                                for q in qs}})
+        t = b.sort_by([("lang", "ascending"), ("n_chars", "ascending")])
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        vals = np.asarray(t["n_chars"])
+        cnts = np.asarray(t["cnt"])
+        out: dict[str, list] = {"lang": []}
+        for q in qs:
+            out[f"p{int(q*100)}"] = []
+        for lang in np.unique(langs):
+            m = langs == lang
+            v, c = vals[m], cnts[m]
+            cum = np.cumsum(c)
+            n = cum[-1]
+            out["lang"].append(str(lang))
+            for q in qs:
+                k = int(np.ceil(n * q))  # value where cum >= ceil(n*q)
+                out[f"p{int(q*100)}"].append(int(v[np.searchsorted(cum, k)]))
+        return pa.table({"lang": pa.array(out["lang"], type=pa.string()),
+                         **{f"p{int(q*100)}": pa.array(out[f"p{int(q*100)}"],
+                                                       type=pa.int64())
+                            for q in qs}})
+
+    return merged.map_batches(quantiles, batch_format="pyarrow",
+                              batch_size=None).sort("lang")
+
+
+DOC_LEN_QUANTILES_SQL = """
+SELECT lang,
+       CAST(quantile_disc(n_chars, 0.5)  AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9)  AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- term document frequency (corpus-sized vocabulary -> hash shuffle) -----
+
+def doc_term_df(sf_dir: str, *, top_n: int = 50, num_partitions: int = 8):
+    """Top-``top_n`` terms by DOCUMENT frequency.  The vocabulary keyset is
+    ∝ corpus, so the merge is the hash shuffle (the oracle-checked exercise
+    of ``stages/shuffle.hash_merge``); per-block work stays vectorized:
+    tokenize whole column, per-doc distinct via one lexsort, block-local
+    pre-aggregation before the exchange.
+    """
+    from ..stages.shuffle import hash_merge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def block_df(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # flatten() honors the list array's offset (unlike .values)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(object)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        doc_of = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+        nonempty = np.asarray([len(x) > 0 for x in flat], dtype=bool)
+        flat, doc_of = flat[nonempty], doc_of[nonempty]
+        order = np.lexsort((flat, doc_of))
+        f, d = flat[order], doc_of[order]
+        keep = np.ones(len(f), dtype=bool)
+        if len(f) > 1:
+            keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        t = pa.table({"term": pa.array(f[keep], type=pa.string())})
+        g = t.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "df"])
+
+    partial = ds.map_batches(block_df, batch_format="pyarrow", batch_size=None)
+    merged = hash_merge(partial, ["term"], [("df", "sum")],
+                        num_partitions=num_partitions)
+    return merged.sort(["df", "term"], descending=[True, False]).limit(top_n)
+
+
+DOC_TERM_DF_SQL = """
+SELECT term, COUNT(*) AS df
+FROM (SELECT doc_id, UNNEST(list_distinct(string_split_regex(lower(text), '\\s+'))) AS term
+      FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 50
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "doc_len_quantiles": doc_len_quantiles,
+    "doc_term_df": doc_term_df,
 }
 
 ORACLE_SQL = {
     "doc_quality": DOC_QUALITY_SQL,
     "doc_bpe_token_stats": DOC_BPE_TOKEN_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
+    "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
+    "doc_term_df": DOC_TERM_DF_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

@@ -87,3 +87,46 @@ class TestCompile:
         cs = CompiledSchema.from_type_map({"T": ["a", "b", "a"]})
         assert cs.type_to_fields["T"] == ("a", "b", "a")
         assert dict(cs.value_positions("T"))["a"] == 2
+
+
+class TestSchemaHotReload:
+    def test_mtime_reload(self, tmp_path):
+        """ensure_schema_loaded parity (reference schema.rs:97-115): same
+        mtime -> cached object; changed file -> recompiled schema."""
+        import json
+        import os
+        import time
+
+        from logparse_rs_ray.core.schema import SchemaCache
+
+        p = str(tmp_path / "schema.json")
+
+        def write(type_value):
+            with open(p, "w") as fh:
+                json.dump({"palo_alto_syslog_fields": {"log_types": {
+                    "t": {"type_value": type_value, "fields": ["A", "B"]}}}}, fh)
+
+        write("TRAFFIC")
+        cache = SchemaCache()
+        s1 = cache.get(p)
+        assert cache.get(p) is s1  # unchanged mtime -> same compiled object
+
+        time.sleep(0.01)
+        write("THREAT")
+        os.utime(p)  # make sure mtime ticks even on coarse filesystems
+        s2 = cache.get(p)
+        assert s2 is not s1
+        assert "THREAT" in s2.type_to_fields and "TRAFFIC" not in s2.type_to_fields
+
+    def test_cli_load_schema_uses_cache(self, tmp_path, monkeypatch):
+        import json
+
+        import logparse_rs_ray.cli as cli
+
+        p = str(tmp_path / "schema.json")
+        with open(p, "w") as fh:
+            json.dump({"palo_alto_syslog_fields": {"log_types": {
+                "t": {"type_value": "X", "fields": ["F"]}}}}, fh)
+        monkeypatch.setattr(cli, "_SCHEMA_CACHE", None)
+        s1 = cli._load_schema(p)
+        assert cli._load_schema(p) is s1

@@ -86,6 +86,13 @@ class TestDedupModeEquivalence:
         tree = _df(exact_dedup_by_hash(SF, mode="tree"))
         pd.testing.assert_frame_equal(shuf, tree)
 
+    def test_neardup_clusters_unionfind_equals_propagation(self):
+        from logparse_rs_ray.pipelines.dedup import neardup_clusters
+
+        uf = _df(neardup_clusters(SF))                            # union-find path
+        lp = _df(neardup_clusters(SF, small_graph_max_pairs=0))   # label propagation
+        pd.testing.assert_frame_equal(uf, lp)
+
     def test_ngram_verify_broadcast_equals_hashjoin(self):
         from logparse_rs_ray.pipelines.dedup import verified_pairs_ngram
 
