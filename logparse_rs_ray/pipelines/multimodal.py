@@ -182,29 +182,48 @@ class FrameSampleStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .. import tune_worker_threads
-        from ..core.fnv import fnv1a64
+        from ..core.fnv import fnv1a64_arrow
 
         tune_worker_threads()
 
         payload = batch["payload"]
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
-        out: list[list[int]] = []
-        for v in payload.to_pylist():  # per-row: frame extraction is
-            # inherently per-payload work in the real decoder too
-            if not v:
-                out.append([])
-                continue
-            step = max(1, len(v) // self.n_frames)
-            hashes = []
-            for fi in range(self.n_frames):
-                start = min(fi * step, max(0, len(v) - 1))
-                window = v[start:start + self.frame_bytes]
-                hashes.append(fnv1a64(window) & 0x7FFFFFFFFFFFFFFF)
-            out.append(hashes)
+        n = len(payload)
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32,
+                                count=n + 1, offset=payload.offset * 4).astype(np.int64)
+        data = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.empty(0, np.uint8)
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        steps = np.maximum(1, lens // self.n_frames)
+        # one vectorized pass per frame slot: gather each row's window bytes
+        # into a fresh BinaryArray and hash the whole column at once (no
+        # per-row Python; n_frames is a small constant)
+        frame_hashes = np.zeros((n, self.n_frames), dtype=np.int64)
+        for fi in range(self.n_frames):
+            starts = np.minimum(fi * steps, np.maximum(lens - 1, 0))
+            wl = np.where(nonempty, np.minimum(self.frame_bytes, lens - starts), 0)
+            w_off = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(wl, out=w_off[1:])
+            total = int(w_off[-1])
+            row_of = np.repeat(np.arange(n, dtype=np.int64), wl)
+            intra = np.arange(total, dtype=np.int64) - w_off[:-1][row_of]
+            src = offsets[:-1][row_of] + starts[row_of] + intra
+            windows = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(w_off.tobytes()),
+                 pa.py_buffer(data[src].tobytes())])
+            frame_hashes[:, fi] = (fnv1a64_arrow(windows)
+                                   & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        counts = np.where(nonempty, self.n_frames, 0)
+        list_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=list_off[1:])
+        flat = frame_hashes[nonempty].reshape(-1)
+        lists = pa.ListArray.from_arrays(pa.array(list_off, type=pa.int32()),
+                                         pa.array(flat, type=pa.int64()))
         return pa.table({
             "doc_id": batch["doc_id"],
-            "frame_hashes": pa.array(out, type=pa.list_(pa.int64())),
+            "frame_hashes": lists,
         })
 
 
