@@ -1,11 +1,16 @@
 """Stream-shaped and specialty-join operators over the ``events`` table.
 
-Ray Data has no event-time windows (SURVEY.md §2.8 / ray guide): windows
-are expressed as ``groupby(key).map_groups`` over ts-sorted groups, with the
-ordering assumption stated per operator.  Joins Ray Data lacks natively:
+Ray Data has no event-time windows (SURVEY.md §2.8 / ray guide); per-key
+window semantics are expressed as EITHER one hash shuffle + vectorized
+segment arithmetic per block (sessionize, first-event — the fast shape) or
+``groupby(key).map_groups`` over ts-sorted groups where per-key pandas
+semantics genuinely help (as-of join).  Ordering assumptions stated per
+operator.  Joins Ray Data lacks natively:
 
-* **sessionize** — gap-based sessions per user (stateful streaming analog);
-  oracle: SQL window functions (lag + cumulative sum of gap flags).
+* **sessionize** — gap-based sessions per user: hash-partition by user,
+  lexsort + reduceat per block; oracle: SQL window functions.
+* **first-event per user** — ROW_NUMBER()=1 analog as a two-phase min-by
+  reduction (block-local firsts -> per-user candidates shuffle).
 * **semi / anti join** — broadcast the key set, filter inside map_batches
   (no shuffle; the Bloom-filter pattern at scale).
 * **as-of join** — per-key ``pd.merge_asof`` inside map_groups; the
@@ -26,23 +31,46 @@ __all__ = ["QUERIES", "ORACLE_SQL"]
 SESSION_GAP_MIN = 30
 
 
-def log_sessionize(sf_dir: str):
+def log_sessionize(sf_dir: str, *, num_partitions: int = 8):
     """Sessions per user: a new session starts when the gap from the
-    previous event exceeds 30 minutes.  Ordering: rows of one user are
-    processed sorted by ts inside their group (assumption documented)."""
+    previous event exceeds 30 minutes.
+
+    ONE hash shuffle co-locates each user's events (no sort-based groupby);
+    inside each block the whole computation is a lexsort + vectorized
+    boundary/gap arithmetic — session starts are counted with one
+    ``add.reduceat`` over user segments."""
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    part = hash_partition(ds, ["user_id"], num_partitions)
 
-    def sessions(g):
-        import pandas as pd
+    def sessions(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64())})
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap_us = np.empty(len(ts), dtype=np.int64)
+        gap_us[0] = np.iinfo(np.int64).max
+        gap_us[1:] = ts[1:] - ts[:-1]
+        new_session = (new_user | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000)).astype(np.int64)
+        starts = np.nonzero(new_user)[0]
+        n_sessions = np.add.reduceat(new_session, starts)
+        n_events = np.diff(np.append(starts, len(u)))
+        return pa.table({"user_id": pa.array(u[starts]),
+                         "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                         "n_events": pa.array(n_events.astype(np.int64))})
 
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        n_sessions = int((gaps > SESSION_GAP_MIN * 60).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(g)]})
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").sort("user_id")
+    return part.map_batches(sessions, batch_format="pyarrow",
+                            batch_size=None).sort("user_id")
 
 
 LOG_SESSIONIZE_SQL = f"""
@@ -193,17 +221,36 @@ ORDER BY user_id, window_start_us
 """
 
 
-def log_first_event_per_user(sf_dir: str):
+def log_first_event_per_user(sf_dir: str, *, num_partitions: int = 8):
     """Per-partition ranking (ROW_NUMBER() = 1 analog): each user's first
-    event by (ts, event_id).  groupby().map_groups over sorted groups — the
-    per-key window-function tier."""
+    event by (ts, event_id).
+
+    min-by is associative, so this is a two-phase reduction with NO
+    sort-based groupby: each block keeps its local first row per user
+    (one lexsort), the per-user candidates hash-shuffle (volume = users ×
+    blocks, not events), and each partition repeats the same kernel."""
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
-    def first(g):
-        g = g.sort_values(["ts", "event_id"])
-        return g.head(1)[["user_id", "event_id", "event_type"]]
+    def local_first(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        order = np.lexsort((eid, ts, u))
+        firsts = order[np.ones(len(u), dtype=bool) if len(u) == 1 else
+                       np.concatenate([[True], u[order][1:] != u[order][:-1]])]
+        return b.take(pa.array(firsts))
 
-    return ds.groupby("user_id").map_groups(first, batch_format="pandas").sort("user_id")
+    partial = ds.map_batches(local_first, batch_format="pyarrow", batch_size=None)
+    merged = hash_partition(partial, ["user_id"], num_partitions).map_batches(
+        local_first, batch_format="pyarrow", batch_size=None)
+    return merged.select_columns(["user_id", "event_id", "event_type"]).sort("user_id")
 
 
 LOG_FIRST_EVENT_SQL = """
