@@ -16,9 +16,10 @@ TWO-PHASE, designed for the 100 TB case (SURVEY.md §2.5, §4.2):
      sort-based ``groupby`` when the distinct-key set fits one task
      (counts over bounded dims, report aggregates, dedup of deterministic
      pairs).  This is exactly a MapReduce combiner cascade.
-   * ``mode="shuffle"``: Ray's ``groupby().sum()`` — required when the
-     distinct-key set itself is too large for one task (e.g. billions of
-     URLs); keys are then co-located by the shuffle.
+   * ``mode="shuffle"``: one key-based hash shuffle
+     (``stages/shuffle.hash_merge``) — required when the distinct-key set
+     itself is too large for one task (e.g. billions of URLs); keys are
+     co-located across ``final_partitions`` merge tasks, never funneled.
 
 Sums/counts/mins are associative+commutative, so the tree merge is exact.
 """
@@ -83,23 +84,15 @@ def grouped_agg(ds, keys, sum_cols=None, *, count_name=None, mode="tree",
             return t.rename_columns(keys + out_names + [count_name])
         return t.drop_columns(["__rows"])
 
+    specs = [(n, "sum") for n in out_names] + [("__rows", "sum")]
     if mode == "tree":
-        merged = tree_merge(p, keys,
-                            [(n, "sum") for n in out_names] + [("__rows", "sum")],
-                            fanin=fanin)
-        return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+        merged = tree_merge(p, keys, specs, fanin=fanin)
+    else:
+        from .shuffle import hash_merge
 
-    if final_partitions:
-        p = p.repartition(final_partitions)
-    final = p.groupby(keys).sum(out_names + ["__rows"])
-
-    def rename_shuffle(batch: pa.Table) -> pa.Table:
-        ren = {f"sum({n})": n for n in out_names}
-        ren["sum(__rows)"] = "__rows"
-        return finalize(batch.rename_columns(
-            [ren.get(c, c) for c in batch.column_names]))
-
-    return final.map_batches(rename_shuffle, batch_format="pyarrow", batch_size=None)
+        merged = hash_merge(p, keys, specs,
+                            num_partitions=final_partitions or 16)
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 def _partial_count_fn(keys, drop_null_keys):
@@ -132,14 +125,14 @@ def count_by(ds, keys, *, count_name="count", drop_null_keys=False, mode="tree",
 
     if mode == "tree":
         merged = tree_merge(partial, keys, [("count", "sum")], fanin=fanin)
-        if count_name == "count":
-            return merged
-        return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    else:
+        from .shuffle import hash_merge
 
-    if final_partitions:
-        partial = partial.repartition(final_partitions)
-    final = partial.groupby(keys).sum("count")
-    return final.map_batches(rename, batch_format="pyarrow", batch_size=None)
+        merged = hash_merge(partial, keys, [("count", "sum")],
+                            num_partitions=final_partitions or 16)
+    if count_name == "count":
+        return merged
+    return merged.map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
 def sum_by(ds, keys, value_col, *, sum_name=None, mode="tree", fanin=8):
@@ -210,11 +203,7 @@ def multi_count(ds, dims, *, mode="tree", fanin=8, final_partitions=None):
     if mode == "tree":
         return tree_merge(partial, ["dim", "key"], [("count", "sum")], fanin=fanin)
 
-    if final_partitions:
-        partial = partial.repartition(final_partitions)
-    final = partial.groupby(["dim", "key"]).sum("count")
+    from .shuffle import hash_merge
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["dim", "key", "count"])
-
-    return final.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    return hash_merge(partial, ["dim", "key"], [("count", "sum")],
+                      num_partitions=final_partitions or 16)

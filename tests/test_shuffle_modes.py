@@ -42,6 +42,18 @@ class TestHashPartition:
         assert len(counts) == 101
         assert counts.max() == 1  # no key straddles two blocks
 
+    def test_grouped_agg_shuffle_equals_tree(self):
+        from logparse_rs_ray.pipelines.logops import log_hourly_window
+        from logparse_rs_ray.sources import read_table
+        from logparse_rs_ray.stages.aggregate import count_by
+
+        ds1 = read_table(SF, "events", columns=["event_type"])
+        ds2 = read_table(SF, "events", columns=["event_type"])
+        a = _df(count_by(ds1, "event_type", mode="shuffle",
+                         final_partitions=3)).sort_values("event_type").reset_index(drop=True)
+        b = _df(count_by(ds2, "event_type", mode="tree")).sort_values("event_type").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
     def test_hash_merge_equals_tree_merge(self):
         import ray.data
 
