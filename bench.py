@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "dedup_minhash_pairs",
     "ann_topk_cosine",
+    "doc_term_df",
+    "doc_len_quantiles",
+    "log_streaming_window",
 ]
 
 
@@ -214,10 +217,11 @@ def run_scaling() -> dict:
     # The sandbox shows sustained multi-minute slow windows (other tenants),
     # so the levels are INTERLEAVED and the best run per level is kept —
     # a sustained slowdown then hits both levels instead of biasing one.
-    lo_runs = [run_at(lo_cpus)]
-    hi_runs = [run_at(hi_cpus)]
-    lo_runs.append(run_at(lo_cpus))
-    hi_runs.append(run_at(hi_cpus))
+    rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(run_at(lo_cpus))
+        hi_runs.append(run_at(hi_cpus))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)

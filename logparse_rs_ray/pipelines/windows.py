@@ -31,20 +31,25 @@ __all__ = ["QUERIES", "ORACLE_SQL"]
 SESSION_GAP_MIN = 30
 
 
-def log_sessionize(sf_dir: str, *, num_partitions: int = 8):
+def log_sessionize(sf_dir: str, *, num_partitions: int = 8, mode: str = "auto"):
     """Sessions per user: a new session starts when the gap from the
     previous event exceeds 30 minutes.
 
     ONE hash shuffle co-locates each user's events (no sort-based groupby);
     inside each block the whole computation is a lexsort + vectorized
     boundary/gap arithmetic — session starts are counted with one
-    ``add.reduceat`` over user segments."""
+    ``add.reduceat`` over user segments.  Below the auto-mode size
+    threshold the input collapses to one block instead (same kernel, no
+    shuffle actors — gap arithmetic isn't associative, so there is no
+    combiner-tree middle ground)."""
     import numpy as np
 
-    from ..stages.shuffle import hash_partition
+    from ..stages.shuffle import hash_partition, resolve_mode
 
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    part = hash_partition(ds, ["user_id"], num_partitions)
+    part = (hash_partition(ds, ["user_id"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
 
     def sessions(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -221,18 +226,22 @@ ORDER BY user_id, window_start_us
 """
 
 
-def log_first_event_per_user(sf_dir: str, *, num_partitions: int = 8):
+def log_first_event_per_user(sf_dir: str, *, num_partitions: int = 8,
+                             mode: str = "auto"):
     """Per-partition ranking (ROW_NUMBER() = 1 analog): each user's first
     event by (ts, event_id).
 
     min-by is associative, so this is a two-phase reduction with NO
     sort-based groupby: each block keeps its local first row per user
     (one lexsort), the per-user candidates hash-shuffle (volume = users ×
-    blocks, not events), and each partition repeats the same kernel."""
+    blocks, not events), and each partition repeats the same kernel.
+    Below the auto-mode threshold the candidates collapse to one block
+    (combiner style) instead of shuffling."""
     import numpy as np
 
-    from ..stages.shuffle import hash_partition
+    from ..stages.shuffle import hash_partition, resolve_mode
 
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
     def local_first(b: pa.Table) -> pa.Table:
@@ -248,8 +257,9 @@ def log_first_event_per_user(sf_dir: str, *, num_partitions: int = 8):
         return b.take(pa.array(firsts))
 
     partial = ds.map_batches(local_first, batch_format="pyarrow", batch_size=None)
-    merged = hash_partition(partial, ["user_id"], num_partitions).map_batches(
-        local_first, batch_format="pyarrow", batch_size=None)
+    cand = (hash_partition(partial, ["user_id"], num_partitions)
+            if mode == "shuffle" else partial.repartition(1))
+    merged = cand.map_batches(local_first, batch_format="pyarrow", batch_size=None)
     return merged.select_columns(["user_id", "event_id", "event_type"]).sort("user_id")
 
 

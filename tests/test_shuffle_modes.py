@@ -98,6 +98,20 @@ class TestDedupModeEquivalence:
         tree = _df(exact_dedup_by_hash(SF, mode="tree"))
         pd.testing.assert_frame_equal(shuf, tree)
 
+    def test_sessionize_modes_agree(self):
+        from logparse_rs_ray.pipelines.windows import log_sessionize
+
+        shuf = _df(log_sessionize(SF, mode="shuffle", num_partitions=5))
+        one = _df(log_sessionize(SF, mode="tree"))
+        pd.testing.assert_frame_equal(shuf, one)
+
+    def test_first_event_modes_agree(self):
+        from logparse_rs_ray.pipelines.windows import log_first_event_per_user
+
+        shuf = _df(log_first_event_per_user(SF, mode="shuffle", num_partitions=5))
+        one = _df(log_first_event_per_user(SF, mode="tree"))
+        pd.testing.assert_frame_equal(shuf, one)
+
     def test_neardup_clusters_unionfind_equals_propagation(self):
         from logparse_rs_ray.pipelines.dedup import neardup_clusters
 
