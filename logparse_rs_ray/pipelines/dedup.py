@@ -242,6 +242,16 @@ def minhash_candidate_pairs(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
         lambda b: b.drop_columns(["one"]), batch_format="pyarrow", batch_size=None)
 
 
+def _blob_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, raw uint8) zero-copy views of a binary column."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32, count=len(col) + 1,
+                        offset=col.offset * 4).astype(np.int64)
+    raw = (np.frombuffer(col.buffers()[2], dtype=np.uint8)
+           if col.buffers()[2] is not None else np.empty(0, dtype=np.uint8))
+    return off, raw
+
+
 def _shingle_blob_batch(batch: pa.Table, k: int) -> pa.Table:
     """(doc_id, shingles: binary) for one batch — per-doc DISTINCT sorted
     shingle hashes serialized as raw little-endian u64 bytes (Arrow's hash
@@ -396,14 +406,16 @@ def verified_pairs_ngram(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                              "doc_b": pa.array([], type=pa.int64()),
                              "jaccard_pct": pa.array([], type=pa.int64())})
         name_a = "shingles" if "shingles" in batch.column_names else "shingles_a"
-        sa = batch[name_a].combine_chunks()
-        sb = batch["shingles_b"].combine_chunks()
+        off_a, raw_a = _blob_views(batch[name_a])
+        off_b, raw_b = _blob_views(batch["shingles_b"])
         a_ids = np.asarray(batch["doc_a"])
         b_ids = np.asarray(batch["doc_b"])
         out_a, out_b, out_j = [], [], []
         for i in range(batch.num_rows):
-            va = np.frombuffer(sa[i].as_py(), dtype=np.uint64)
-            vb = np.frombuffer(sb[i].as_py(), dtype=np.uint64)
+            # zero-copy u64 views into the arrow buffers (blob starts are
+            # 8-aligned by construction: every blob is a multiple of 8 bytes)
+            va = raw_a[off_a[i]:off_a[i + 1]].view(np.uint64)
+            vb = raw_b[off_b[i]:off_b[i + 1]].view(np.uint64)
             if len(va) == 0 or len(vb) == 0:
                 continue
             inter = len(np.intersect1d(va, vb, assume_unique=True))
