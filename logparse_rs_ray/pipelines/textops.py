@@ -323,6 +323,54 @@ LIMIT 50
 """
 
 
+# --- stratified (per-source quota) sampling --------------------------------
+
+def doc_stratified_sample(sf_dir: str, *, per_lang: int = 50,
+                          num_partitions: int = 8, mode: str = "auto"):
+    """Deterministic per-language quota sample (``per_lang`` docs per lang,
+    smallest doc_ids win) — the source-balancing operator of a training-data
+    mix.  min-k per group is associative: each block keeps its local k per
+    lang (one lexsort), candidates merge (hash-shuffled by lang above the
+    auto threshold, single block below) and the same kernel runs again.
+    Shuffle volume = langs × k × blocks, never the corpus.
+    """
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["lang", "doc_id"])
+
+    def local_quota(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        did = np.asarray(b["doc_id"])
+        order = np.lexsort((did, lang))
+        l_s, d_s = lang[order], did[order]
+        new_seg = np.ones(len(l_s), dtype=bool)
+        new_seg[1:] = l_s[1:] != l_s[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.nonzero(new_seg)[0]
+        rank = np.arange(len(l_s)) - starts[seg_id]
+        keep = order[rank < per_lang]
+        return b.take(pa.array(keep))
+
+    partial = ds.map_batches(local_quota, batch_format="pyarrow", batch_size=None)
+    cand = (hash_partition(partial, ["lang"], num_partitions)
+            if mode == "shuffle" else partial.repartition(1))
+    merged = cand.map_batches(local_quota, batch_format="pyarrow", batch_size=None)
+    return merged.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
+
+
+DOC_STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id
+FROM (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 50
+ORDER BY lang, doc_id
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -330,6 +378,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_len_quantiles": doc_len_quantiles,
     "doc_term_df": doc_term_df,
+    "doc_stratified_sample": doc_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -338,6 +387,7 @@ ORACLE_SQL = {
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
     "doc_term_df": DOC_TERM_DF_SQL,
+    "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

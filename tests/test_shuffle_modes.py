@@ -98,6 +98,13 @@ class TestDedupModeEquivalence:
         tree = _df(exact_dedup_by_hash(SF, mode="tree"))
         pd.testing.assert_frame_equal(shuf, tree)
 
+    def test_stratified_sample_modes_agree(self):
+        from logparse_rs_ray.pipelines.textops import doc_stratified_sample
+
+        shuf = _df(doc_stratified_sample(SF, mode="shuffle", num_partitions=5))
+        one = _df(doc_stratified_sample(SF, mode="tree"))
+        pd.testing.assert_frame_equal(shuf, one)
+
     def test_sessionize_modes_agree(self):
         from logparse_rs_ray.pipelines.windows import log_sessionize
 
