@@ -96,14 +96,18 @@ def run_bench() -> dict:
     # every worker process pre-faults its allocator pools — this sandbox has
     # ~35us/page first-touch faults, which otherwise dominate the first task
     # on every fresh worker and poison the scaling comparison
-    t0 = time.perf_counter()
     rd.read_parquet(wt_path).count()
-    io_scan_s = time.perf_counter() - t0  # read+scan-only baseline for the hint
     warm_dir = "/tmp/logparse_bench_warmup"
     shutil.rmtree(warm_dir, ignore_errors=True)
     run_flagship(rd.read_parquet(wt_path), warm_dir,
                  generated_at="1970-01-01T00:00:00Z")
     shutil.rmtree(warm_dir, ignore_errors=True)
+    # read+scan-only baseline for the bottleneck hint, measured WARM (the
+    # cold first pass above is dominated by worker startup + page faults and
+    # would spuriously blame io)
+    t0 = time.perf_counter()
+    rd.read_parquet(wt_path).count()
+    io_scan_s = time.perf_counter() - t0
 
     # default 3: single-iteration medians are at the mercy of this sandbox's
     # multi-minute co-tenant slow windows (see BASELINE.md methodology note)

@@ -256,6 +256,9 @@ def _shingle_blob_batch(batch: pa.Table, k: int) -> pa.Table:
     """(doc_id, shingles: binary) for one batch — per-doc DISTINCT sorted
     shingle hashes serialized as raw little-endian u64 bytes (Arrow's hash
     join rejects list-typed payload columns; binary passes through)."""
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
     sh, off = shingle_hashes(batch["text"], k=k)
     n = len(off) - 1
     # per-doc distinct via sort + unique within segments (vectorized:
@@ -389,8 +392,6 @@ def verified_pairs_ngram(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 
     need = cands.map_batches(both_ids, batch_format="pyarrow", batch_size=None)
 
-    from ..stages.shuffle import enable_hash_shuffle
-
     docs = enable_hash_shuffle(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
     cand_docs = docs.join(need, "left_semi", num_partitions, on=("doc_id",))
     shingles = _shingle_set_table(cand_docs, k=k)
@@ -401,6 +402,9 @@ def verified_pairs_ngram(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                          on=("doc_b",), right_on=("doc_id",), right_suffix="_b")
 
     def jaccard(batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         if batch.num_rows == 0:
             return pa.table({"doc_a": pa.array([], type=pa.int64()),
                              "doc_b": pa.array([], type=pa.int64()),
@@ -522,6 +526,9 @@ def embedding_neardup_pairs(sf_dir: str, *, threshold: float = 0.40,
     part = hash_partition(ds, ["label"], num_partitions)
 
     def pairs_in_block(batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
                           "vec_b": pa.array([], type=pa.int64()),
                           "cos_pct": pa.array([], type=pa.int64())})
@@ -648,6 +655,7 @@ def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
 
     from ..stages.shuffle import hash_merge
 
+    prev_sum = labels.sum("label")
     for _ in range(max_rounds):
         # neighbor labels: edges ⋈ labels on src -> (dst, label)
         prop = edges.join(labels, "inner", num_partitions,
@@ -661,11 +669,12 @@ def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
         new_labels = hash_merge(cand, ["node"], [("label", "min")],
                                 num_partitions=num_partitions).materialize()
         # convergence: sum of labels strictly decreases until fixpoint
-        old_sum = labels.sum("label")
+        # (prev_sum carried forward — one distributed pass per round, not two)
         new_sum = new_labels.sum("label")
         labels = new_labels
-        if new_sum == old_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     out = pa.concat_tables(list(labels.map_batches(
         lambda b: pa.table({"vec_id": b["node"], "cluster_id": b["label"]}),

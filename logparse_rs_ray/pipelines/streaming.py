@@ -111,6 +111,9 @@ def streaming_tumbling_counts(sf_dir: str, *, window_minutes: int = 60,
     shards = hash_partition(ds, ["user_id"], n_shards)
 
     def shard_windows(batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         if batch.num_rows == 0:
             return _OUT_SCHEMA.empty_table()
         keys = np.asarray(batch["user_id"], dtype=np.int64)

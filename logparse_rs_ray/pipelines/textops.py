@@ -287,6 +287,9 @@ def doc_term_df(sf_dir: str, *, top_n: int = 50, num_partitions: int = 8):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def block_df(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()

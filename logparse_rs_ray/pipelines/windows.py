@@ -52,6 +52,9 @@ def log_sessionize(sf_dir: str, *, num_partitions: int = 8, mode: str = "auto"):
             if mode == "shuffle" else ds.repartition(1))
 
     def sessions(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         if b.num_rows == 0:
             return pa.table({"user_id": pa.array([], type=pa.int64()),
                              "n_sessions": pa.array([], type=pa.int64()),
@@ -245,6 +248,9 @@ def log_first_event_per_user(sf_dir: str, *, num_partitions: int = 8,
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
     def local_first(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         if b.num_rows == 0:
             return b
         u = np.asarray(b["user_id"], dtype=np.int64)

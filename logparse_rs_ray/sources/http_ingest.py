@@ -86,7 +86,12 @@ class SyslogIngestServer:
         self._threads = [t1, t2]
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        self._httpd.shutdown()       # stop accepting new connections
+        # server_close() joins in-flight handler threads (ThreadingHTTPServer
+        # block_on_close) and releases the listening socket — only AFTER that
+        # is the queue's final content known, so acknowledged lines can't
+        # race past the hop loop's exit check
+        self._httpd.server_close()
         self._stop.set()
         self._threads[1].join(timeout=30)
 
@@ -136,9 +141,11 @@ class SyslogIngestServer:
             out_lines.append(json.dumps(envelope, separators=(",", ":")))
             ok += 1
         if out_lines:
-            with self._lock:
-                with open(self.out_path, "a", encoding="utf-8") as fh:
-                    fh.write("\n".join(out_lines) + "\n")
+            # the hop loop is the only writer of out_path — no lock needed
+            # for the append, and holding one would stall /healthz and every
+            # enqueue behind disk latency
+            with open(self.out_path, "a", encoding="utf-8") as fh:
+                fh.write("\n".join(out_lines) + "\n")
         with self._lock:
             self._stats["parsed_ok"] += ok
             self._stats["skipped"] += skipped
@@ -216,6 +223,11 @@ class SyslogIngestServer:
                         payload = json.loads(body.decode("utf-8"))
                     except json.JSONDecodeError:
                         self._reply(400, b'{"error":"bad json"}')
+                        return
+                    if not isinstance(payload, dict):
+                        # a bare string/array would pass the `in` checks via
+                        # substring/element membership and then crash
+                        self._reply(400, b'{"error":"need a json object"}')
                         return
                     if "messages" in payload:
                         lines = [str(m) for m in payload["messages"]]

@@ -77,10 +77,21 @@ def resolve_mode(mode: str, *paths: str) -> str:
     ``AUTO_TREE_MAX_BYTES``, else ``"shuffle"``; other values pass through."""
     if mode != "auto":
         return mode
+    import glob
     import os
 
+    def size_of(p: str) -> int:
+        # a parquet "file" may be a DIRECTORY of part files (write_parquet
+        # layout); getsize on a dir returns the ~4 KiB inode, which would
+        # silently pick "tree" for an arbitrarily large dataset
+        if os.path.isdir(p):
+            return sum(os.path.getsize(f)
+                       for f in glob.glob(f"{p}/**/*", recursive=True)
+                       if os.path.isfile(f))
+        return os.path.getsize(p)
+
     try:
-        total = sum(os.path.getsize(p) for p in paths)
+        total = sum(size_of(p) for p in paths)
     except OSError:
         return "shuffle"  # unknown size: assume big
     return "tree" if total < AUTO_TREE_MAX_BYTES else "shuffle"

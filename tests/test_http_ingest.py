@@ -137,3 +137,10 @@ class TestHttpIngest:
         status, _ = _post(srv.port, "/syslog", json.dumps({"nope": 1}),
                           ctype="application/json")
         assert status == 400
+        # non-dict JSON bodies must 400, not crash the handler thread
+        status, _ = _post(srv.port, "/syslog", '"bare string"',
+                          ctype="application/json")
+        assert status == 400
+        status, _ = _post(srv.port, "/syslog", '["a", "list"]',
+                          ctype="application/json")
+        assert status == 400
