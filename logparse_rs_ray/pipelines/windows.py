@@ -1,21 +1,21 @@
 """Stream-shaped and specialty-join operators over the ``events`` table.
 
 Ray Data has no event-time windows (SURVEY.md §2.8 / ray guide); per-key
-window semantics are expressed as EITHER one hash shuffle + vectorized
-segment arithmetic per block (sessionize, first-event — the fast shape) or
-``groupby(key).map_groups`` over ts-sorted groups where per-key pandas
-semantics genuinely help (as-of join).  Ordering assumptions stated per
-operator.  Joins Ray Data lacks natively:
+window semantics are expressed as one hash shuffle (auto-gated to a
+single-block collapse at small input) + vectorized segment arithmetic per
+block — no per-group pandas and no sort-based groupby anywhere in this
+module.  Ordering assumptions stated per operator.  Joins Ray Data lacks
+natively:
 
-* **sessionize** — gap-based sessions per user: hash-partition by user,
-  lexsort + reduceat per block; oracle: SQL window functions.
+* **sessionize** — gap-based sessions per user: lexsort + reduceat per
+  block; oracle: SQL window functions.
 * **first-event per user** — ROW_NUMBER()=1 analog as a two-phase min-by
   reduction (block-local firsts -> per-user candidates shuffle).
 * **semi / anti join** — broadcast the key set, filter inside map_batches
   (no shuffle; the Bloom-filter pattern at scale).
-* **as-of join** — per-key ``pd.merge_asof`` inside map_groups; the
-  partitioning assumption is that one key's rows fit one group task.
-  Oracle: DuckDB ASOF JOIN.
+* **as-of join** — merged-rank trick: purchases+signups lexsorted
+  together; position minus purchase-rank gives the per-user as-of signup
+  index, fully vectorized.  Oracle: DuckDB ASOF JOIN.
 """
 
 from __future__ import annotations
@@ -166,37 +166,78 @@ ORDER BY user_id
 """
 
 
-def log_asof_last_signup(sf_dir: str):
-    """For each purchase, the user's most recent signup at-or-before it
-    (as-of join via pd.merge_asof per user group).  Partitioning
-    assumption: one user's events fit one group task."""
+def log_asof_last_signup(sf_dir: str, *, num_partitions: int = 8,
+                         mode: str = "auto"):
+    """For each purchase, the user's most recent signup at-or-before it.
+
+    As-of join, fully vectorized with the merged-rank trick: purchases and
+    signups are lexsorted together by (user, ts, kind); a purchase's
+    position minus its rank among purchases yields how many signups
+    precede it globally, and subtracting the user's signup-start offset
+    gives the per-user as-of index — no per-group pandas, no per-row loop.
+    One hash shuffle co-locates each user above the auto threshold; below
+    it the block collapse makes the same kernel exact on one task.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
-    def asof(g):
-        import pandas as pd
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(["purchase", "signup"]))
+        return b.filter(m)
 
-        g = g.sort_values("ts")
-        left = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
-        right = g[g["event_type"] == "signup"][["ts"]].rename(columns={"ts": "signup_ts"})
-        if len(left) == 0:
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "user_id": pd.Series(dtype="int64"),
-                                 "signup_epoch_us": pd.Series(dtype="int64")})
-        if len(right) == 0:
-            merged = left.assign(signup_ts=pd.NaT)
-        else:
-            merged = pd.merge_asof(left, right.assign(ts=right["signup_ts"]),
-                                   on="ts", direction="backward")
-        out = merged[["event_id", "user_id"]].copy()
-        epoch = merged["signup_ts"].astype("int64", errors="ignore")
-        out["signup_epoch_us"] = [
-            (int(v.value) // 1000) if v is not None and v == v else -1
-            for v in merged["signup_ts"]
-        ]
-        _ = epoch
-        return out
+    filtered = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    part = (hash_partition(filtered, ["user_id"], num_partitions)
+            if mode == "shuffle" else filtered.repartition(1))
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").sort("event_id")
+    def asof_block(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "user_id": pa.array([], type=pa.int64()),
+                          "signup_epoch_us": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        is_p = et == "purchase"
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        if not is_p.any():
+            return empty
+        # signups sort before purchases at equal (user, ts): "at-or-before"
+        kind = is_p.astype(np.int8)
+        order = np.lexsort((kind, ts, u))
+        u_s, ts_s, eid_s, k_s = u[order], ts[order], eid[order], kind[order]
+        n = len(u_s)
+        sign_before = np.cumsum(k_s == 0)  # signups at-or-before each merged pos
+        # per-user signup-start offset: signups before the user's first row
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        user_start = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+        base = np.where(user_start > 0, sign_before[user_start - 1], 0)
+        p_idx = np.nonzero(k_s == 1)[0]
+        k_in_user = sign_before[p_idx] - base[p_idx]  # signups <= this purchase
+        # global index of that signup: signup rows sorted by (user, ts) keep
+        # their merged order, so the j-th signup of the block is at merged
+        # rank j among signups
+        sig_pos_in_merged = np.nonzero(k_s == 0)[0]
+        sig_ts = ts_s[sig_pos_in_merged]
+        has = k_in_user > 0
+        out_ts = np.full(len(p_idx), -1, dtype=np.int64)
+        if has.any():
+            out_ts[has] = sig_ts[(base[p_idx] + k_in_user - 1)[has]]
+        return pa.table({"event_id": pa.array(eid_s[p_idx]),
+                         "user_id": pa.array(u_s[p_idx]),
+                         "signup_epoch_us": pa.array(out_ts)})
+
+    return part.map_batches(asof_block, batch_format="pyarrow",
+                            batch_size=None).sort("event_id")
 
 
 LOG_ASOF_SQL = """

@@ -139,3 +139,13 @@ class TestDedupModeEquivalence:
         shuf = _df(doc_exact_dedup(SF, mode="shuffle", num_partitions=5))
         tree = _df(doc_exact_dedup(SF, mode="tree"))
         pd.testing.assert_frame_equal(shuf, tree)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofModes:
+    def test_asof_modes_agree(self):
+        from logparse_rs_ray.pipelines.windows import log_asof_last_signup
+
+        shuf = _df(log_asof_last_signup(SF, mode="shuffle", num_partitions=5))
+        one = _df(log_asof_last_signup(SF, mode="tree"))
+        pd.testing.assert_frame_equal(shuf, one)
