@@ -228,11 +228,19 @@ _EVENT_ANON = {
 }
 
 
-def log_anonymize_users(sf_dir: str):
+def log_anonymize_users(sf_dir: str, *, mode: str = "auto", num_partitions: int = 8):
     """Distinct (user_id, deterministic token).  Rows-only driver check; the
-    token function itself is conformance-tested against the serial oracle."""
-    from ..core.anonymize import load_anon_config
+    token function itself is conformance-tested against the serial oracle.
 
+    The distinct-user key set is ∝ corpus, so the default merge is
+    size-gated like its siblings (VERDICT r02 item 7): combiner tree below
+    the auto threshold, ONE hash shuffle above it — the user directory
+    never funnels through a single task at scale.
+    """
+    from ..core.anonymize import load_anon_config
+    from ..stages.shuffle import hash_merge, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     cfg = load_anon_config(_EVENT_ANON)
     ds = read_table(sf_dir, "events", columns=["user_id"])
 
@@ -246,7 +254,11 @@ def log_anonymize_users(sf_dir: str):
 
     partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     # dedup via min-merge (token is deterministic -> min == the value)
-    out = tree_merge(partial, ["user_id"], [("user_token", "min")], fanin=4)
+    if mode == "shuffle":
+        out = hash_merge(partial, ["user_id"], [("user_token", "min")],
+                         num_partitions=num_partitions)
+    else:
+        out = tree_merge(partial, ["user_id"], [("user_token", "min")], fanin=4)
     return out.sort("user_id")
 
 

@@ -28,6 +28,18 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _list_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy list<float> column -> (n, dim) ndarray.  ``flatten()``
+    honors the array's slice offset (``.values`` does not), so this is safe
+    on any batch slice — no Arrow->pandas->object-array round-trip
+    (VERDICT r02 item 2)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    dim = len(col[0])
+    return np.asarray(col.flatten(), dtype=dtype).reshape(-1, dim)
+
+
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
@@ -50,8 +62,7 @@ def ann_topk_cosine(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES):
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"])
-        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
-        mat = _normalize(mat)
+        mat = _normalize(_list_matrix(batch["embedding"]))
         cos = qmat @ mat.T  # (nq, nb)
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
@@ -148,7 +159,7 @@ def ann_ivf_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"])
         lbls = np.asarray(batch["label"])
-        mat = _normalize(np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64))
+        mat = _normalize(_list_matrix(batch["embedding"]))
         out_q, out_v, out_c = [], [], []
         for qid, cells in probe.items():
             mask = np.isin(lbls, list(cells)) & (ids != qid)

@@ -70,7 +70,9 @@ class SyslogIngestServer:
         self._parser = WebtextParser(schema, on_error="skip",
                                      strip_syslog_prefix=True, record_timing=True)
         self._q: queue.Queue[str] = queue.Queue()
-        self._stats = {"ingested": 0, "parsed_ok": 0, "skipped": 0, "hops": 0}
+        self._stats = {"ingested": 0, "parsed_ok": 0, "skipped": 0, "hops": 0,
+                       "write_errors": 0}
+        self.last_error: str | None = None
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
@@ -112,7 +114,18 @@ class SyslogIngestServer:
             if not lines:
                 self._stop.wait(0.02)
                 continue
-            self._parse_and_append(lines)
+            try:
+                self._parse_and_append(lines)
+            except Exception as e:  # noqa: BLE001 — the hop thread must
+                # survive write failures (missing dir, disk full): the old
+                # behavior silently killed the thread while the server kept
+                # accepting lines and /healthz kept reporting ok (ADVICE
+                # r02).  Count + surface instead; the batch is dropped
+                # (at-most-once on write failure, like the reference's
+                # skip policy) rather than requeued to avoid a hot loop.
+                with self._lock:
+                    self._stats["write_errors"] += 1
+                    self.last_error = f"{type(e).__name__}: {e}"
             with self._lock:
                 self._stats["hops"] += 1
 
@@ -180,9 +193,14 @@ class SyslogIngestServer:
             def do_GET(self):
                 with server._lock:
                     stats = dict(server._stats)
+                    last_error = server.last_error
                 stats["queue_depth"] = server._q.qsize()
                 if self.path == "/healthz":
-                    self._reply(200, json.dumps({"status": "ok", **stats}).encode())
+                    status = "degraded" if stats["write_errors"] else "ok"
+                    body = {"status": status, **stats}
+                    if last_error:
+                        body["last_error"] = last_error
+                    self._reply(200, json.dumps(body).encode())
                 elif self.path == "/metrics":
                     text = "".join(f"syslog_ingest_{k} {v}\n" for k, v in stats.items())
                     self._reply(200, text.encode(), "text/plain")

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["enable_hash_shuffle", "hash_partition", "hash_merge"]
+__all__ = ["enable_hash_shuffle", "hash_partition", "hash_merge",
+           "input_size_bytes", "resolve_mode"]
 
 # Aggregator actors are concat/IO workers, not compute: Ray's default sizing
 # reserves ~half the cluster CPUs PER shuffle operator for them, which
@@ -72,18 +73,14 @@ def enable_hash_shuffle(ds):
 AUTO_TREE_MAX_BYTES = 64 << 20
 
 
-def resolve_mode(mode: str, *paths: str) -> str:
-    """``"auto"`` -> ``"tree"`` when every input file is under
-    ``AUTO_TREE_MAX_BYTES``, else ``"shuffle"``; other values pass through."""
-    if mode != "auto":
-        return mode
+def input_size_bytes(*paths: str) -> int | None:
+    """Total on-disk bytes of the inputs, DIRECTORY-aware (a parquet
+    "file" may be a write_parquet directory of part files; getsize on a dir
+    returns the ~4 KiB inode).  ``None`` when any path is unreadable."""
     import glob
     import os
 
     def size_of(p: str) -> int:
-        # a parquet "file" may be a DIRECTORY of part files (write_parquet
-        # layout); getsize on a dir returns the ~4 KiB inode, which would
-        # silently pick "tree" for an arbitrarily large dataset
         if os.path.isdir(p):
             return sum(os.path.getsize(f)
                        for f in glob.glob(f"{p}/**/*", recursive=True)
@@ -91,8 +88,18 @@ def resolve_mode(mode: str, *paths: str) -> str:
         return os.path.getsize(p)
 
     try:
-        total = sum(size_of(p) for p in paths)
+        return sum(size_of(p) for p in paths)
     except OSError:
+        return None
+
+
+def resolve_mode(mode: str, *paths: str) -> str:
+    """``"auto"`` -> ``"tree"`` when every input file is under
+    ``AUTO_TREE_MAX_BYTES``, else ``"shuffle"``; other values pass through."""
+    if mode != "auto":
+        return mode
+    total = input_size_bytes(*paths)
+    if total is None:
         return "shuffle"  # unknown size: assume big
     return "tree" if total < AUTO_TREE_MAX_BYTES else "shuffle"
 

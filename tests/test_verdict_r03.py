@@ -1,0 +1,199 @@
+"""Round-3 regressions: VERDICT r02 items 1-10 and ADVICE r02 findings.
+
+Each test pins one fixed anti-pattern so it cannot come back:
+  * doc_term_df's top-N runs without an AllToAll Sort over the vocabulary
+  * the batched Jaccard kernel equals the per-pair set intersection
+  * log_anonymize_users tree/shuffle merge modes agree
+  * streaming shard count is sized from input bytes; auto == explicit
+  * embedding near-dup mega-cells degrade to a bounded LSH sub-split that
+    preserves duplicate-cluster connectivity (never O(n^2), never a drop)
+  * the HTTP ingest hop loop survives write failures and degrades /healthz
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTermDfPlan:
+    def test_topn_without_global_sort_matches_duckdb(self):
+        import duckdb
+
+        from logparse_rs_ray.pipelines.textops import DOC_TERM_DF_SQL, doc_term_df
+
+        out = doc_term_df(SF)
+        got = (out.to_pandas()
+               .sort_values(["df", "term"], ascending=[False, True])
+               .reset_index(drop=True))
+        # VERDICT r02 item 1 done-criterion: no AllToAll Sort operator in
+        # the executed plan (per-partition local top-N instead)
+        assert "Sort" not in out.stats()
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        want = (con.execute(DOC_TERM_DF_SQL).fetchdf()
+                .sort_values(["df", "term"], ascending=[False, True])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[["term", "df"]], want[["term", "df"]],
+                                      check_dtype=False)
+
+
+class TestJaccardKernel:
+    def test_batched_kernel_equals_per_pair_intersect(self):
+        from logparse_rs_ray.pipelines.dedup import _batch_jaccard
+
+        rng = np.random.default_rng(7)
+        sets = [np.unique(rng.integers(0, 60, size=int(n)).astype(np.uint64))
+                for n in rng.integers(0, 40, size=300)]
+        ai = rng.integers(0, len(sets), size=500)
+        bi = rng.integers(0, len(sets), size=500)
+        len_a = np.array([len(sets[i]) for i in ai], dtype=np.int64)
+        len_b = np.array([len(sets[i]) for i in bi], dtype=np.int64)
+        vals_a = (np.concatenate([sets[i] for i in ai])
+                  if len_a.sum() else np.empty(0, np.uint64))
+        vals_b = (np.concatenate([sets[i] for i in bi])
+                  if len_b.sum() else np.empty(0, np.uint64))
+        threshold = 0.3
+        keep, jpct = _batch_jaccard(len_a, vals_a, len_b, vals_b, threshold)
+        for idx, (i, j) in enumerate(zip(ai, bi)):
+            va, vb = sets[i], sets[j]
+            if not len(va) or not len(vb):
+                assert not keep[idx]
+                continue
+            inter = len(np.intersect1d(va, vb, assume_unique=True))
+            jac = inter / (len(va) + len(vb) - inter)
+            assert keep[idx] == (jac >= threshold)
+            assert jpct[idx] == int(np.round(jac * 100))
+
+    def test_empty_and_disjoint(self):
+        from logparse_rs_ray.pipelines.dedup import _batch_jaccard
+
+        # pair 0: a = {} vs b = {1,2}; pair 1: a = {3,4} vs b = {5,6}
+        keep, jpct = _batch_jaccard(
+            np.array([0, 2], dtype=np.int64),
+            np.array([3, 4], dtype=np.uint64),
+            np.array([2, 2], dtype=np.int64),
+            np.array([1, 2, 5, 6], dtype=np.uint64), 0.1)
+        assert not keep[0]          # empty side never passes
+        assert not keep[1]          # disjoint sets: jaccard 0
+        assert jpct[0] == 0 and jpct[1] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnonymizeModes:
+    def test_tree_equals_shuffle(self):
+        from logparse_rs_ray.pipelines.logops import log_anonymize_users
+
+        a = log_anonymize_users(SF, mode="tree").to_pandas().reset_index(drop=True)
+        b = log_anonymize_users(SF, mode="shuffle").to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStreamingShards:
+    def test_auto_shard_count_sizing(self):
+        from logparse_rs_ray.pipelines.streaming import (TARGET_SHARD_BYTES,
+                                                         auto_shard_count)
+
+        assert auto_shard_count(None) == 64            # unknown -> safe side
+        assert auto_shard_count(10) == 4               # floor
+        assert auto_shard_count(100 * TARGET_SHARD_BYTES) == 100
+        assert auto_shard_count(100 * TARGET_SHARD_BYTES + 1) == 101
+
+    def test_auto_equals_explicit_shards_and_small_chunks(self):
+        from logparse_rs_ray.pipelines.streaming import streaming_tumbling_counts
+
+        auto = streaming_tumbling_counts(SF)
+        # shard count AND chunk size invariance; chunk_rows far below the
+        # shard size forces many incremental feeds through the machine
+        explicit = streaming_tumbling_counts(SF, n_shards=7, chunk_rows=256)
+        assert auto.equals(explicit)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMegaCellFallback:
+    def _write_embeddings(self, tmp_path, n_noise=30, dim=32, seed=3):
+        rng = np.random.default_rng(seed)
+        vec_a = rng.standard_normal(dim)
+        vec_b = rng.standard_normal(dim)
+        rows = ([vec_a] * 10) + ([vec_b] * 8) + list(rng.standard_normal((n_noise, dim)))
+        emb = pa.array([list(map(float, v)) for v in rows],
+                       type=pa.list_(pa.float32()))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(rows)), type=pa.int64()),
+            "embedding": emb,
+            "label": pa.array(np.zeros(len(rows), dtype=np.int32)),
+        })
+        pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+        return rows
+
+    def test_giant_cell_bounded_and_connected(self, tmp_path):
+        from logparse_rs_ray.pipelines.dedup import (_union_find_clusters,
+                                                     embedding_neardup_pairs)
+
+        rows = self._write_embeddings(tmp_path)
+        threshold = 0.95
+        exact = embedding_neardup_pairs(str(tmp_path), threshold=threshold,
+                                        max_cell=10_000)
+        capped = embedding_neardup_pairs(str(tmp_path), threshold=threshold,
+                                         max_cell=8)
+        # every emitted pair is genuinely above threshold
+        mat = np.stack(rows)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for a, b in zip(capped["vec_a"].to_pylist(), capped["vec_b"].to_pylist()):
+            assert float(mat[a] @ mat[b]) >= threshold - 1e-9
+        # capped output is a subset of the exact pair set
+        def keyset(t):
+            return set(zip(t["vec_a"].to_pylist(), t["vec_b"].to_pylist()))
+        assert keyset(capped) <= keyset(exact)
+        # duplicate-cluster connectivity survives the bounded pairing:
+        # ids 0-9 (identical) end in one cluster, 10-17 in another
+        clusters = _union_find_clusters(capped)
+        lab = dict(zip(clusters["vec_id"].to_pylist(),
+                       clusters["cluster_id"].to_pylist()))
+        assert len({lab[i] for i in range(10)}) == 1
+        assert len({lab[i] for i in range(10, 18)}) == 1
+        assert lab[0] != lab[10]
+
+
+class TestHttpIngestDegraded:
+    def test_hop_loop_survives_write_failure(self, tmp_path):
+        from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
+        from logparse_rs_ray.webtext import generate_webtext_table
+
+        out = tmp_path / "missing_dir" / "out.ndjson"  # parent absent: append fails
+        srv = SyslogIngestServer(str(out), port=0, batch_size=16)
+        srv.start()
+        try:
+            line = generate_webtext_table(1, seed=42)["text"][0].as_py()
+            body = (line + "\n").encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/syslog", data=body,
+                headers={"Content-Type": "text/plain"}, method="POST")
+            urllib.request.urlopen(req, timeout=10)
+            h = {}
+            for _ in range(200):
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{srv.port}/healthz", timeout=10) as r:
+                    h = json.loads(r.read())
+                if h.get("write_errors", 0) > 0:
+                    break
+                time.sleep(0.05)
+            assert h["write_errors"] >= 1
+            assert h["status"] == "degraded"
+            assert "last_error" in h
+            # thread is still alive: the server keeps accepting and hopping
+            urllib.request.urlopen(req, timeout=10)
+        finally:
+            srv.stop()
