@@ -78,6 +78,30 @@ def materialize_webtext(n_docs: int) -> str:
     return path
 
 
+def _parse_stage_stats(stats: str) -> dict:
+    """Per-operator wall / remote-wall / UDF seconds out of ``ds.stats()``
+    text (VERDICT r02 item 9: stage timings belong in the BENCH artifact,
+    not prose)."""
+    import re
+
+    out: dict[str, dict] = {}
+    cur = None
+    unit = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+    for line in stats.splitlines():
+        m = re.match(r"Operator (\d+) (.+?): .*? in ([\d.]+)s", line)
+        if m:
+            cur = f"op{m.group(1)} {m.group(2)[:70]}"
+            out[cur] = {"wall_s": float(m.group(3))}
+            continue
+        if cur is None:
+            continue
+        m2 = re.search(r"\* (Remote wall|UDF) time:.*?([\d.]+)(us|ms|s) total", line)
+        if m2:
+            key = "remote_wall_s" if m2.group(1) == "Remote wall" else "udf_s"
+            out[cur][key] = round(float(m2.group(2)) * unit[m2.group(3)], 3)
+    return out
+
+
 def run_bench() -> dict:
     import ray
 
@@ -104,21 +128,31 @@ def run_bench() -> dict:
     shutil.rmtree(warm_dir, ignore_errors=True)
     # read+scan-only baseline for the bottleneck hint, measured WARM (the
     # cold first pass above is dominated by worker startup + page faults and
-    # would spuriously blame io)
+    # would spuriously blame io).  count() on an untransformed parquet read
+    # answers from file METADATA without touching data (ADVICE r02) — force
+    # a real scan through a row-counting map_batches instead.
+    import pyarrow as _pa
+
     t0 = time.perf_counter()
-    rd.read_parquet(wt_path).count()
+    rd.read_parquet(wt_path).map_batches(
+        lambda b: _pa.table({"n": _pa.array([b.num_rows])}),
+        batch_format="pyarrow", batch_size=None).sum("n")
     io_scan_s = time.perf_counter() - t0
 
     # default 3: single-iteration medians are at the mercy of this sandbox's
     # multi-minute co-tenant slow windows (see BASELINE.md methodology note)
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     times = []
-    for _ in range(repeat):
+    stage_sink: dict = {}
+    for i in range(repeat):
         out_dir = "/tmp/logparse_bench_out"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = rd.read_parquet(wt_path)
-        run_flagship(ds, out_dir, generated_at="1970-01-01T00:00:00Z")
+        # per-stage stats captured on the last iteration only (stats()
+        # rendering is driver-side work that shouldn't pollute the median)
+        run_flagship(ds, out_dir, generated_at="1970-01-01T00:00:00Z",
+                     stats_sink=stage_sink if i == repeat - 1 else None)
         times.append(time.perf_counter() - t0)
     headline = sorted(times)[len(times) // 2]  # median vs sandbox timing noise
 
@@ -139,10 +173,12 @@ def run_bench() -> dict:
             "max": round(ms[-1], 1),
         },
         "iterations": repeat,
+        "io_scan_s": round(io_scan_s, 3),
         # read+scan-only pass vs the full pipeline: if scanning the input
         # already costs most of the wall time, the pipeline is IO-bound
         "bottleneck_hint": ("io_scan" if io_scan_s > 0.5 * headline
                             else "compute(parse+enrich+write)"),
+        "stages": _parse_stage_stats(stage_sink.get("flagship_stats", "")),
     }
 
     # domain-routed variant (north-star fan-out shape: per-domain writers,
@@ -247,8 +283,59 @@ def run_scaling() -> dict:
     }
 
 
+def run_ab(base_ref: str) -> dict:
+    """Same-input A/B against a named git ref: fresh child processes for
+    the CURRENT tree and a worktree of ``base_ref`` ALTERNATE within one
+    invocation over the same cached input (page cache warm for both, the
+    sandbox's multi-minute co-tenant slow windows hit both variants instead
+    of biasing one).  Reports per-variant medians so cross-round headline
+    drift is attributable to the code, not the hour (VERDICT r02 item 8).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    worktree = "/tmp/logparse_ab_base"
+    if not os.path.exists(f"{worktree}/bench.py"):
+        shutil.rmtree(worktree, ignore_errors=True)
+        subprocess.run(["git", "-C", here, "worktree", "add", "--force",
+                        worktree, base_ref], check=True, capture_output=True)
+
+    def run_one(bench_path: str) -> float:
+        env = dict(os.environ, BENCH_SKIP_QUERIES="1", BENCH_REPEAT="1",
+                   GRAFT_SF_DIR=SF_DIR, RAY_GRAFT_CPUS=str(NUM_CPUS),
+                   WEBTEXT_ROWS=str(N_DOCS))
+        out = subprocess.run([sys.executable, bench_path], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])["value"]
+
+    rounds = int(os.environ.get("AB_ROUNDS", "3"))
+    cur: list[float] = []
+    base: list[float] = []
+    for _ in range(rounds):
+        cur.append(run_one(os.path.join(here, "bench.py")))
+        base.append(run_one(os.path.join(worktree, "bench.py")))
+
+    def med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    return {
+        "metric": f"A/B headline: current tree vs {base_ref} "
+                  "(interleaved fresh processes, same cached input)",
+        "current_median_sec": med(cur),
+        "base_median_sec": med(base),
+        "speedup_vs_base": round(med(base) / med(cur), 3),
+        "raw_current_sec": cur,
+        "raw_base_sec": base,
+        "base_ref": base_ref,
+        "docs": N_DOCS,
+        "num_cpus": NUM_CPUS,
+        "sf": SF,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ab" in sys.argv:
+        ref = sys.argv[sys.argv.index("--ab") + 1]
+        print(json.dumps(run_ab(ref)))
     else:
         print(json.dumps(run_bench()))

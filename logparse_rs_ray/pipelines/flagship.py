@@ -416,6 +416,7 @@ def run_flagship(
     route_key: str = "log_type",
     hot_keys: list[str] | None = None,
     num_salts: int = 16,
+    stats_sink: dict | None = None,
 ) -> dict:
     """Full pipeline; returns the report dict (also written under out_dir).
 
@@ -450,6 +451,10 @@ def run_flagship(
     routed = routed.map_batches(append_report_rows, batch_format="pyarrow", batch_size=None, **mk)
     partition_cols = ["sink", "salt"] if hot_keys else ["sink"]
     routed.write_parquet(f"{out_dir}/sinks", partition_cols=partition_cols)
+    if stats_sink is not None:
+        # executed per-operator stats of the fused write plan (bench.py
+        # parses per-stage wall/UDF times into BENCH JSON)
+        stats_sink["flagship_stats"] = routed.stats()
 
     # integrity dedup + report merge share one per-bucket consolidation
     # execution (the integrity dirs are simply absent when write_integrity
