@@ -343,6 +343,84 @@ LIMIT 50
 """
 
 
+# --- benchmark decontamination (broadcast small-side n-gram overlap) -------
+
+def doc_decontaminate(sf_dir: str, *, k: int = 5, bench_mod: int = 97):
+    """Doc ids of corpus documents sharing >= 1 k-token shingle with the
+    BENCHMARK subset (here: ``doc_id % bench_mod == 0`` — the stand-in for
+    an eval set) — the decontamination pass of a training-data pipeline.
+
+    Scale shape: the benchmark is the SMALL side by construction, so its
+    distinct shingle hashes are computed in tasks, collected once and
+    broadcast via ``ray.put``; the corpus pass is then ONE ``map_batches``
+    with a vectorized ``searchsorted`` membership test per batch — no
+    shuffle, no join, corpus never materializes.  Shingles are 64-bit FNV
+    rolling hashes (collision probability ~ n_grams²/2⁶⁴, negligible);
+    docs with fewer than ``k`` tokens carry no k-gram and are excluded on
+    both sides, matching the SQL semantics exactly.
+    """
+    import ray as _ray
+
+    from ..functions.hashing import segment_sum, shingle_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"])
+        ntok = np.asarray(pc.count_substring_regex(b["text"], r"\S+"), dtype=np.int64)
+        mask = (ids % bench_mod == 0) & (ntok >= k)
+        if not mask.any():
+            return pa.table({"h": pa.array([], type=pa.uint64())})
+        sub = b.take(pa.array(np.nonzero(mask)[0]))
+        sh, _ = shingle_hashes(sub["text"], k=k)
+        return pa.table({"h": pa.array(np.unique(sh))})
+
+    parts = docs.map_batches(bench_grams, batch_format="pyarrow", batch_size=None)
+    all_h = [np.asarray(b["h"], dtype=np.uint64)
+             for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)]
+    bench = (np.unique(np.concatenate(all_h)) if all_h
+             else np.empty(0, dtype=np.uint64))
+    ref = _ray.put(bench)  # sorted distinct benchmark shingles, shipped once
+
+    def flag(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64())})
+        ids = np.asarray(b["doc_id"])
+        ntok = np.asarray(pc.count_substring_regex(b["text"], r"\S+"), dtype=np.int64)
+        mask = (ids % bench_mod != 0) & (ntok >= k)
+        if not mask.any():
+            return empty
+        bench_h = _ray.get(ref)
+        if len(bench_h) == 0:
+            return empty
+        sub = b.take(pa.array(np.nonzero(mask)[0]))
+        sh, off = shingle_hashes(sub["text"], k=k)
+        pos = np.minimum(np.searchsorted(bench_h, sh), len(bench_h) - 1)
+        hit = (bench_h[pos] == sh).astype(np.int64)
+        per_doc = segment_sum(hit, off)
+        sel = np.asarray(sub["doc_id"])[per_doc > 0]
+        return pa.table({"doc_id": pa.array(sel, type=pa.int64())})
+
+    return docs.map_batches(flag, batch_format="pyarrow",
+                            batch_size=None).sort("doc_id")
+
+
+DOC_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+WHERE doc_id % 97 <> 0
+ORDER BY doc_id
+"""
+
+
 # --- stratified (per-source quota) sampling --------------------------------
 
 def doc_stratified_sample(sf_dir: str, *, per_lang: int = 50,
@@ -398,6 +476,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_len_quantiles": doc_len_quantiles,
     "doc_term_df": doc_term_df,
+    "doc_decontaminate": doc_decontaminate,
     "doc_stratified_sample": doc_stratified_sample,
 }
 
@@ -407,6 +486,7 @@ ORACLE_SQL = {
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
     "doc_term_df": DOC_TERM_DF_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.

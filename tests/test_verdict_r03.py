@@ -167,6 +167,26 @@ class TestMegaCellFallback:
         assert lab[0] != lab[10]
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestDecontaminate:
+    def test_flags_exact_and_partial_overlap_only(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_decontaminate
+
+        bench_text = "alpha beta gamma delta epsilon zeta"      # doc 0 (id%97==0)
+        rows = {
+            0: bench_text,                                      # benchmark itself
+            1: bench_text,                                      # exact dup -> flagged
+            2: "x y " + "alpha beta gamma delta epsilon",       # shares a 5-gram -> flagged
+            3: "alpha beta gamma delta",                        # only 4 tokens -> no 5-gram
+            4: "totally different words here none shared",      # clean
+        }
+        t = pa.table({"doc_id": pa.array(list(rows), type=pa.int64()),
+                      "text": pa.array(list(rows.values()), type=pa.string())})
+        pq.write_table(t, f"{tmp_path}/documents.parquet")
+        out = doc_decontaminate(str(tmp_path)).to_pandas()
+        assert out["doc_id"].tolist() == [1, 2]
+
+
 class TestHttpIngestDegraded:
     def test_hop_loop_survives_write_failure(self, tmp_path):
         from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
