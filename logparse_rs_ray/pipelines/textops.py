@@ -469,6 +469,47 @@ ORDER BY lang, doc_id
 """
 
 
+# --- deterministic global shuffle (training-shard assignment) --------------
+
+SHUFFLE_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+
+def doc_shuffle_shards(sf_dir: str, *, n_shards: int = 16):
+    """(doc_id, shard) — deterministic pseudo-random training-shard
+    assignment via the Knuth multiplicative hash.  The scale answer to
+    ``Dataset.random_shuffle()`` for training output: no all-to-all
+    shuffle and no RNG state; each doc's shard is a pure function of its
+    id, so the assignment is resumable, reproducible across engines (the
+    SQL oracle computes the identical arithmetic) and the actual data
+    movement is a single hive-partitioned ``write_parquet`` by ``shard``
+    (one directory per shard, exactly the flagship's sink layout).
+    Arithmetic stays in [0, 2^64): ids are folded mod 2^32 first so the
+    product never wraps.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.uint64)
+        h = ((ids % np.uint64(1 << 32)) * np.uint64(SHUFFLE_KNUTH)) % np.uint64(1 << 32)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None).sort("doc_id")
+
+
+# HUGEINT for the product: (2^32-1) * 2654435761 overflows BIGINT (the
+# uint64 side has headroom: ~1.1e19 < 2^64)
+DOC_SHUFFLE_SHARDS_SQL = f"""
+SELECT doc_id,
+       CAST((CAST(doc_id % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})
+            % 4294967296 % 16 AS BIGINT) AS shard
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -478,6 +519,7 @@ QUERIES = {
     "doc_term_df": doc_term_df,
     "doc_decontaminate": doc_decontaminate,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_shuffle_shards": doc_shuffle_shards,
 }
 
 ORACLE_SQL = {
@@ -488,6 +530,7 @@ ORACLE_SQL = {
     "doc_term_df": DOC_TERM_DF_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
+    "doc_shuffle_shards": DOC_SHUFFLE_SHARDS_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

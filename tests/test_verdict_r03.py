@@ -187,6 +187,21 @@ class TestDecontaminate:
         assert out["doc_id"].tolist() == [1, 2]
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleShards:
+    def test_deterministic_and_balanced(self):
+        from logparse_rs_ray.pipelines.textops import doc_shuffle_shards
+
+        a = doc_shuffle_shards(SF).to_pandas()
+        b = doc_shuffle_shards(SF).to_pandas()
+        pd.testing.assert_frame_equal(a, b)              # pure function of id
+        counts = a["shard"].value_counts()
+        assert a["shard"].between(0, 15).all()
+        # multiplicative hash spreads sequential ids well: no shard holds
+        # more than 3x its fair share on the tiny corpus
+        assert counts.max() <= 3 * len(a) / 16
+
+
 class TestHttpIngestDegraded:
     def test_hop_loop_survives_write_failure(self, tmp_path):
         from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
