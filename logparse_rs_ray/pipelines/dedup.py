@@ -826,6 +826,95 @@ def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
     return out.sort_by([("vec_id", "ascending")])
 
 
+# --- keep-one dedup: the corpus AFTER near-dup removal ---------------------
+
+def embed_dedup_survivors(sf_dir: str, *, threshold: float = 0.40,
+                          num_partitions: int = 8,
+                          broadcast_max_drop: int = 5_000_000):
+    """(vec_id, label) — the deduplicated corpus: every vector except
+    non-representative members of a near-dup cluster (the min-id member
+    survives).  This is the canonical end-to-end training-data dedup
+    output: cluster the near-dup graph, then a shuffle-free anti-join of
+    the full corpus against the (small) drop set.
+
+    Scale shape: the drop set is bounded by the number of nodes that
+    appear in any near-dup pair — tiny relative to a 100 TB corpus — so it
+    is broadcast (``ray.put`` once, Arrow ``left anti`` join per batch);
+    above ``broadcast_max_drop`` rows the same anti-filter runs per hash
+    partition (key-colocated, like the cluster propagation rounds) instead
+    of broadcasting.  The corpus pass reads only the two output columns.
+    """
+    from ..stages.join import broadcast_join
+
+    clusters = neardup_clusters(sf_dir, threshold=threshold,
+                                num_partitions=num_partitions)
+    drop = clusters.filter(pc.less(clusters["cluster_id"], clusters["vec_id"]))
+    drop = pa.table({"vec_id": drop["vec_id"]})
+
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    sch = corpus.schema()  # ray Schema: parallel .names / .types (Arrow types)
+    label_type = dict(zip(sch.names, sch.types))["label"]
+    if drop.num_rows <= broadcast_max_drop:
+        out = broadcast_join(corpus, drop, "vec_id", join_type="left anti")
+    else:  # degenerate corpus (almost everything duplicated): co-locate by key
+
+        def mark(role: int):
+            def f(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    "vec_id": b["vec_id"],
+                    "label": b["label"] if role == 0 else pa.nulls(b.num_rows, label_type),
+                    "is_drop": pa.array(np.full(b.num_rows, role, dtype=np.int8)),
+                })
+            return f
+
+        import ray.data as rd
+
+        mixed = corpus.map_batches(mark(0), batch_format="pyarrow",
+                                   batch_size=None).union(
+            rd.from_arrow(drop.append_column(
+                "label", pa.nulls(drop.num_rows, label_type))).map_batches(
+                mark(1), batch_format="pyarrow", batch_size=None))
+
+        def anti(b: pa.Table) -> pa.Table:
+            dropped = pc.unique(b.filter(pc.equal(b["is_drop"], 1))["vec_id"])
+            keep = b.filter(pc.equal(b["is_drop"], 0))
+            mask = pc.invert(pc.is_in(keep["vec_id"], value_set=dropped))
+            keep = keep.filter(mask)
+            return pa.table({"vec_id": keep["vec_id"], "label": keep["label"]})
+
+        out = hash_partition(mixed, ["vec_id"], num_partitions).map_batches(
+            anti, batch_format="pyarrow", batch_size=None)
+
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"vec_id": pa.array([], type=pa.int64()),
+                   "label": pa.array([], type=label_type)})])
+    return tbl.select(["vec_id", "label"]).sort_by([("vec_id", "ascending")])
+
+
+EMBED_DEDUP_SURVIVORS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+),
+edges AS (SELECT va AS src, vb AS dst FROM pairs
+          UNION ALL SELECT vb, va FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                  WHERE c.node = e.vec_id AND c.cluster_id < e.vec_id)
+ORDER BY e.vec_id
+"""
+
+
 NEARDUP_CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
@@ -853,12 +942,14 @@ QUERIES = {
     "dedup_simhash_pairs": simhash_pairs,
     "embed_neardup_cosine": embedding_neardup_pairs,
     "embed_neardup_clusters": neardup_clusters,
+    "embed_dedup_survivors": embed_dedup_survivors,
 }
 
 ORACLE_SQL = {
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "embed_neardup_cosine": EMBED_NEARDUP_SQL,
     "embed_neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "embed_dedup_survivors": EMBED_DEDUP_SURVIVORS_SQL,
     # minhash/simhash: probabilistic sketches, not SQL-expressible; pytest
     # verifies them against brute-force oracles on tiny corpora instead.
 }

@@ -202,6 +202,29 @@ class TestShuffleShards:
         assert counts.max() <= 3 * len(a) / 16
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestDedupSurvivors:
+    def test_keep_one_semantics_and_path_equivalence(self):
+        """Survivors = corpus minus non-representative cluster members; the
+        broadcast anti-join and the hash-partition anti-filter agree."""
+        from logparse_rs_ray.pipelines.dedup import (
+            embed_dedup_survivors, neardup_clusters)
+
+        surv = embed_dedup_survivors(SF).to_pandas()
+        clusters = neardup_clusters(SF).to_pandas()
+        dropped = set(clusters.loc[clusters.cluster_id < clusters.vec_id,
+                                   "vec_id"])
+        n_corpus = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+        assert len(surv) == n_corpus - len(dropped)
+        assert dropped.isdisjoint(surv.vec_id)
+        # every cluster keeps exactly its min-id representative
+        keepers = set(clusters.cluster_id)
+        assert keepers <= set(surv.vec_id)
+
+        forced = embed_dedup_survivors(SF, broadcast_max_drop=0).to_pandas()
+        pd.testing.assert_frame_equal(surv, forced)
+
+
 class TestHttpIngestDegraded:
     def test_hop_loop_survives_write_failure(self, tmp_path):
         from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
