@@ -469,6 +469,80 @@ ORDER BY lang, doc_id
 """
 
 
+# --- repetition signals (Gopher-style quality rules) -----------------------
+
+def doc_repetition(sf_dir: str):
+    """Per-doc word-repetition signals — the Gopher "repetitious document"
+    quality rules re-expressed over the word-stream corpus: total words,
+    distinct words, most-common-word fraction and duplicate-word fraction
+    (both per-mille, floor — integer for cross-engine parity).
+
+    Shuffle-free: every signal is a pure function of one document, so this
+    is a single vectorized corpus pass.  Per batch: one ``split_pattern``
+    -> flatten -> ``dictionary_encode`` (exact word identity — no hash
+    collisions) -> one lexsort over (doc, code) -> run-length counts give
+    distinct/max per doc with ``reduceat``.  No Python loop over rows.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("doc_id", "n_words", "n_distinct",
+                                       "top_word_pml", "dup_word_pml")})
+        def _arr(x):  # normalize ChunkedArray | Array -> one contiguous Array
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        words = pc.split_pattern(_arr(b["text"]), " ")
+        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = _arr(pc.list_flatten(words))
+        codes = _arr(pc.dictionary_encode(flat)).indices.to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((codes, doc_idx))
+        di, cd = doc_idx[order], codes[order]
+        new_grp = np.empty(len(di), dtype=bool)
+        new_grp[0] = True
+        np.logical_or(di[1:] != di[:-1], cd[1:] != cd[:-1], out=new_grp[1:])
+        grp_doc = di[new_grp]                       # owning doc of each (doc,word) group
+        n_distinct = np.bincount(grp_doc, minlength=n)
+        starts = np.flatnonzero(new_grp)
+        counts = np.diff(np.r_[starts, len(di)])    # occurrences per (doc,word)
+        doc_first = np.empty(len(grp_doc), dtype=bool)
+        doc_first[0] = True
+        np.not_equal(grp_doc[1:], grp_doc[:-1], out=doc_first[1:])
+        # split(" ") yields >=1 token per doc (even ""), so every doc owns
+        # >=1 group and reduceat segments are non-empty
+        max_c = np.maximum.reduceat(counts, np.flatnonzero(doc_first))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(lens),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "top_word_pml": pa.array((max_c.astype(np.int64) * 1000) // lens),
+            "dup_word_pml": pa.array(((lens - n_distinct) * 1000) // lens),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=None).sort("doc_id")
+
+
+DOC_REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       COUNT(*) AS n_distinct,
+       CAST((MAX(c) * 1000) // SUM(c) AS BIGINT) AS top_word_pml,
+       CAST(((SUM(c) - COUNT(*)) * 1000) // SUM(c) AS BIGINT) AS dup_word_pml
+FROM wc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --- deterministic global shuffle (training-shard assignment) --------------
 
 SHUFFLE_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
@@ -520,6 +594,7 @@ QUERIES = {
     "doc_decontaminate": doc_decontaminate,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_shuffle_shards": doc_shuffle_shards,
+    "doc_repetition": doc_repetition,
 }
 
 ORACLE_SQL = {
@@ -531,6 +606,7 @@ ORACLE_SQL = {
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_shuffle_shards": DOC_SHUFFLE_SHARDS_SQL,
+    "doc_repetition": DOC_REPETITION_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

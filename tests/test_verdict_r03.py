@@ -225,6 +225,22 @@ class TestDedupSurvivors:
         pd.testing.assert_frame_equal(surv, forced)
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestRepetition:
+    def test_pinned_tiny_corpus(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_repetition
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["a a a b", "x y z", "dup dup dup dup"],
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = doc_repetition(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1].tolist() == [4, 2, 750, 500]   # 3x'a' of 4 words
+        assert out.loc[2].tolist() == [3, 3, 333, 0]     # all distinct
+        assert out.loc[3].tolist() == [4, 1, 1000, 750]  # one repeated word
+
+
 class TestHttpIngestDegraded:
     def test_hop_loop_survives_write_failure(self, tmp_path):
         from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
