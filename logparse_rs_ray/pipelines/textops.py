@@ -543,6 +543,96 @@ ORDER BY doc_id
 """
 
 
+# --- exact heavy hitters, shuffle-free (two-pass local-threshold plan) -----
+
+def doc_heavy_hitters(sf_dir: str, *, k: int = 30):
+    """(term, cnt) for every word whose corpus frequency is >= 1/k of all
+    word occurrences — EXACT result with NO corpus-sized shuffle, in
+    contrast to ``doc_term_df`` which hash-shuffles the full vocabulary.
+    The classic two-pass heavy-hitter plan (Misra-Gries-style recall
+    guarantee with exact block counts):
+
+    * pass 1: per block, exact local counts (``dictionary_encode`` +
+      ``bincount``); emit terms with ``cnt_b * k >= n_b`` plus the block
+      total.  Averaging argument: a term with global ``cnt * k >= N``
+      must be a local heavy hitter in >= 1 block (else summing the strict
+      inequalities contradicts the global one), so the candidate union
+      (<= k rows per block) has perfect recall.
+    * pass 2: broadcast the candidate list; per block count ONLY candidate
+      occurrences (``index_in`` + ``bincount``); tree-merge the bounded
+      partials; keep ``cnt * k >= N``.
+
+    Driver holds only the candidate union (<= k x blocks rows); worker
+    state is one block's dictionary at a time.
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def pass1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"term": pa.array([None], type=pa.string()),
+                             "cnt": pa.array([0], type=pa.int64())})
+        flat = _arr(pc.list_flatten(pc.split_pattern(_arr(b["text"]), " ")))
+        d = _arr(pc.dictionary_encode(flat))
+        idx = d.indices.to_numpy().astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(d.dictionary))
+        nb = np.int64(len(idx))
+        cand = np.flatnonzero(cnt * k >= nb)
+        terms = d.dictionary.take(pa.array(cand)).cast(pa.string())
+        return pa.table({
+            # null term row = the block's word total (for N)
+            "term": pa.concat_arrays([terms, pa.array([None], type=pa.string())]),
+            "cnt": pa.array(np.r_[cnt[cand], nb].astype(np.int64)),
+        })
+
+    p1 = pa.concat_tables(list(
+        ds.map_batches(pass1, batch_format="pyarrow", batch_size=None)
+          .iter_batches(batch_format="pyarrow", batch_size=None)))
+    is_total = pc.is_null(p1["term"])
+    n_total = pc.sum(p1.filter(is_total)["cnt"]).as_py() or 0
+    cand_terms = pc.unique(_arr(p1.filter(pc.invert(is_total))["term"]))
+    if n_total == 0 or len(cand_terms) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+
+    def pass2(b: pa.Table) -> pa.Table:
+        flat = _arr(pc.list_flatten(pc.split_pattern(_arr(b["text"]), " ")))
+        pos = pc.index_in(flat, value_set=cand_terms)
+        pos = pos.drop_null().to_numpy().astype(np.int64)
+        cnt = np.bincount(pos, minlength=len(cand_terms))
+        return pa.table({"term": cand_terms,
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    merged = tree_merge(
+        ds.map_batches(pass2, batch_format="pyarrow", batch_size=None),
+        ["term"], [("cnt", "sum")])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater_equal(pc.multiply(b["cnt"], k), n_total))
+        return keep.sort_by([("term", "ascending")])
+
+    out = merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    return pa.concat_tables(list(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)))
+
+
+DOC_HEAVY_HITTERS_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM words)
+SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM words, tot
+GROUP BY w, tot.n
+HAVING COUNT(*) * 30 >= tot.n
+ORDER BY term
+"""
+
+
 # --- deterministic global shuffle (training-shard assignment) --------------
 
 SHUFFLE_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
@@ -595,6 +685,7 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_shuffle_shards": doc_shuffle_shards,
     "doc_repetition": doc_repetition,
+    "doc_heavy_hitters": doc_heavy_hitters,
 }
 
 ORACLE_SQL = {
@@ -607,6 +698,7 @@ ORACLE_SQL = {
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_shuffle_shards": DOC_SHUFFLE_SHARDS_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
+    "doc_heavy_hitters": DOC_HEAVY_HITTERS_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

@@ -241,6 +241,28 @@ class TestRepetition:
         assert out.loc[3].tolist() == [4, 1, 1000, 750]  # one repeated word
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def test_exact_on_pinned_corpus(self, tmp_path):
+        from collections import Counter
+
+        from logparse_rs_ray.pipelines.textops import doc_heavy_hitters
+
+        docs = ["hot hot hot cold", "hot warm warm cold",
+                "hot hot rare1 rare2", "hot cold cold warm"]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": docs,
+        }), tmp_path / "documents.parquet")
+        counts = Counter(w for d in docs for w in d.split(" "))
+        n = sum(counts.values())
+        for k in (3, 5, 16):
+            want = sorted((t, c) for t, c in counts.items() if c * k >= n)
+            out = doc_heavy_hitters(str(tmp_path), k=k)
+            got = list(zip(out["term"].to_pylist(), out["cnt"].to_pylist()))
+            assert got == want, (k, got, want)
+
+
 class TestHttpIngestDegraded:
     def test_hop_loop_survives_write_failure(self, tmp_path):
         from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
