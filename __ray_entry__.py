@@ -44,21 +44,25 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from logparse_rs_ray.pipelines import (
-        dedup, logops, multimodal, relational, similarity, textops, windows,
+        curation, dedup, logops, multimodal, relational, similarity, textops,
+        windows,
     )
 
     q: dict[str, Callable[[str], Any]] = {}
-    for mod in (relational, logops, dedup, similarity, textops, multimodal, windows):
+    for mod in (relational, logops, dedup, similarity, textops, multimodal,
+                windows, curation):
         q.update(mod.QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     from logparse_rs_ray.pipelines import (
-        dedup, logops, multimodal, relational, similarity, textops, windows,
+        curation, dedup, logops, multimodal, relational, similarity, textops,
+        windows,
     )
 
     s: dict[str, str] = {}
-    for mod in (relational, logops, dedup, similarity, textops, multimodal, windows):
+    for mod in (relational, logops, dedup, similarity, textops, multimodal,
+                windows, curation):
         s.update(mod.ORACLE_SQL)
     return s

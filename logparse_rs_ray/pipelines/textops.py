@@ -484,45 +484,48 @@ def doc_repetition(sf_dir: str):
     distinct/max per doc with ``reduceat``.  No Python loop over rows.
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_signals, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
 
-    def rep(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        if n == 0:
-            return pa.table({k: pa.array([], type=pa.int64())
-                             for k in ("doc_id", "n_words", "n_distinct",
-                                       "top_word_pml", "dup_word_pml")})
-        def _arr(x):  # normalize ChunkedArray | Array -> one contiguous Array
-            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
 
-        words = pc.split_pattern(_arr(b["text"]), " ")
-        lens = pc.list_value_length(words).to_numpy().astype(np.int64)
-        flat = _arr(pc.list_flatten(words))
-        codes = _arr(pc.dictionary_encode(flat)).indices.to_numpy().astype(np.int64)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        order = np.lexsort((codes, doc_idx))
-        di, cd = doc_idx[order], codes[order]
-        new_grp = np.empty(len(di), dtype=bool)
-        new_grp[0] = True
-        np.logical_or(di[1:] != di[:-1], cd[1:] != cd[:-1], out=new_grp[1:])
-        grp_doc = di[new_grp]                       # owning doc of each (doc,word) group
-        n_distinct = np.bincount(grp_doc, minlength=n)
-        starts = np.flatnonzero(new_grp)
-        counts = np.diff(np.r_[starts, len(di)])    # occurrences per (doc,word)
-        doc_first = np.empty(len(grp_doc), dtype=bool)
-        doc_first[0] = True
-        np.not_equal(grp_doc[1:], grp_doc[:-1], out=doc_first[1:])
-        # split(" ") yields >=1 token per doc (even ""), so every doc owns
-        # >=1 group and reduceat segments are non-empty
-        max_c = np.maximum.reduceat(counts, np.flatnonzero(doc_first))
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "n_words": pa.array(lens),
-            "n_distinct": pa.array(n_distinct.astype(np.int64)),
-            "top_word_pml": pa.array((max_c.astype(np.int64) * 1000) // lens),
-            "dup_word_pml": pa.array(((lens - n_distinct) * 1000) // lens),
-        })
+def repetition_signals(b: pa.Table) -> pa.Table:
+    """Vectorized per-doc word-repetition kernel (shared with curation)."""
+    n = b.num_rows
+    if n == 0:
+        return pa.table({k: pa.array([], type=pa.int64())
+                         for k in ("doc_id", "n_words", "n_distinct",
+                                   "top_word_pml", "dup_word_pml")})
 
-    return ds.map_batches(rep, batch_format="pyarrow", batch_size=None).sort("doc_id")
+    def _arr(x):  # normalize ChunkedArray | Array -> one contiguous Array
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    words = pc.split_pattern(_arr(b["text"]), " ")
+    lens = pc.list_value_length(words).to_numpy().astype(np.int64)
+    flat = _arr(pc.list_flatten(words))
+    codes = _arr(pc.dictionary_encode(flat)).indices.to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((codes, doc_idx))
+    di, cd = doc_idx[order], codes[order]
+    new_grp = np.empty(len(di), dtype=bool)
+    new_grp[0] = True
+    np.logical_or(di[1:] != di[:-1], cd[1:] != cd[:-1], out=new_grp[1:])
+    grp_doc = di[new_grp]                       # owning doc of each (doc,word) group
+    n_distinct = np.bincount(grp_doc, minlength=n)
+    starts = np.flatnonzero(new_grp)
+    counts = np.diff(np.r_[starts, len(di)])    # occurrences per (doc,word)
+    doc_first = np.empty(len(grp_doc), dtype=bool)
+    doc_first[0] = True
+    np.not_equal(grp_doc[1:], grp_doc[:-1], out=doc_first[1:])
+    # split(" ") yields >=1 token per doc (even ""), so every doc owns
+    # >=1 group and reduceat segments are non-empty
+    max_c = np.maximum.reduceat(counts, np.flatnonzero(doc_first))
+    return pa.table({
+        "doc_id": b["doc_id"],
+        "n_words": pa.array(lens),
+        "n_distinct": pa.array(n_distinct.astype(np.int64)),
+        "top_word_pml": pa.array((max_c.astype(np.int64) * 1000) // lens),
+        "dup_word_pml": pa.array(((lens - n_distinct) * 1000) // lens),
+    })
 
 
 DOC_REPETITION_SQL = """

@@ -263,6 +263,33 @@ class TestHeavyHitters:
             assert got == want, (k, got, want)
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestCuration:
+    def test_each_rejection_rule_fires(self, tmp_path):
+        from logparse_rs_ray.pipelines.curation import doc_curation
+
+        bench = "alpha beta gamma delta epsilon zeta"
+        clean = " ".join(f"w{i}" for i in range(20))
+        docs = {
+            0: bench,                                  # benchmark holdout
+            1: "alpha beta gamma delta epsilon " +     # contaminated 5-gram
+               " ".join(f"c{i}" for i in range(15)),
+            2: clean,                                  # survivor
+            3: clean,                                  # exact dup of 2
+            4: "tiny doc here now",                    # too short (<15)
+            5: " ".join(["x"] * 50),                   # repetitious (980 pml)
+            6: " ".join(f"v{i}" for i in range(95)),   # too long (>90)
+        }
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(docs), type=pa.int64()),
+            "text": list(docs.values()),
+            "lang": ["en"] * len(docs),
+        }), tmp_path / "documents.parquet")
+        out = doc_curation(str(tmp_path))
+        assert out["doc_id"].to_pylist() == [2]
+        assert out["n_words"].to_pylist() == [20]
+
+
 class TestHttpIngestDegraded:
     def test_hop_loop_survives_write_failure(self, tmp_path):
         from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
