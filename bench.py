@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
     "doc_term_df",
     "doc_len_quantiles",
+    "doc_curation",
     "log_streaming_window",
 ]
 

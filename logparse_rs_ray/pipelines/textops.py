@@ -677,6 +677,88 @@ ORDER BY doc_id
 """
 
 
+# --- training-sequence packing ---------------------------------------------
+
+def doc_pack_sequences(sf_dir: str, *, n_shards: int = 16, budget: int = 512):
+    """(doc_id, shard, pack_id, pack_offset) — deterministic sequence
+    packing for pretraining output: docs are assigned to shards by the
+    Knuth hash (same rule as ``doc_shuffle_shards``), then packed in
+    doc_id order into fixed ``budget``-token bins by exclusive prefix sum
+    (a doc whose tokens straddle a boundary opens the next pack —
+    cumulative semantics, identical arithmetic in the SQL oracle's window
+    function).
+
+    Scale shape: one pass emits compact rows (doc_id, shard, n_tok);
+    ONE hash shuffle by shard co-locates each shard; the per-shard prefix
+    sum is one vectorized lexsort + cumsum per partition.  Each shard must
+    fit one task — size ``n_shards`` ∝ corpus (the same contract as the
+    streaming shards' ``auto_shard_count``).
+    """
+    from ..stages.shuffle import hash_partition
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.uint64)
+        h = ((ids % np.uint64(1 << 32)) * np.uint64(SHUFFLE_KNUTH)) % np.uint64(1 << 32)
+        words = pc.split_pattern(b["text"], " ")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            "n_tok": pc.cast(pc.list_value_length(words), pa.int64()),
+        })
+
+    compact = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+    def pack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("doc_id", "shard", "pack_id", "pack_offset")})
+        ids = np.asarray(b["doc_id"])
+        shard = np.asarray(b["shard"])
+        ntok = np.asarray(b["n_tok"])
+        order = np.lexsort((ids, shard))
+        s, n = shard[order], ntok[order]
+        c = np.cumsum(n) - n                     # exclusive prefix sum
+        seg_first = np.empty(len(s), dtype=bool)
+        seg_first[0] = True
+        np.not_equal(s[1:], s[:-1], out=seg_first[1:])
+        base = c[seg_first][np.cumsum(seg_first) - 1]  # shard-start broadcast
+        cum = c - base
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "shard": pa.array(s),
+            "pack_id": pa.array(cum // budget),
+            "pack_offset": pa.array(cum % budget),
+        })
+
+    out = hash_partition(compact, ["shard"], min(8, n_shards)).map_batches(
+        pack, batch_format="pyarrow", batch_size=None)
+    return out.sort("doc_id")
+
+
+DOC_PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})
+              % 4294967296 % 16 AS BIGINT) AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(cum // 512 AS BIGINT) AS pack_id,
+       CAST(cum % 512 AS BIGINT) AS pack_offset
+FROM c
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -689,6 +771,7 @@ QUERIES = {
     "doc_shuffle_shards": doc_shuffle_shards,
     "doc_repetition": doc_repetition,
     "doc_heavy_hitters": doc_heavy_hitters,
+    "doc_pack_sequences": doc_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -702,6 +785,7 @@ ORACLE_SQL = {
     "doc_shuffle_shards": DOC_SHUFFLE_SHARDS_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_heavy_hitters": DOC_HEAVY_HITTERS_SQL,
+    "doc_pack_sequences": DOC_PACK_SEQUENCES_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

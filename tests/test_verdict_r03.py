@@ -290,6 +290,30 @@ class TestCuration:
         assert out["n_words"].to_pylist() == [20]
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestPackSequences:
+    def test_serial_oracle_and_invariants(self):
+        from logparse_rs_ray.pipelines.textops import (
+            SHUFFLE_KNUTH, doc_pack_sequences)
+
+        out = doc_pack_sequences(SF, budget=512).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        docs["n_tok"] = docs.text.str.split(" ").str.len()
+        docs["shard"] = (docs.doc_id % 2**32 * SHUFFLE_KNUTH) % 2**32 % 16
+        # serial replay per shard in doc_id order
+        want = {}
+        for shard, grp in docs.sort_values("doc_id").groupby("shard"):
+            cum = 0
+            for _, r in grp.iterrows():
+                want[r.doc_id] = (shard, cum // 512, cum % 512)
+                cum += r.n_tok
+        got = {r.doc_id: (r.shard, r.pack_id, r.pack_offset)
+               for r in out.itertuples()}
+        assert got == want
+        assert (out.pack_offset < 512).all()
+
+
 class TestHttpIngestDegraded:
     def test_hop_loop_survives_write_failure(self, tmp_path):
         from logparse_rs_ray.sources.http_ingest import SyslogIngestServer
