@@ -111,3 +111,26 @@ class TestGeneratorProperties:
         sub = ids[::2]
         b = generate_webtext_rows(sub)
         assert b.equals(a.take(pa.array(np.arange(0, length, 2))))
+
+
+class TestTextKernelProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "dd", "e f"]),
+                             max_size=30),
+                    min_size=1, max_size=25))
+    def test_repetition_kernel_matches_serial_counter(self, word_lists):
+        from collections import Counter
+
+        from logparse_rs_ray.pipelines.textops import repetition_signals
+
+        texts = [" ".join(ws) for ws in word_lists]
+        b = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        out = repetition_signals(b)
+        for i, text in enumerate(texts):
+            c = Counter(text.split(" "))  # "" splits to [""] like the kernel
+            n = sum(c.values())
+            assert out["n_words"][i].as_py() == n
+            assert out["n_distinct"][i].as_py() == len(c)
+            assert out["top_word_pml"][i].as_py() == max(c.values()) * 1000 // n
+            assert out["dup_word_pml"][i].as_py() == (n - len(c)) * 1000 // n
