@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.fnv import fnv1a64_arrow
-from ..functions.hashing import shingle_hashes
+from ..functions.hashing import segment_sum, shingle_hashes
 from ..sources import read_table
 from .textops import repetition_signals
 
@@ -101,12 +101,10 @@ def doc_curation(sf_dir: str, *, k_shingle: int = 5, bench_mod: int = 97,
             sub_idx = np.nonzero(cand)[0]
             sh, off = shingle_hashes(b.take(pa.array(sub_idx))["text"], k=k_shingle)
             pos = np.minimum(np.searchsorted(bench_h, sh), len(bench_h) - 1)
-            hit = bench_h[pos] == sh
+            hit = (bench_h[pos] == sh).astype(np.int64)
             # any hit within a doc's shingle segment flags the doc
-            seg_hits = np.add.reduceat(hit.astype(np.int64), off[:-1]) \
-                if len(sh) else np.zeros(len(sub_idx), dtype=np.int64)
-            seg_hits[np.diff(off) == 0] = 0  # reduceat quirk on empty segments
-            contaminated[sub_idx] = seg_hits > 0
+            # (segment_sum is empty-segment-safe, unlike bare reduceat)
+            contaminated[sub_idx] = segment_sum(hit, off) > 0
 
         ok = (~is_bench & ~contaminated
               & (n_words >= min_words) & (n_words <= max_words)
