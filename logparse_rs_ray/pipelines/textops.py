@@ -640,6 +640,22 @@ ORDER BY term
 
 SHUFFLE_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 
+# ONE definition of the shard rule, shared by doc_shuffle_shards and
+# doc_pack_sequences (python + SQL) so the assignments cannot drift apart.
+# Arithmetic stays in [0, 2^64): ids fold mod 2^32 first so the product
+# never wraps (HUGEINT on the SQL side for the same reason).
+
+
+def knuth_shard(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    ids = np.asarray(ids, dtype=np.uint64)
+    h = ((ids % np.uint64(1 << 32)) * np.uint64(SHUFFLE_KNUTH)) % np.uint64(1 << 32)
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def knuth_shard_sql(n_shards: int) -> str:
+    return (f"CAST((CAST(doc_id % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})"
+            f" % 4294967296 % {n_shards} AS BIGINT)")
+
 
 def doc_shuffle_shards(sf_dir: str, *, n_shards: int = 16):
     """(doc_id, shard) — deterministic pseudo-random training-shard
@@ -656,11 +672,9 @@ def doc_shuffle_shards(sf_dir: str, *, n_shards: int = 16):
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def assign(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["doc_id"], dtype=np.uint64)
-        h = ((ids % np.uint64(1 << 32)) * np.uint64(SHUFFLE_KNUTH)) % np.uint64(1 << 32)
         return pa.table({
             "doc_id": b["doc_id"],
-            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            "shard": pa.array(knuth_shard(np.asarray(b["doc_id"]), n_shards)),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None).sort("doc_id")
@@ -669,9 +683,7 @@ def doc_shuffle_shards(sf_dir: str, *, n_shards: int = 16):
 # HUGEINT for the product: (2^32-1) * 2654435761 overflows BIGINT (the
 # uint64 side has headroom: ~1.1e19 < 2^64)
 DOC_SHUFFLE_SHARDS_SQL = f"""
-SELECT doc_id,
-       CAST((CAST(doc_id % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})
-            % 4294967296 % 16 AS BIGINT) AS shard
+SELECT doc_id, {knuth_shard_sql(16)} AS shard
 FROM documents
 ORDER BY doc_id
 """
@@ -699,12 +711,10 @@ def doc_pack_sequences(sf_dir: str, *, n_shards: int = 16, budget: int = 512):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def prep(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b["doc_id"], dtype=np.uint64)
-        h = ((ids % np.uint64(1 << 32)) * np.uint64(SHUFFLE_KNUTH)) % np.uint64(1 << 32)
         words = pc.split_pattern(b["text"], " ")
         return pa.table({
             "doc_id": b["doc_id"],
-            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            "shard": pa.array(knuth_shard(np.asarray(b["doc_id"]), n_shards)),
             "n_tok": pc.cast(pc.list_value_length(words), pa.int64()),
         })
 
@@ -739,9 +749,7 @@ def doc_pack_sequences(sf_dir: str, *, n_shards: int = 16, budget: int = 512):
 
 DOC_PACK_SEQUENCES_SQL = f"""
 WITH t AS (
-  SELECT doc_id,
-         CAST((CAST(doc_id % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})
-              % 4294967296 % 16 AS BIGINT) AS shard,
+  SELECT doc_id, {knuth_shard_sql(16)} AS shard,
          len(string_split(text, ' ')) AS n_tok
   FROM documents
 ),
