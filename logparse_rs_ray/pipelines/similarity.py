@@ -196,12 +196,63 @@ def ann_ivf_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
                                               batch_size=None).sort(["query_id", "vec_id"])
 
 
+N_SEEDS = 8  # seeds = embeddings of vec_id 0..N_SEEDS-1 (deterministic)
+
+
+def embed_cluster_assign(sf_dir: str, *, n_seeds: int = N_SEEDS):
+    """(vec_id, cluster) — assign every embedding to its nearest seed vector
+    by cosine (the k-means E-step / SemDedup-style semantic bucketing, with
+    the data's own first ``n_seeds`` vectors as deterministic centroids so
+    the assignment is oracle-checkable).  Ties break toward the smallest
+    seed id (np.argmax first-max == the SQL's ``ORDER BY cos DESC, seed``).
+
+    Scale shape: the seed matrix is tiny and rides the task closure
+    (broadcast once, never re-shipped per batch); each batch is ONE
+    normalized float64 matmul + argmax — shuffle-free, output rows compact
+    (two int64 columns).  At real scale this is the partitioning step that
+    per-cluster dedup / curation stages key on.
+    """
+    _, smat = _query_matrix(sf_dir, n_seeds)   # (n_seeds, dim), normalized
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        mat = _normalize(_list_matrix(batch["embedding"]))
+        cluster = np.argmax(mat @ smat.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster": pa.array(cluster)})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=None).sort("vec_id")
+
+
+EMBED_CLUSTER_ASSIGN_SQL = f"""
+WITH seeds AS (SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
+               WHERE vec_id < {N_SEEDS}),
+sims AS (
+  SELECT e.vec_id, s.seed_id,
+         list_cosine_similarity(e.embedding, s.seed) AS cos
+  FROM embeddings e CROSS JOIN seeds s
+)
+SELECT vec_id, CAST(seed_id AS BIGINT) AS cluster
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, seed_id) AS rn
+      FROM sims)
+WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
+    "embed_cluster_assign": embed_cluster_assign,
 }
 
 ORACLE_SQL = {
     "ann_topk_cosine": ANN_TOPK_SQL,
+    "embed_cluster_assign": EMBED_CLUSTER_ASSIGN_SQL,
     # ann_ivf_topk: approximate -> rows-only; pytest asserts recall vs exact.
 }

@@ -767,6 +767,175 @@ ORDER BY doc_id
 """
 
 
+# --- fixed-window token chunking --------------------------------------------
+
+def doc_chunk(sf_dir: str, *, window: int = 32):
+    """(doc_id, chunk_id, tok_start, tok_len) — split each document into
+    fixed ``window``-token context chunks (the map side of training-sequence
+    preparation; ``doc_pack_sequences`` is the bin-packing counterpart).
+
+    Scale shape: a pure shuffle-free map — each batch expands rows locally with
+    one np.repeat/arange pass (no Python loop, no exchange); output rows ∝
+    corpus tokens / window and stream straight to the consumer.  Token rule
+    is the same single-space split as ``doc_pack_sequences`` so the two
+    operators agree on budgets.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        ntok = np.asarray(pc.list_value_length(pc.split_pattern(b["text"], " ")),
+                          dtype=np.int64)
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        nchunks = (ntok + window - 1) // window      # ntok >= 1 (split of "")
+        total = int(nchunks.sum())
+        doc_rep = np.repeat(ids, nchunks)
+        ntok_rep = np.repeat(ntok, nchunks)
+        first_of_doc = np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
+        chunk_id = np.arange(total, dtype=np.int64) - first_of_doc
+        tok_start = chunk_id * window
+        return pa.table({
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            "tok_start": pa.array(tok_start, type=pa.int64()),
+            "tok_len": pa.array(np.minimum(window, ntok_rep - tok_start),
+                                type=pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow",
+                          batch_size=None).sort(["doc_id", "chunk_id"])
+
+
+# DuckDB 1.0 has no lateral generate_series over a column; the scalar
+# list-returning form + UNNEST expands identically.
+DOC_CHUNK_SQL = """
+SELECT doc_id, chunk_id, chunk_id * 32 AS tok_start,
+       LEAST(32, n_tok - chunk_id * 32) AS tok_len
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             UNNEST(generate_series(0,
+                 CAST((len(string_split(text, ' ')) - 1) // 32 AS BIGINT))) AS chunk_id
+      FROM documents)
+ORDER BY doc_id, chunk_id
+"""
+
+
+# --- per-doc top term by tf/df (tf-idf-shaped, integer score) ---------------
+
+def doc_tfidf_top(sf_dir: str, *, num_partitions: int = 8):
+    """(doc_id, top_term, score) — each document's most distinctive term by
+    an integer tf-idf-shaped score ``tf * 1e6 // df`` (idf = 1/df keeps the
+    arithmetic exact in both engines; log-idf would hash-mismatch on floats).
+    Ties break toward the lexicographically smallest term.
+
+    Scale shape: per-block (doc, term, tf) rows (one lexsort+run-length pass,
+    docs never straddle blocks because documents are one row each); ONE hash
+    exchange by term — each partition then holds ALL rows of its terms, so
+    df is a partition-local count (no second df table, no join operator);
+    ONE hash exchange back by doc_id for the per-doc argmax.  Both exchanges
+    move compact integer+term rows, never text.
+    """
+    from ..stages.shuffle import hash_partition
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def block_tf(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(object)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        doc_of = np.repeat(ids, np.diff(off))
+        nonempty = np.asarray([len(x) > 0 for x in flat], dtype=bool)
+        flat, doc_of = flat[nonempty], doc_of[nonempty]
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        order = np.lexsort((flat, doc_of))
+        f, d = flat[order], doc_of[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(f)))
+        return pa.table({"doc_id": pa.array(d[starts]),
+                         "term": pa.array(f[starts], type=pa.string()),
+                         "tf": pa.array(tf.astype(np.int64))})
+
+    tf_rows = ds.map_batches(block_tf, batch_format="pyarrow", batch_size=None)
+
+    # exchange 1: by term — df is a partition-local run length
+    def score_in_partition(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.int64())})
+        term = b["term"].to_numpy(zero_copy_only=False).astype(object)
+        tf = np.asarray(b["tf"], dtype=np.int64)
+        order = np.argsort(term, kind="stable")
+        t_sorted = term[order]
+        first = np.ones(len(t_sorted), dtype=bool)
+        first[1:] = t_sorted[1:] != t_sorted[:-1]
+        seg = np.cumsum(first) - 1
+        df_per_seg = np.bincount(seg)           # (doc, term) rows are unique
+        df = np.empty(len(term), dtype=np.int64)
+        df[order] = df_per_seg[seg]
+        return pa.table({"doc_id": b["doc_id"],
+                         "term": b["term"],
+                         "score": pa.array((tf * 1_000_000) // df)})
+
+    scored = hash_partition(tf_rows, ["term"], num_partitions).map_batches(
+        score_in_partition, batch_format="pyarrow", batch_size=None)
+
+    # exchange 2: by doc — per-doc argmax (score desc, term asc)
+    def doc_argmax(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "top_term": pa.array([], type=pa.string()),
+                             "score": pa.array([], type=pa.int64())})
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        term = b["term"].to_numpy(zero_copy_only=False).astype(object)
+        score = np.asarray(b["score"], dtype=np.int64)
+        order = np.lexsort((term, -score, ids))
+        i, t, s = ids[order], term[order], score[order]
+        first = np.ones(len(i), dtype=bool)
+        first[1:] = i[1:] != i[:-1]
+        return pa.table({"doc_id": pa.array(i[first]),
+                         "top_term": pa.array(t[first], type=pa.string()),
+                         "score": pa.array(s[first])})
+
+    out = hash_partition(scored, ["doc_id"], num_partitions).map_batches(
+        doc_argmax, batch_format="pyarrow", batch_size=None)
+    return out.sort("doc_id")
+
+
+DOC_TFIDF_TOP_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term AS top_term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -780,6 +949,8 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_heavy_hitters": doc_heavy_hitters,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_chunk": doc_chunk,
+    "doc_tfidf_top": doc_tfidf_top,
 }
 
 ORACLE_SQL = {
@@ -794,6 +965,8 @@ ORACLE_SQL = {
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_heavy_hitters": DOC_HEAVY_HITTERS_SQL,
     "doc_pack_sequences": DOC_PACK_SEQUENCES_SQL,
+    "doc_chunk": DOC_CHUNK_SQL,
+    "doc_tfidf_top": DOC_TFIDF_TOP_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

@@ -344,3 +344,71 @@ class TestHttpIngestDegraded:
             urllib.request.urlopen(req, timeout=10)
         finally:
             srv.stop()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocChunk:
+    def test_serial_replay_and_tiling_invariant(self):
+        from logparse_rs_ray.pipelines.textops import doc_chunk
+
+        out = doc_chunk(SF, window=32).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        docs["n_tok"] = docs.text.str.split(" ").str.len()
+        want = []
+        for r in docs.itertuples():
+            for c in range((r.n_tok + 31) // 32):
+                want.append((r.doc_id, c, c * 32, min(32, r.n_tok - c * 32)))
+        got = list(out[["doc_id", "chunk_id", "tok_start", "tok_len"]]
+                   .itertuples(index=False, name=None))
+        assert sorted(got) == sorted(want)
+        # chunks tile each doc exactly: per-doc tok_len sums to n_tok
+        per_doc = out.groupby("doc_id").tok_len.sum()
+        ref = docs.set_index("doc_id").n_tok
+        assert (per_doc == ref.reindex(per_doc.index)).all()
+        assert len(per_doc) == len(docs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidfTop:
+    def test_matches_serial_counter(self):
+        from collections import Counter
+
+        from logparse_rs_ray.pipelines.textops import doc_tfidf_top
+
+        out = doc_tfidf_top(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        tf = {r.doc_id: Counter(r.text.lower().split())
+              for r in docs.itertuples()}
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        want = {}
+        for d, c in tf.items():
+            if not c:
+                continue
+            scores = {t: (cnt * 1_000_000) // df[t] for t, cnt in c.items()}
+            term, score = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            want[d] = (term, score)
+        got = {r.doc_id: (r.top_term, r.score) for r in out.itertuples()}
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterAssign:
+    def test_matches_serial_argmax(self):
+        from logparse_rs_ray.pipelines.similarity import embed_cluster_assign
+
+        out = embed_cluster_assign(SF).to_pandas().sort_values("vec_id")
+        emb = (pq.read_table(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+               .to_pandas().sort_values("vec_id"))
+        X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        S = X[np.asarray(emb.vec_id) < 8]
+        want = np.argmax(X @ S.T, axis=1)
+        got = out.cluster.to_numpy()
+        assert (got == want).all()
+        # each seed vector lands in its own cluster (cos with itself = 1)
+        assert (got[:8] == np.arange(8)).all()
