@@ -892,6 +892,199 @@ def embed_dedup_survivors(sf_dir: str, *, threshold: float = 0.40,
     return tbl.select(["vec_id", "label"]).sort_by([("vec_id", "ascending")])
 
 
+# --- passage-level exact dedup (ExactSubstr/CCNet-shaped) ------------------
+
+# rank = doc_id << _PID_BITS | pid: a single int64 orders passages by
+# (doc_id, pid), so "first occurrence in the corpus" is a plain MIN.
+# Documented bound: < 2^20 passages per doc (8.4M words at window 8) and
+# doc_id < 2^43 — both far above any web-page corpus row.
+_PID_BITS = 20
+
+
+def _passage_arrays(b: pa.Table, window: int):
+    """Vectorized passage extraction for one batch: returns
+    ``(npass, pid, passages)`` where ``passages`` is an Arrow string array
+    of every consecutive ``window``-word slice of each doc (last slice may
+    be shorter), joined by ' ', in (doc, pid) order.
+
+    Shape: one ``split_pattern`` + one ListArray rebuild over the SAME
+    flat word values with finer offsets (a cut every ``window`` words) +
+    one ``binary_join`` — no Python loop, no per-passage allocation until
+    the join kernel itself.
+    """
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    words = pc.split_pattern(b["text"], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    # offsets index into words.values directly (slice-adjusted by Arrow)
+    doc_off = np.asarray(words.offsets, dtype=np.int64)
+    nw = np.diff(doc_off)                       # >= 1: split of "" is ['']
+    npass = (nw + window - 1) // window
+    total = int(npass.sum())
+    first_of_doc = np.cumsum(npass) - npass
+    pid = np.arange(total, dtype=np.int64) - np.repeat(first_of_doc, npass)
+    starts = np.repeat(doc_off[:-1], npass) + pid * window
+    offsets = np.append(starts, doc_off[-1])
+    plist = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                     words.values)
+    return npass, pid, pc.binary_join(plist, " ")
+
+
+def _rebuild_clean_docs(b: pa.Table, drop_sorted: np.ndarray,
+                        window: int) -> pa.Table:
+    """Reconstruct each doc of ``b`` without its dropped passages.
+    ``drop_sorted`` = sorted int64 ranks of passages to remove (for this
+    batch's docs at least — extra ranks are harmless)."""
+    ids = np.asarray(b["doc_id"], dtype=np.int64)
+    npass, pid, passages = _passage_arrays(b, window)
+    rank = (np.repeat(ids, npass) << _PID_BITS) | pid
+    idx = np.searchsorted(drop_sorted, rank)
+    np.minimum(idx, max(len(drop_sorted) - 1, 0), out=idx)
+    is_drop = ((drop_sorted[idx] == rank) if len(drop_sorted)
+               else np.zeros(len(rank), dtype=bool))
+    keep = ~is_drop
+    # segments are non-empty (npass >= 1 per doc), so reduceat is safe here
+    first_of_doc = np.cumsum(npass) - npass
+    n_kept = np.add.reduceat(keep.astype(np.int64), first_of_doc)
+    kept = passages.filter(pa.array(keep))
+    off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=off[1:])
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(off, type=pa.int32()),
+                                 kept.combine_chunks()
+                                 if isinstance(kept, pa.ChunkedArray) else kept),
+        " ")
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "n_passages": pa.array(npass),
+        "n_dropped": pa.array(npass - n_kept),
+        "clean_text": clean,
+    })
+
+
+def doc_passage_dedup(sf_dir: str, *, window: int = 8, num_partitions: int = 8,
+                      broadcast_max_drop: int = 5_000_000):
+    """(doc_id, n_passages, n_dropped, clean_text) — passage-level exact
+    dedup with text reconstruction: each doc is cut into consecutive
+    ``window``-word passages; a passage that already occurred earlier in
+    the corpus (smaller (doc_id, pid)) is removed, and the doc's text is
+    rebuilt from the surviving passages.  The ExactSubstr/CCNet-style
+    answer to boilerplate that repeats ACROSS documents, where whole-doc
+    exact dedup (``dedup_exact_hash``) sees nothing.
+
+    Scale shape: pass 1 emits compact (hash, rank) int64 rows — text
+    never shuffles; ONE hash exchange by passage hash co-locates each
+    hash's occurrences, so the non-winners fall out of a partition-local
+    sort; the dropped-rank set (∝ duplicated passages only) is broadcast
+    (``ray.put`` once) into a second corpus pass that rebuilds the text —
+    or, degenerate corpora past ``broadcast_max_drop``, co-located with
+    the docs by a doc_id hash exchange instead.  Passage equality is by
+    64-bit FNV (injective on any real corpus slice; same contract as
+    ``dedup_exact_hash``).
+    """
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def compact(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        npass, pid, passages = _passage_arrays(b, window)
+        h = fnv1a64_arrow(passages)
+        rank = (np.repeat(ids, npass) << _PID_BITS) | pid
+        return pa.table({"h": pa.array(h.astype(np.int64)),
+                         "rank": pa.array(rank)})
+
+    def dropped_in_partition(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"rank": pa.array([], type=pa.int64())})
+        h = np.asarray(b["h"], dtype=np.int64)
+        r = np.asarray(b["rank"], dtype=np.int64)
+        order = np.lexsort((r, h))
+        h_s, r_s = h[order], r[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = h_s[1:] != h_s[:-1]
+        return pa.table({"rank": pa.array(r_s[~first])})
+
+    rows = docs.map_batches(compact, batch_format="pyarrow", batch_size=None)
+    dropped = hash_partition(rows, ["h"], num_partitions).map_batches(
+        dropped_in_partition, batch_format="pyarrow", batch_size=None)
+    dropped = dropped.materialize()
+    n_drop = dropped.count()
+
+    if n_drop <= broadcast_max_drop:
+        import ray
+
+        drop_tbl = pa.concat_tables(
+            list(dropped.iter_batches(batch_format="pyarrow", batch_size=None))
+            or [pa.table({"rank": pa.array([], type=pa.int64())})])
+        ref = ray.put(np.sort(np.asarray(drop_tbl["rank"], dtype=np.int64)))
+
+        def rebuild(b: pa.Table) -> pa.Table:
+            return _rebuild_clean_docs(b, ray.get(ref), window)
+
+        out = docs.map_batches(rebuild, batch_format="pyarrow", batch_size=None)
+    else:  # degenerate corpus: co-locate docs with their dropped ranks
+        import ray.data as rd
+
+        def mark_docs(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                             "rank": pa.nulls(b.num_rows, pa.int64())})
+
+        def mark_drop(b: pa.Table) -> pa.Table:
+            r = np.asarray(b["rank"], dtype=np.int64)
+            return pa.table({"doc_id": pa.array(r >> _PID_BITS),
+                             "text": pa.nulls(b.num_rows, pa.string()),
+                             "rank": b["rank"]})
+
+        mixed = docs.map_batches(mark_docs, batch_format="pyarrow",
+                                 batch_size=None).union(
+            dropped.map_batches(mark_drop, batch_format="pyarrow",
+                                batch_size=None))
+
+        def rebuild_part(b: pa.Table) -> pa.Table:
+            drop = np.sort(np.asarray(
+                b.filter(pc.is_valid(b["rank"]))["rank"], dtype=np.int64))
+            docs_b = (b.filter(pc.is_valid(b["text"]))
+                      .select(["doc_id", "text"]))
+            if docs_b.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                 "n_passages": pa.array([], type=pa.int64()),
+                                 "n_dropped": pa.array([], type=pa.int64()),
+                                 "clean_text": pa.array([], type=pa.string())})
+            return _rebuild_clean_docs(docs_b, drop, window)
+
+        out = hash_partition(mixed, ["doc_id"], num_partitions).map_batches(
+            rebuild_part, batch_format="pyarrow", batch_size=None)
+    return out.sort("doc_id")
+
+
+DOC_PASSAGE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+p AS (
+  SELECT doc_id, pid,
+         array_to_string(w[pid*8+1 : pid*8+8], ' ') AS passage
+  FROM (SELECT doc_id, w,
+               UNNEST(generate_series(0, CAST((len(w)-1)//8 AS BIGINT))) AS pid
+        FROM toks)
+),
+r AS (
+  SELECT doc_id, pid, passage,
+         row_number() OVER (PARTITION BY passage ORDER BY doc_id, pid) AS rn
+  FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pid),
+                '') AS clean_text
+FROM r
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 EMBED_DEDUP_SURVIVORS_SQL = """
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
@@ -943,6 +1136,7 @@ QUERIES = {
     "embed_neardup_cosine": embedding_neardup_pairs,
     "embed_neardup_clusters": neardup_clusters,
     "embed_dedup_survivors": embed_dedup_survivors,
+    "doc_passage_dedup": doc_passage_dedup,
 }
 
 ORACLE_SQL = {
@@ -950,6 +1144,7 @@ ORACLE_SQL = {
     "embed_neardup_cosine": EMBED_NEARDUP_SQL,
     "embed_neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "embed_dedup_survivors": EMBED_DEDUP_SURVIVORS_SQL,
+    "doc_passage_dedup": DOC_PASSAGE_DEDUP_SQL,
     # minhash/simhash: probabilistic sketches, not SQL-expressible; pytest
     # verifies them against brute-force oracles on tiny corpora instead.
 }

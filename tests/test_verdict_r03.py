@@ -412,3 +412,55 @@ class TestClusterAssign:
         assert (got == want).all()
         # each seed vector lands in its own cluster (cos with itself = 1)
         assert (got[:8] == np.arange(8)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPassageDedup:
+    def test_pinned_corpus_semantics(self, tmp_path):
+        """First occurrence (smallest (doc_id, pid)) survives; later
+        identical 8-word passages are removed and the text is rebuilt
+        from the survivors."""
+        from logparse_rs_ray.pipelines.dedup import doc_passage_dedup
+
+        p1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+        p2 = "v1 v2 v3 v4 v5 v6 v7 v8"
+        uniq = "u1 u2 u3 u4 u5 u6 u7 u8"
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [f"{p1} {p2}",        # both passages first occurrences
+                     f"{p1} {uniq}",      # passage 0 is a dup of doc1/p0
+                     f"{p1} {p2}",        # exact copy -> everything dropped
+                     "short tail"],       # single short unique passage
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = doc_passage_dedup(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1].tolist() == [2, 0, f"{p1} {p2}"]
+        assert out.loc[2].tolist() == [2, 1, uniq]
+        assert out.loc[3].tolist() == [2, 2, ""]
+        assert out.loc[4].tolist() == [1, 0, "short tail"]
+
+    def test_serial_oracle_and_path_equivalence(self):
+        from logparse_rs_ray.pipelines.dedup import doc_passage_dedup
+
+        out = doc_passage_dedup(SF).to_pandas().set_index("doc_id")
+        docs = (pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"])
+                .to_pandas().sort_values("doc_id"))
+        seen: set[str] = set()
+        for r in docs.itertuples():
+            words = r.text.split(" ")
+            kept, dropped = [], 0
+            npass = (len(words) + 7) // 8
+            for pid in range(npass):
+                p = " ".join(words[pid * 8:pid * 8 + 8])
+                if p in seen:
+                    dropped += 1
+                else:
+                    seen.add(p)
+                    kept.append(p)
+            row = out.loc[r.doc_id]
+            assert (row.n_passages, row.n_dropped) == (npass, dropped), r.doc_id
+            assert row.clean_text == " ".join(kept), r.doc_id
+        # degenerate-corpus regime (hash co-location) agrees with broadcast
+        forced = doc_passage_dedup(SF, broadcast_max_drop=0).to_pandas()
+        pd.testing.assert_frame_equal(out.reset_index(), forced)
