@@ -245,10 +245,78 @@ ORDER BY vec_id
 """
 
 
+def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3):
+    """(cluster, n_vectors) — final cluster census after ``iters`` rounds of
+    spherical k-means Lloyd iteration (the full E+M loop; the one-shot
+    E-step is ``embed_cluster_assign``), seeded from the first ``k``
+    vectors so the run is deterministic; the census reported is that of
+    the final round's E-step.  Iterative — no SQL oracle; the pytest
+    replays the identical algorithm serially.
+
+    Scale shape per round: ONE corpus pass; each block does one normalized
+    float64 matmul + argmax (E-step) and emits k partial rows
+    (cluster, count, sum-vector) — the M-step reduction is over
+    k x n_blocks tiny rows, merged on the driver in a deterministic
+    (block-key, cluster) order.  No shuffle anywhere; the centroid matrix
+    is broadcast via the task closure.  Centroids are rounded to 12
+    decimals after each update so the block-order float sum and any serial
+    replay agree bit-for-bit on the next round's argmax.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    _, cent = _query_matrix(sf_dir, k)          # (k, dim) normalized seeds
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def make_partial(cent_now: np.ndarray):
+        def partial(batch: pa.Table) -> pa.Table:
+            from .. import tune_worker_threads
+
+            tune_worker_threads()
+            mat = _normalize(_list_matrix(batch["embedding"]))
+            a = np.argmax(mat @ cent_now.T, axis=1).astype(np.int64)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.empty((k, mat.shape[1]), dtype=np.float64)
+            for j in range(k):                  # k is small; columns stay vectorized
+                sums[j] = mat[a == j].sum(axis=0)
+            block_key = int(np.min(np.asarray(batch["vec_id"], dtype=np.int64)))
+            return pa.table({
+                "block_key": pa.array(np.full(k, block_key)),
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+            })
+        return partial
+
+    for _ in range(iters):
+        parts = pa.concat_tables(list(
+            ds.map_batches(make_partial(cent), batch_format="pyarrow",
+                           batch_size=None)
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+        parts = parts.sort_by([("block_key", "ascending"),
+                               ("cluster", "ascending")])
+        cl = np.asarray(parts["cluster"], dtype=np.int64)
+        n = np.asarray(parts["n"], dtype=np.int64)
+        s = _list_matrix(parts["s"])
+        counts = np.bincount(cl, weights=n, minlength=k).astype(np.int64)
+        sums = np.zeros((k, s.shape[1]), dtype=np.float64)
+        # deterministic: parts rows are (block_key, cluster)-sorted
+        for j in range(k):
+            sums[j] = s[cl == j].sum(axis=0)
+        new = cent.copy()
+        live = counts > 0
+        new[live] = _normalize(sums[live] / counts[live, None])
+        cent = np.round(new, 12)
+
+    census = counts                              # from the final iteration
+    return pa.table({"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                     "n_vectors": pa.array(census)})
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
     "embed_cluster_assign": embed_cluster_assign,
+    "embed_kmeans": embed_kmeans,
 }
 
 ORACLE_SQL = {

@@ -936,6 +936,74 @@ ORDER BY doc_id
 """
 
 
+# --- weighted dataset mixing -------------------------------------------------
+
+MIX_SALT = 12345  # decorrelates the mix hash from the shard hash (same Knuth
+                  # constant, different input) so mixing doesn't bias shards
+
+
+def doc_mix_sources(sf_dir: str):
+    """(source, weight_permille, n_total, n_kept) — deterministic weighted
+    source mixing: each source gets a keep-rate from its numeric suffix
+    (``src0`` = 1000‰ … downweighted by 45‰ per index mod 20 — the stand-in
+    for a curated mixture table), and a doc survives iff its salted Knuth
+    hash lands under the source's threshold.  The no-RNG re-expression of
+    weighted dataset interleaving for training mixtures: membership is a
+    pure function of (doc_id, source), so the mix is resumable and
+    reproducible across engines (the SQL oracle computes the identical
+    arithmetic).
+
+    Scale shape: ONE corpus pass of per-block partial census rows (mixture
+    source lists are small by definition) -> combiner-tree merge; the kept
+    rows themselves never need to move — a downstream stage re-derives the
+    keep bit from doc_id for free.
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def census(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.uint64)
+        h = (((ids + np.uint64(MIX_SALT)) % np.uint64(1 << 32))
+             * np.uint64(SHUFFLE_KNUTH)) % np.uint64(1 << 32) % np.uint64(1000)
+        srcnum = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(b["source"], 3, 32), pa.int64()),
+            dtype=np.int64)
+        weight = 1000 - (srcnum % 20) * 45
+        t = pa.table({
+            "source": b["source"],
+            "weight_permille": pa.array(weight),
+            "n_total": pa.array(np.ones(len(ids), dtype=np.int64)),
+            "n_kept": pa.array((h.astype(np.int64) < weight).astype(np.int64)),
+        })
+        g = t.group_by(["source", "weight_permille"]).aggregate(
+            [("n_total", "sum"), ("n_kept", "sum")])
+        return g.rename_columns(["source", "weight_permille", "n_total", "n_kept"])
+
+    partial = ds.map_batches(census, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["source", "weight_permille"],
+                        [("n_total", "sum"), ("n_kept", "sum")], fanin=8)
+    return merged.sort("source")
+
+
+DOC_MIX_SOURCES_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         1000 - (CAST(substr(source, 4) AS BIGINT) % 20) * 45 AS weight_permille,
+         CAST((CAST((doc_id + {MIX_SALT}) % 4294967296 AS HUGEINT)
+               * {SHUFFLE_KNUTH}) % 4294967296 % 1000 AS BIGINT) AS h
+  FROM documents
+)
+SELECT source, weight_permille,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN h < weight_permille THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM w
+GROUP BY source, weight_permille
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -951,6 +1019,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk": doc_chunk,
     "doc_tfidf_top": doc_tfidf_top,
+    "doc_mix_sources": doc_mix_sources,
 }
 
 ORACLE_SQL = {
@@ -967,6 +1036,7 @@ ORACLE_SQL = {
     "doc_pack_sequences": DOC_PACK_SEQUENCES_SQL,
     "doc_chunk": DOC_CHUNK_SQL,
     "doc_tfidf_top": DOC_TFIDF_TOP_SQL,
+    "doc_mix_sources": DOC_MIX_SOURCES_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

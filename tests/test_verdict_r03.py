@@ -464,3 +464,60 @@ class TestPassageDedup:
         # degenerate-corpus regime (hash co-location) agrees with broadcast
         forced = doc_passage_dedup(SF, broadcast_max_drop=0).to_pandas()
         pd.testing.assert_frame_equal(out.reset_index(), forced)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeans:
+    def test_matches_serial_lloyd(self):
+        """Distributed spherical k-means == a serial replay of the same
+        algorithm (same seeds, same rounding, same round count)."""
+        from logparse_rs_ray.pipelines.similarity import embed_kmeans
+
+        k, iters = 8, 3
+        out = embed_kmeans(SF, k=k, iters=iters).to_pandas()
+
+        emb = (pq.read_table(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+               .to_pandas().sort_values("vec_id"))
+        X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        cent = X[np.asarray(emb.vec_id) < k]
+        for _ in range(iters):
+            a = np.argmax(X @ cent.T, axis=1)
+            counts = np.bincount(a, minlength=k)
+            new = cent.copy()
+            for j in range(k):
+                if counts[j]:
+                    v = X[a == j].sum(axis=0) / counts[j]
+                    new[j] = v / np.linalg.norm(v)
+            cent = np.round(new, 12)
+        assert out.cluster.tolist() == list(range(k))
+        assert out.n_vectors.tolist() == counts.tolist()
+        # iterating must actually move the assignment off the E-step-only one
+        first = embed_kmeans(SF, k=k, iters=1).to_pandas()
+        assert first.n_vectors.sum() == out.n_vectors.sum() == len(X)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMixSources:
+    def test_census_matches_serial_rule(self):
+        from logparse_rs_ray.pipelines.textops import (
+            MIX_SALT, SHUFFLE_KNUTH, doc_mix_sources)
+
+        out = doc_mix_sources(SF).to_pandas().set_index("source")
+        docs = (pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "source"]).to_pandas())
+        want_total = docs.source.value_counts()
+        kept = {}
+        for r in docs.itertuples():
+            w = 1000 - (int(r.source[3:]) % 20) * 45
+            h = ((r.doc_id + MIX_SALT) % 2**32 * SHUFFLE_KNUTH) % 2**32 % 1000
+            kept[r.source] = kept.get(r.source, 0) + (h < w)
+        for src, row in out.iterrows():
+            assert row.weight_permille == 1000 - (int(src[3:]) % 20) * 45
+            assert row.n_total == want_total[src]
+            assert row.n_kept == kept[src], src
+        # overall keep rate tracks the mean weight on a uniform corpus
+        rate = out.n_kept.sum() / out.n_total.sum()
+        mean_w = out.weight_permille.mean() / 1000
+        assert abs(rate - mean_w) < 0.1
