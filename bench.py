@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "doc_term_df",
     "doc_len_quantiles",
     "doc_curation",
+    "doc_passage_dedup",
+    "doc_tfidf_top",
     "log_streaming_window",
 ]
 

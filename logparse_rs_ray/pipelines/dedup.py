@@ -828,6 +828,58 @@ def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
 
 # --- keep-one dedup: the corpus AFTER near-dup removal ---------------------
 
+def _anti_join_survivors(corpus, drop: pa.Table, key: str, payload: str,
+                         payload_type, *, broadcast_max_drop: int,
+                         num_partitions: int) -> pa.Table:
+    """``corpus`` minus rows whose ``key`` appears in ``drop`` — the shared
+    keep-one tail of the dedup pipelines.  Broadcast ``left anti`` join
+    below ``broadcast_max_drop`` drop rows (``ray.put`` once, one corpus
+    pass); above it, the same anti-filter runs per hash partition
+    (key-co-located union of corpus + drop rows), so degenerate corpora
+    never funnel the drop set through the driver or every task closure.
+    Returns the (key, payload) survivor table sorted by key.
+    """
+    from ..stages.join import broadcast_join
+
+    if drop.num_rows <= broadcast_max_drop:
+        out = broadcast_join(corpus, drop, key, join_type="left anti")
+    else:  # degenerate corpus (almost everything duplicated): co-locate by key
+
+        def mark(role: int):
+            def f(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    key: b[key],
+                    payload: (b[payload] if role == 0
+                              else pa.nulls(b.num_rows, payload_type)),
+                    "is_drop": pa.array(np.full(b.num_rows, role, dtype=np.int8)),
+                })
+            return f
+
+        import ray.data as rd
+
+        mixed = corpus.map_batches(mark(0), batch_format="pyarrow",
+                                   batch_size=None).union(
+            rd.from_arrow(drop.append_column(
+                payload, pa.nulls(drop.num_rows, payload_type))).map_batches(
+                mark(1), batch_format="pyarrow", batch_size=None))
+
+        def anti(b: pa.Table) -> pa.Table:
+            dropped = pc.unique(b.filter(pc.equal(b["is_drop"], 1))[key])
+            keep = b.filter(pc.equal(b["is_drop"], 0))
+            mask = pc.invert(pc.is_in(keep[key], value_set=dropped))
+            keep = keep.filter(mask)
+            return pa.table({key: keep[key], payload: keep[payload]})
+
+        out = hash_partition(mixed, [key], num_partitions).map_batches(
+            anti, batch_format="pyarrow", batch_size=None)
+
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({key: pa.array([], type=pa.int64()),
+                   payload: pa.array([], type=payload_type)})])
+    return tbl.select([key, payload]).sort_by([(key, "ascending")])
+
+
 def embed_dedup_survivors(sf_dir: str, *, threshold: float = 0.40,
                           num_partitions: int = 8,
                           broadcast_max_drop: int = 5_000_000):
@@ -839,13 +891,10 @@ def embed_dedup_survivors(sf_dir: str, *, threshold: float = 0.40,
 
     Scale shape: the drop set is bounded by the number of nodes that
     appear in any near-dup pair — tiny relative to a 100 TB corpus — so it
-    is broadcast (``ray.put`` once, Arrow ``left anti`` join per batch);
-    above ``broadcast_max_drop`` rows the same anti-filter runs per hash
-    partition (key-colocated, like the cluster propagation rounds) instead
-    of broadcasting.  The corpus pass reads only the two output columns.
+    is broadcast; past ``broadcast_max_drop`` the key-co-located regime of
+    ``_anti_join_survivors`` takes over.  The corpus pass reads only the
+    two output columns.
     """
-    from ..stages.join import broadcast_join
-
     clusters = neardup_clusters(sf_dir, threshold=threshold,
                                 num_partitions=num_partitions)
     drop = clusters.filter(pc.less(clusters["cluster_id"], clusters["vec_id"]))
@@ -854,42 +903,40 @@ def embed_dedup_survivors(sf_dir: str, *, threshold: float = 0.40,
     corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
     sch = corpus.schema()  # ray Schema: parallel .names / .types (Arrow types)
     label_type = dict(zip(sch.names, sch.types))["label"]
-    if drop.num_rows <= broadcast_max_drop:
-        out = broadcast_join(corpus, drop, "vec_id", join_type="left anti")
-    else:  # degenerate corpus (almost everything duplicated): co-locate by key
+    return _anti_join_survivors(corpus, drop, "vec_id", "label", label_type,
+                                broadcast_max_drop=broadcast_max_drop,
+                                num_partitions=num_partitions)
 
-        def mark(role: int):
-            def f(b: pa.Table) -> pa.Table:
-                return pa.table({
-                    "vec_id": b["vec_id"],
-                    "label": b["label"] if role == 0 else pa.nulls(b.num_rows, label_type),
-                    "is_drop": pa.array(np.full(b.num_rows, role, dtype=np.int8)),
-                })
-            return f
 
-        import ray.data as rd
+def dedup_minhash_survivors(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
+                            num_partitions: int = 8,
+                            broadcast_max_drop: int = 5_000_000):
+    """(doc_id, source) — the TEXT corpus after fuzzy (MinHash-LSH +
+    exact-n-gram-verified) near-dup removal: connected components over the
+    verified pair graph, min-doc_id representative survives, everything
+    else in its cluster is dropped.  The RefinedWeb/CCNet fuzzy-dedup
+    keep-one output, end-to-end — LSH candidates -> exact Jaccard verify
+    -> union-find -> anti-join — all on the distributed primitives the
+    individual operators already proved out.
 
-        mixed = corpus.map_batches(mark(0), batch_format="pyarrow",
-                                   batch_size=None).union(
-            rd.from_arrow(drop.append_column(
-                "label", pa.nulls(drop.num_rows, label_type))).map_batches(
-                mark(1), batch_format="pyarrow", batch_size=None))
+    Scale shape: verified pairs are ∝ true dup rate (bounded, from
+    ``verified_pairs_ngram``'s dual-regime verification); clustering a
+    pair list this size is the union-find fast path (the distributed
+    min-label propagation in ``neardup_clusters`` is the >100k-pair
+    regime); the survivors pass is the shared broadcast/co-located
+    anti-join — the corpus text itself never shuffles.
+    """
+    pairs = verified_pairs_ngram(sf_dir, threshold=threshold, k=k,
+                                 num_partitions=num_partitions)
+    pairs = pairs.rename_columns(["vec_a", "vec_b", "jaccard_pct"])
+    clusters = _union_find_clusters(pairs)
+    drop = clusters.filter(pc.less(clusters["cluster_id"], clusters["vec_id"]))
+    drop = pa.table({"doc_id": drop["vec_id"]})
 
-        def anti(b: pa.Table) -> pa.Table:
-            dropped = pc.unique(b.filter(pc.equal(b["is_drop"], 1))["vec_id"])
-            keep = b.filter(pc.equal(b["is_drop"], 0))
-            mask = pc.invert(pc.is_in(keep["vec_id"], value_set=dropped))
-            keep = keep.filter(mask)
-            return pa.table({"vec_id": keep["vec_id"], "label": keep["label"]})
-
-        out = hash_partition(mixed, ["vec_id"], num_partitions).map_batches(
-            anti, batch_format="pyarrow", batch_size=None)
-
-    tbl = pa.concat_tables(
-        list(out.iter_batches(batch_format="pyarrow", batch_size=None)) or
-        [pa.table({"vec_id": pa.array([], type=pa.int64()),
-                   "label": pa.array([], type=label_type)})])
-    return tbl.select(["vec_id", "label"]).sort_by([("vec_id", "ascending")])
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return _anti_join_survivors(corpus, drop, "doc_id", "source", pa.string(),
+                                broadcast_max_drop=broadcast_max_drop,
+                                num_partitions=num_partitions)
 
 
 # --- passage-level exact dedup (ExactSubstr/CCNet-shaped) ------------------
@@ -1137,6 +1184,7 @@ QUERIES = {
     "embed_neardup_clusters": neardup_clusters,
     "embed_dedup_survivors": embed_dedup_survivors,
     "doc_passage_dedup": doc_passage_dedup,
+    "dedup_minhash_survivors": dedup_minhash_survivors,
 }
 
 ORACLE_SQL = {

@@ -117,6 +117,73 @@ ORDER BY hour, event_type
 """
 
 
+def log_hourly_topk(sf_dir: str, *, topk: int = 3, num_partitions: int = 8):
+    """(hour, user_id, n_events, rk) — per-hour top-``topk`` users by event
+    count (the trending-entities windowed top-k; ties -> smaller user_id).
+
+    Scale shape: per-block (hour, user) count partials, then ONE hash
+    exchange keyed by hour ONLY — the coarser key still co-locates every
+    (hour, user) group, so the count completion AND the per-hour top-k are
+    both partition-local (one group_by + one lexsort per block).  No
+    global sort, no second exchange; a pathologically hot hour must fit
+    one task (salt the hour like the flagship's hot domains if it ever
+    cannot).
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({"hour": pc.floor_temporal(b["ts"], unit="hour"),
+                      "user_id": b["user_id"]})
+        g = t.group_by(["hour", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "user_id", "n"])
+
+    partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+    def topk_in_partition(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"hour": pa.array([], type=pa.timestamp("us")),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "rk": pa.array([], type=pa.int64())})
+        g = b.group_by(["hour", "user_id"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["hour", "user_id", "n_events"])
+        hour = g["hour"].to_numpy(zero_copy_only=False)
+        user = np.asarray(g["user_id"], dtype=np.int64)
+        n = np.asarray(g["n_events"], dtype=np.int64)
+        order = np.lexsort((user, -n, hour))
+        h_s = hour[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = h_s[1:] != h_s[:-1]
+        seg_start = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        rk = np.arange(len(h_s), dtype=np.int64) - starts[seg_start] + 1
+        keep = order[rk <= topk]
+        out = g.take(pa.array(keep, type=pa.int64()))
+        return out.append_column("rk", pa.array(rk[rk <= topk]))
+
+    out = hash_partition(partial, ["hour"], num_partitions).map_batches(
+        topk_in_partition, batch_format="pyarrow", batch_size=None)
+    return out.sort(["hour", "rk"])
+
+
+LOG_HOURLY_TOPK_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, user_id, n_events, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY hour
+                                   ORDER BY n_events DESC, user_id) AS rk
+      FROM c)
+WHERE rk <= 3
+ORDER BY hour, rk
+"""
+
+
 # --- enrich: lang -> region broadcast lookup over documents ----------------
 
 def doc_region_enrich(sf_dir: str):
@@ -289,6 +356,7 @@ QUERIES = {
     "log_route_counts": log_route_counts,
     "log_topk_users": log_topk_users,
     "log_hourly_window": log_hourly_window,
+    "log_hourly_topk": log_hourly_topk,
     "doc_region_enrich": doc_region_enrich,
     "doc_token_stats": doc_token_stats,
     "doc_exact_dedup": doc_exact_dedup,
@@ -300,6 +368,7 @@ ORACLE_SQL = {
     "log_route_counts": LOG_ROUTE_COUNTS_SQL,
     "log_topk_users": LOG_TOPK_USERS_SQL,
     "log_hourly_window": LOG_HOURLY_WINDOW_SQL,
+    "log_hourly_topk": LOG_HOURLY_TOPK_SQL,
     "doc_region_enrich": DOC_REGION_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,

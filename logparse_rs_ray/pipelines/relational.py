@@ -364,8 +364,74 @@ ORDER BY o_orderstatus
 
 
 
+def q_orders_running_total(sf_dir: str, *, num_partitions: int = 8):
+    """(o_custkey, o_orderkey, o_orderdate, price_cents, running_cents) —
+    per-customer running revenue in order-date order (the SQL
+    ``SUM() OVER (PARTITION BY ... ORDER BY ...)`` cumulative window,
+    which Ray Data has no native operator for).
+
+    Scale shape: ONE hash exchange by customer co-locates each key's rows;
+    the cumulative sum is a lexsort + segment-base subtraction per
+    partition (no per-group loop, no global sort — the final presentation
+    sort is over the already-computed result).  Cents stay integer for
+    cross-engine parity.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
+                                               "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "o_orderkey": b["o_orderkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "price_cents": cents})
+
+    def running(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("running_cents",
+                                   pa.array([], type=pa.int64()))
+        cust = np.asarray(b["o_custkey"], dtype=np.int64)
+        okey = np.asarray(b["o_orderkey"], dtype=np.int64)
+        date = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        cents = np.asarray(b["price_cents"], dtype=np.int64)
+        order = np.lexsort((okey, date, cust))
+        c, p = cust[order], cents[order]
+        cum = np.cumsum(p)
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(c)))
+        excl_base = np.repeat(cum[starts] - p[starts], seg_len)
+        out = b.take(pa.array(order, type=pa.int64()))
+        return out.append_column("running_cents", pa.array(cum - excl_base))
+
+    part = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = hash_partition(part, ["o_custkey"], num_partitions).map_batches(
+        running, batch_format="pyarrow", batch_size=None)
+    return out.sort(["o_custkey", "o_orderdate", "o_orderkey"])
+
+
+Q_ORDERS_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+         AS running_cents
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q_orders_running_total": q_orders_running_total,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q_customer_regions": q_customer_regions,
     "q_order_lineitem_join": q_order_lineitem_join,
@@ -381,6 +447,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
+    "q_orders_running_total": Q_ORDERS_RUNNING_TOTAL_SQL,
     "q6_revenue_forecast": Q6_SQL,
     "q_customer_regions": Q_CUSTOMER_REGIONS_SQL,
     "q_order_lineitem_join": Q_ORDER_LINEITEM_SQL,

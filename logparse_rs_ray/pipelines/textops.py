@@ -273,6 +273,83 @@ ORDER BY lang
 """
 
 
+def doc_length_outliers(sf_dir: str, *, lo_q: float = 0.1, hi_q: float = 0.9):
+    """(lang, p10, p90, n_docs, n_below, n_above) — per-lang quantile-gated
+    length-outlier census (the Gopher/RefinedWeb "drop the tails" filter,
+    reported rather than applied so it is oracle-checkable).  ``n_below``
+    counts docs strictly under the p10 length, ``n_above`` strictly over
+    the p90; quantile rule = DuckDB ``quantile_disc``.
+
+    Scale shape: the SAME one-pass (lang, n_chars) value histogram as
+    ``doc_len_quantiles`` — both the thresholds AND the tail counts are
+    read off the merged cumulative histogram, so the filter costs ZERO
+    extra corpus passes (a naive plan re-scans the corpus against
+    broadcast thresholds).  Shuffle volume = O(distinct lengths).
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    partial = ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["lang", "n_chars"], [("cnt", "sum")], fanin=8)
+
+    def census(b: pa.Table) -> pa.Table:
+        cols = ("lang", "p10", "p90", "n_docs", "n_below", "n_above")
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             **{c: pa.array([], type=pa.int64())
+                                for c in cols[1:]}})
+        t = b.sort_by([("lang", "ascending"), ("n_chars", "ascending")])
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        vals = np.asarray(t["n_chars"], dtype=np.int64)
+        cnts = np.asarray(t["cnt"], dtype=np.int64)
+        out: dict[str, list] = {c: [] for c in cols}
+        for lang in np.unique(langs):
+            m = langs == lang
+            v, c = vals[m], cnts[m]
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            lo = int(v[np.searchsorted(cum, int(np.ceil(n * lo_q)))])
+            hi = int(v[np.searchsorted(cum, int(np.ceil(n * hi_q)))])
+            i_lo = np.searchsorted(v, lo)          # first idx with v >= lo
+            i_hi = np.searchsorted(v, hi, "right")  # first idx with v > hi
+            out["lang"].append(str(lang))
+            out["p10"].append(lo)
+            out["p90"].append(hi)
+            out["n_docs"].append(n)
+            out["n_below"].append(int(cum[i_lo - 1]) if i_lo else 0)
+            out["n_above"].append(n - int(cum[i_hi - 1]) if i_hi else n)
+        return pa.table({"lang": pa.array(out["lang"], type=pa.string()),
+                         **{c: pa.array(out[c], type=pa.int64())
+                            for c in cols[1:]}})
+
+    return merged.map_batches(census, batch_format="pyarrow",
+                              batch_size=None).sort("lang")
+
+
+DOC_LENGTH_OUTLIERS_SQL = """
+WITH t AS (
+  SELECT lang,
+         CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS lo,
+         CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, t.lo AS p10, t.hi AS p90,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below,
+       CAST(SUM(CASE WHEN d.n_chars > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM documents d JOIN t USING (lang)
+GROUP BY d.lang, t.lo, t.hi
+ORDER BY d.lang
+"""
+
+
 # --- term document frequency (corpus-sized vocabulary -> hash shuffle) -----
 
 def doc_term_df(sf_dir: str, *, top_n: int = 50, num_partitions: int = 8):
@@ -1020,6 +1097,7 @@ QUERIES = {
     "doc_chunk": doc_chunk,
     "doc_tfidf_top": doc_tfidf_top,
     "doc_mix_sources": doc_mix_sources,
+    "doc_length_outliers": doc_length_outliers,
 }
 
 ORACLE_SQL = {
@@ -1037,6 +1115,7 @@ ORACLE_SQL = {
     "doc_chunk": DOC_CHUNK_SQL,
     "doc_tfidf_top": DOC_TFIDF_TOP_SQL,
     "doc_mix_sources": DOC_MIX_SOURCES_SQL,
+    "doc_length_outliers": DOC_LENGTH_OUTLIERS_SQL,
     # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
     # it against a serial Python oracle.
 }

@@ -323,8 +323,84 @@ ORDER BY user_id
 
 
 
+def log_user_retention(sf_dir: str, *, num_partitions: int = 8,
+                       mode: str = "auto"):
+    """(hour, n_active, n_retained_next) — hour-over-hour user retention:
+    distinct active users per hour, and how many of them are also active
+    in the NEXT hour (the cohort-retention / stickiness telemetry metric).
+
+    Scale shape: per-block distinct (user, hour) pairs (compact rows),
+    ONE hash exchange by user_id so each user's active-hour set is
+    co-located; retention falls out of one lexsort + neighbor-diff per
+    partition (user u retained in h iff (u, h+1h) sits adjacent in the
+    sorted distinct pairs); the per-hour census partials then tree-merge
+    (window count is bounded).  Below the auto-mode threshold the input
+    collapses to one block — same kernel, no shuffle actors.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "hour": pc.floor_temporal(b["ts"], unit="hour")})
+        g = t.group_by(["user_id", "hour"]).aggregate([])
+        return g.rename_columns(["user_id", "hour"])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                           batch_size=None)
+    if mode == "shuffle":
+        pairs = hash_partition(pairs, ["user_id"], num_partitions)
+    else:
+        pairs = pairs.repartition(1)
+
+    def census(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"hour": pa.array([], type=pa.timestamp("us")),
+                             "n_active": pa.array([], type=pa.int64()),
+                             "n_retained_next": pa.array([], type=pa.int64())})
+        # complete per-user groups: re-distinct across source blocks, then
+        # neighbor arithmetic on the (user, hour)-sorted pairs
+        g = b.group_by(["user_id", "hour"]).aggregate([])
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        h = g["hour"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, u))
+        u, h = u[order], h[order]
+        retained = np.zeros(len(u), dtype=np.int64)
+        if len(u) > 1:
+            retained[:-1] = ((u[1:] == u[:-1]) &
+                             (h[1:] - h[:-1] == np.timedelta64(1, "h")))
+        t = pa.table({"hour": pa.array(h),
+                      "one": pa.array(np.ones(len(u), dtype=np.int64)),
+                      "ret": pa.array(retained)})
+        p = t.group_by(["hour"]).aggregate([("one", "sum"), ("ret", "sum")])
+        return p.rename_columns(["hour", "n_active", "n_retained_next"])
+
+    partial = pairs.map_batches(census, batch_format="pyarrow",
+                                batch_size=None)
+    merged = tree_merge(partial, ["hour"],
+                        [("n_active", "sum"), ("n_retained_next", "sum")],
+                        fanin=8)
+    return merged.sort("hour")
+
+
+LOG_USER_RETENTION_SQL = """
+WITH a AS (SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events)
+SELECT a.hour, COUNT(*) AS n_active,
+       CAST(COUNT(b.user_id) AS BIGINT) AS n_retained_next
+FROM a LEFT JOIN a b ON b.user_id = a.user_id
+                    AND b.hour = a.hour + INTERVAL 1 HOUR
+GROUP BY a.hour
+ORDER BY a.hour
+"""
+
+
 QUERIES = {
     "log_streaming_window": log_streaming_window,
+    "log_user_retention": log_user_retention,
     "log_sessionize": log_sessionize,
     "log_first_event_per_user": log_first_event_per_user,
     "log_semi_join_purchasers": log_semi_join_purchasers,
@@ -334,6 +410,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
+    "log_user_retention": LOG_USER_RETENTION_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,
     "log_first_event_per_user": LOG_FIRST_EVENT_SQL,
     "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,

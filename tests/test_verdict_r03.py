@@ -521,3 +521,109 @@ class TestMixSources:
         rate = out.n_kept.sum() / out.n_total.sum()
         mean_w = out.weight_permille.mean() / 1000
         assert abs(rate - mean_w) < 0.1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashSurvivors:
+    def test_keep_one_and_regime_equivalence(self):
+        """Text fuzzy-dedup survivors = corpus minus non-representative
+        members of the verified-pair components (min-doc_id survives)."""
+        from logparse_rs_ray.pipelines.dedup import (
+            dedup_minhash_survivors, verified_pairs_ngram)
+
+        surv = dedup_minhash_survivors(SF).to_pandas()
+        pairs = verified_pairs_ngram(SF).to_pandas()
+
+        # serial union-find replica over the same verified pair list
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                x = parent[x]
+            return x
+
+        for r in pairs.itertuples():
+            ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        dropped = {n for n in parent if find(n) < n}
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source"]).to_pandas()
+        assert len(surv) == len(docs) - len(dropped)
+        assert dropped.isdisjoint(surv.doc_id)
+        assert set(surv.columns) == {"doc_id", "source"}
+        # co-located regime agrees with the broadcast regime
+        forced = dedup_minhash_survivors(SF, broadcast_max_drop=0).to_pandas()
+        pd.testing.assert_frame_equal(surv, forced)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLengthOutliers:
+    def test_census_matches_serial(self):
+        from logparse_rs_ray.pipelines.textops import doc_length_outliers
+
+        out = doc_length_outliers(SF).to_pandas().set_index("lang")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["lang", "n_chars"]).to_pandas()
+        for lang, grp in docs.groupby("lang"):
+            v = np.sort(grp.n_chars.to_numpy())
+            n = len(v)
+            lo = int(v[int(np.ceil(n * 0.1)) - 1])   # quantile_disc rule
+            hi = int(v[int(np.ceil(n * 0.9)) - 1])
+            row = out.loc[lang]
+            assert (row.p10, row.p90, row.n_docs) == (lo, hi, n), lang
+            assert row.n_below == int((v < lo).sum()), lang
+            assert row.n_above == int((v > hi).sum()), lang
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHourlyTopk:
+    def test_matches_serial(self):
+        from logparse_rs_ray.pipelines.logops import log_hourly_topk
+
+        out = log_hourly_topk(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "user_id"]).to_pandas()
+        ev["hour"] = ev.ts.dt.floor("h")
+        want = []
+        for hour, grp in ev.groupby("hour"):
+            counts = grp.user_id.value_counts()
+            rows = sorted(((int(-n), int(u)) for u, n in counts.items()))[:3]
+            for rk, (negn, u) in enumerate(rows, 1):
+                want.append((hour, u, -negn, rk))
+        got = list(out.itertuples(index=False, name=None))
+        assert got == want
+
+    def test_shuffle_and_single_partition_agree(self):
+        from logparse_rs_ray.pipelines.logops import log_hourly_topk
+
+        a = log_hourly_topk(SF, num_partitions=8).to_pandas()
+        b = log_hourly_topk(SF, num_partitions=1).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserRetention:
+    def test_matches_serial_and_modes_agree(self):
+        from logparse_rs_ray.pipelines.windows import log_user_retention
+
+        out = log_user_retention(SF).to_pandas().set_index("hour")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "user_id"]).to_pandas()
+        ev["hour"] = ev.ts.dt.floor("h")
+        pairs = set(zip(ev.user_id, ev.hour))
+        active: dict = {}
+        retained: dict = {}
+        one_h = pd.Timedelta(hours=1)
+        for u, h in pairs:
+            active[h] = active.get(h, 0) + 1
+            if (u, h + one_h) in pairs:
+                retained[h] = retained.get(h, 0) + 1
+        for h, row in out.iterrows():
+            assert row.n_active == active[h], h
+            assert row.n_retained_next == retained.get(h, 0), h
+        assert len(out) == len(active)
+        forced = log_user_retention(SF, mode="shuffle").to_pandas()
+        tree = log_user_retention(SF, mode="tree").to_pandas()
+        pd.testing.assert_frame_equal(forced, tree)
