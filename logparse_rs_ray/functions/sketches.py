@@ -14,7 +14,8 @@ import pyarrow as pa
 
 from ..core.fnv import fnv1a64_arrow
 
-__all__ = ["hll_sketch", "hll_merge", "hll_estimate", "HLL_P"]
+__all__ = ["hll_sketch", "hll_merge", "hll_estimate", "HLL_P",
+           "bloom_build", "bloom_merge", "bloom_contains", "BLOOM_BITS"]
 
 HLL_P = 12               # 2^12 registers -> ~1.6% relative error
 _M = 1 << HLL_P
@@ -78,3 +79,55 @@ def hll_estimate(regs: np.ndarray) -> float:
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+# --- Bloom filter (mergeable membership sketch) -----------------------------
+
+# 2^20 bits = 128 KiB per filter: broadcastable at any cluster size, and at
+# k=4 keeps the false-positive rate under ~1% up to ~10^5 distinct keys
+# (FPR ~= (1 - e^{-kn/m})^k).  Mergeable with a bitwise OR, same contract
+# as the HLL registers above.
+BLOOM_BITS = 1 << 20
+BLOOM_K = 4
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)   # Fibonacci-hash multipliers
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions via double hashing of int64 keys."""
+    k = np.asarray(keys, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = k * _GOLDEN
+        h2 = (k * _MIX2) | np.uint64(1)          # odd -> full-period stride
+        i = np.arange(BLOOM_K, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) >> np.uint64(14)) \
+            % np.uint64(BLOOM_BITS)
+
+
+def bloom_build(keys: np.ndarray) -> np.ndarray:
+    """uint64[BLOOM_BITS/64] bit array containing every key."""
+    bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    if len(keys) == 0:
+        return bits
+    pos = _bloom_positions(keys).ravel()
+    np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    return bits
+
+
+def bloom_merge(filters: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for f in filters:
+        np.bitwise_or(out, f, out=out)
+    return out
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """bool[n] — True if possibly present (false positives possible,
+    false negatives impossible)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(keys)
+    word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+    hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=1).astype(bool)

@@ -125,6 +125,71 @@ ORDER BY event_id
 """
 
 
+def log_semi_join_bloom(sf_dir: str, *, num_partitions: int = 8):
+    """Same result as ``log_semi_join_purchasers`` — events of users with a
+    'purchase' event — via the plan that survives key sets too large to
+    broadcast: a 128 KiB mergeable Bloom filter prunes definite
+    non-members in one shuffle-free pass, then ONE hash semi-join over
+    only the surviving candidates (true members + ~0.03% false positives)
+    restores exactness.
+
+    Scale shape: the filter is built DISTRIBUTED (per-block partial bit
+    arrays, OR-merged on the driver — 128 KiB each, like the HLL/k-means
+    partials) and broadcast once via ``ray.put``; the broadcast variant's
+    driver-side full-column read disappears, and the exact join's
+    exchange carries only candidate rows.  False negatives are impossible,
+    so the join sees every true member; the oracle is the SAME SQL as the
+    broadcast variant.
+    """
+    import numpy as np
+    import ray
+
+    from ..functions.sketches import bloom_build, bloom_contains, bloom_merge
+    from ..stages.shuffle import enable_hash_shuffle, hash_merge
+
+    ev_cols = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial_bloom(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            b.filter(pc.equal(b["event_type"], "purchase"))["user_id"],
+            dtype=np.int64)
+        return pa.table({"bits": pa.array([bloom_build(ids).tobytes()],
+                                          type=pa.binary())})
+
+    blobs = ev_cols.map_batches(partial_bloom, batch_format="pyarrow",
+                                batch_size=None)
+    bits = bloom_merge([
+        np.frombuffer(r["bits"], dtype=np.uint64)
+        for batch in blobs.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)
+        for r in batch.to_pylist()])
+    ref = ray.put(bits)
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        keep = bloom_contains(ray.get(ref),
+                              np.asarray(b["user_id"], dtype=np.int64))
+        return b.filter(pa.array(keep))
+
+    cand = ds.map_batches(prefilter, batch_format="pyarrow", batch_size=None)
+
+    # exact verify: distributed-distinct purchaser keys, hash semi-join
+    def keys_partial(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.filter(
+            pc.equal(b["event_type"], "purchase"))["user_id"].combine_chunks())
+        return pa.table({"user_id": u})
+
+    purch_keys = hash_merge(
+        ev_cols.map_batches(keys_partial, batch_format="pyarrow",
+                            batch_size=None),
+        ["user_id"], [], num_partitions=num_partitions)
+    out = enable_hash_shuffle(cand).join(purch_keys, "left_semi",
+                                         num_partitions, on=("user_id",))
+    return out.sort("event_id")
+
+
 def log_anti_join_no_errors(sf_dir: str):
     """Users with zero 'error' events (broadcast anti join) + their event
     counts."""
@@ -404,6 +469,7 @@ QUERIES = {
     "log_sessionize": log_sessionize,
     "log_first_event_per_user": log_first_event_per_user,
     "log_semi_join_purchasers": log_semi_join_purchasers,
+    "log_semi_join_bloom": log_semi_join_bloom,
     "log_anti_join_no_errors": log_anti_join_no_errors,
     "log_asof_last_signup": log_asof_last_signup,
 }
@@ -414,6 +480,7 @@ ORACLE_SQL = {
     "log_sessionize": LOG_SESSIONIZE_SQL,
     "log_first_event_per_user": LOG_FIRST_EVENT_SQL,
     "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,
+    "log_semi_join_bloom": LOG_SEMI_JOIN_SQL,  # same result, scale plan
     "log_anti_join_no_errors": LOG_ANTI_JOIN_SQL,
     "log_asof_last_signup": LOG_ASOF_SQL,
 }

@@ -627,3 +627,28 @@ class TestUserRetention:
         forced = log_user_retention(SF, mode="shuffle").to_pandas()
         tree = log_user_retention(SF, mode="tree").to_pandas()
         pd.testing.assert_frame_equal(forced, tree)
+
+
+class TestBloomSketch:
+    def test_merge_equals_whole_and_no_false_negatives(self):
+        from logparse_rs_ray.functions.sketches import (
+            bloom_build, bloom_contains, bloom_merge)
+
+        keys = np.arange(0, 50_000, dtype=np.int64)
+        merged = bloom_merge([bloom_build(keys[:20_000]),
+                              bloom_build(keys[20_000:])])
+        assert (merged == bloom_build(keys)).all()
+        assert bloom_contains(merged, keys).all()   # no false negatives
+        probe = np.arange(10**6, 10**6 + 200_000, dtype=np.int64)
+        assert bloom_contains(merged, probe).mean() < 0.01  # FPR bound
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomSemiJoin:
+    def test_equals_broadcast_semi_join(self):
+        from logparse_rs_ray.pipelines.windows import (
+            log_semi_join_bloom, log_semi_join_purchasers)
+
+        a = log_semi_join_bloom(SF).to_pandas()
+        b = log_semi_join_purchasers(SF).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
