@@ -184,5 +184,55 @@ ORDER BY d.doc_id
 """
 
 
-QUERIES = {"doc_curation": doc_curation}
-ORACLE_SQL = {"doc_curation": DOC_CURATION_SQL}
+def doc_training_export(sf_dir: str, *, n_shards: int = 16,
+                        out_dir: str | None = "/tmp/logparse_training_export"):
+    """(shard, n_docs, n_tokens) — the full training-data export composed
+    from the individually-proven operators: curation (quality gate +
+    benchmark holdout + decontamination + exact dedup) -> deterministic
+    Knuth training-shard assignment -> hive-partitioned parquet write (one
+    directory per shard, the flagship's resumable sink layout) -> per-shard
+    census as the returned manifest.
+
+    Scale shape: inherits curation's two-corpus-pass / one-compact-shuffle
+    plan; the shard column is a pure function of doc_id (no RNG, no
+    all-to-all — `doc_shuffle_shards`' rule), the write is the only data
+    movement, and the census is a bounded group-by.  The oracle wraps the
+    curation SQL unchanged, so the composition is verified end-to-end, not
+    just its parts.
+    """
+    import shutil
+
+    import ray.data as rd
+
+    from .textops import knuth_shard
+
+    kept = doc_curation(sf_dir)
+    shard = knuth_shard(np.asarray(kept["doc_id"], dtype=np.int64), n_shards)
+    tbl = kept.append_column("shard", pa.array(shard, type=pa.int64()))
+
+    if out_dir:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        rd.from_arrow(tbl).write_parquet(out_dir, partition_cols=["shard"])
+
+    g = tbl.group_by(["shard"]).aggregate([([], "count_all"),
+                                           ("n_words", "sum")])
+    g = g.rename_columns(["shard", "n_docs", "n_tokens"])
+    return g.sort_by([("shard", "ascending")])
+
+
+from .textops import knuth_shard_sql as _shard_sql  # noqa: E402  (one shard rule)
+
+DOC_TRAINING_EXPORT_SQL = f"""
+SELECT {_shard_sql(16)} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM ({DOC_CURATION_SQL.replace("ORDER BY d.doc_id", "")}) kept
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+QUERIES = {"doc_curation": doc_curation,
+           "doc_training_export": doc_training_export}
+ORACLE_SQL = {"doc_curation": DOC_CURATION_SQL,
+              "doc_training_export": DOC_TRAINING_EXPORT_SQL}

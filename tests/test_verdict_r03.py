@@ -652,3 +652,28 @@ class TestBloomSemiJoin:
         a = log_semi_join_bloom(SF).to_pandas()
         b = log_semi_join_purchasers(SF).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrainingExport:
+    def test_census_files_and_composition(self, tmp_path):
+        """Export census == curation survivors grouped by the shared shard
+        rule; the hive write produces one directory per non-empty shard
+        whose row count matches the census."""
+        from logparse_rs_ray.pipelines.curation import (
+            doc_curation, doc_training_export)
+        from logparse_rs_ray.pipelines.textops import knuth_shard
+
+        out_dir = str(tmp_path / "export")
+        census = doc_training_export(SF, out_dir=out_dir).to_pandas()
+        kept = doc_curation(SF).to_pandas()
+        kept["shard"] = knuth_shard(kept.doc_id.to_numpy(), 16)
+        want = (kept.groupby("shard")
+                .agg(n_docs=("doc_id", "size"), n_tokens=("n_words", "sum"))
+                .reset_index())
+        pd.testing.assert_frame_equal(
+            census, want.astype({"shard": "int64", "n_docs": "int64",
+                                 "n_tokens": "int64"}))
+        for r in census.itertuples():
+            part = pq.read_table(f"{out_dir}/shard={r.shard}")
+            assert part.num_rows == r.n_docs, r.shard
