@@ -131,3 +131,40 @@ def bloom_contains(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
     word = bits[(pos >> np.uint64(6)).astype(np.int64)]
     hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
     return hit.all(axis=1).astype(bool)
+
+
+# --- DDSketch-style log-histogram quantiles (continuous domains) ------------
+
+# Relative-accuracy quantiles over POSITIVE floats: value -> log-bin index,
+# per-block sparse (bin, count) partials, associative sum-merge — the
+# mergeable answer where the exact value-histogram (doc_len_quantiles)
+# needs a discrete integer domain.  alpha = 1% relative error; bin count
+# is bounded by the dynamic range (~2,300 bins for 10^-9..10^9), so the
+# merged histogram is always tiny regardless of corpus size.
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+_LOG_GAMMA = np.log(DD_GAMMA)
+
+
+def dd_bins(values: np.ndarray) -> np.ndarray:
+    """int64 bin index per strictly-positive value."""
+    v = np.asarray(values, dtype=np.float64)
+    return np.ceil(np.log(v) / _LOG_GAMMA).astype(np.int64)
+
+
+def dd_estimate(bins: np.ndarray) -> np.ndarray:
+    """Midpoint estimate of each bin — relative error <= DD_ALPHA."""
+    return 2.0 * np.power(DD_GAMMA, np.asarray(bins, dtype=np.float64)) \
+        / (DD_GAMMA + 1.0)
+
+
+def dd_quantiles(bins: np.ndarray, counts: np.ndarray,
+                 qs: tuple) -> np.ndarray:
+    """Read quantiles off a merged (bin, count) histogram
+    (``quantile_disc`` rank rule: value at index ceil(n*q)-1)."""
+    order = np.argsort(bins)
+    b, c = np.asarray(bins)[order], np.asarray(counts)[order]
+    cum = np.cumsum(c)
+    n = cum[-1]
+    ks = np.ceil(n * np.asarray(qs)).astype(np.int64)
+    return dd_estimate(b[np.searchsorted(cum, ks)])

@@ -117,6 +117,45 @@ ORDER BY hour, event_type
 """
 
 
+def log_value_quantiles(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
+    """(q_pct, value_est) — approximate quantiles of the CONTINUOUS
+    ``events.value`` column via a DDSketch-style log-histogram (<= 1%
+    relative error guaranteed).  The mergeable-sketch answer where the
+    exact value-histogram method (``doc_len_quantiles``) requires a
+    discrete integer domain.  Approximate by construction -> rows-only;
+    the pytest pins the error bound against the true quantiles and
+    merge==whole.
+
+    Scale shape: per-block sparse (bin, count) partials (bin count bounded
+    by the value dynamic range, ~2.3k bins for 10^-9..10^9 at alpha=1%,
+    regardless of corpus size) -> associative ``tree_merge`` -> one tiny
+    final read-off.  No shuffle, no sort, nothing corpus-sized ever moves.
+    """
+    import numpy as np
+
+    from ..functions.sketches import dd_bins, dd_quantiles
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        bins = dd_bins(np.asarray(b["value"], dtype=np.float64))
+        ub, cnt = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    merged = tree_merge(ds.map_batches(hist, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["bin"], [("cnt", "sum")], fanin=8)
+    tbl = pa.concat_tables(list(
+        merged.iter_batches(batch_format="pyarrow", batch_size=None)))
+    est = dd_quantiles(np.asarray(tbl["bin"]), np.asarray(tbl["cnt"]), qs)
+    return pa.table({
+        "q_pct": pa.array([int(q * 100) for q in qs], type=pa.int64()),
+        "value_est": pa.array(est, type=pa.float64()),
+    })
+
+
 def log_hourly_topk(sf_dir: str, *, topk: int = 3, num_partitions: int = 8):
     """(hour, user_id, n_events, rk) — per-hour top-``topk`` users by event
     count (the trending-entities windowed top-k; ties -> smaller user_id).
@@ -357,6 +396,7 @@ QUERIES = {
     "log_topk_users": log_topk_users,
     "log_hourly_window": log_hourly_window,
     "log_hourly_topk": log_hourly_topk,
+    "log_value_quantiles": log_value_quantiles,
     "doc_region_enrich": doc_region_enrich,
     "doc_token_stats": doc_token_stats,
     "doc_exact_dedup": doc_exact_dedup,

@@ -677,3 +677,40 @@ class TestTrainingExport:
         for r in census.itertuples():
             part = pq.read_table(f"{out_dir}/shard={r.shard}")
             assert part.num_rows == r.n_docs, r.shard
+
+
+class TestDDSketch:
+    def test_error_bound_and_merge(self):
+        from logparse_rs_ray.functions.sketches import (
+            DD_ALPHA, dd_bins, dd_quantiles)
+
+        rng = np.random.default_rng(7)
+        x = rng.lognormal(1.0, 1.5, 200_000)
+        qs = (0.5, 0.9, 0.99)
+        b, c = np.unique(dd_bins(x), return_counts=True)
+        est = dd_quantiles(b, c, qs)
+        true = np.sort(x)[[int(np.ceil(len(x) * q)) - 1 for q in qs]]
+        assert (np.abs(est - true) / true <= 2 * DD_ALPHA).all()
+        # merging split halves reads off identical quantiles
+        from collections import Counter
+        m = Counter()
+        for half in (x[:100_000], x[100_000:]):
+            hb, hc = np.unique(dd_bins(half), return_counts=True)
+            m.update(dict(zip(hb.tolist(), hc.tolist())))
+        mb = np.array(sorted(m))
+        assert (dd_quantiles(mb, np.array([m[k] for k in mb]), qs)
+                == est).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValueQuantiles:
+    def test_within_bound_of_true_quantiles(self):
+        from logparse_rs_ray.functions.sketches import DD_ALPHA
+        from logparse_rs_ray.pipelines.logops import log_value_quantiles
+
+        out = log_value_quantiles(SF).to_pandas()
+        vals = np.sort(pq.read_table(f"{SF}/events.parquet",
+                                     columns=["value"])["value"].to_numpy())
+        for r in out.itertuples():
+            true = vals[int(np.ceil(len(vals) * r.q_pct / 100)) - 1]
+            assert abs(r.value_est - true) / true <= 2 * DD_ALPHA, r
