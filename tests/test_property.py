@@ -134,3 +134,34 @@ class TestTextKernelProperties:
             assert out["n_distinct"][i].as_py() == len(c)
             assert out["top_word_pml"][i].as_py() == max(c.values()) * 1000 // n
             assert out["dup_word_pml"][i].as_py() == (n - len(c)) * 1000 // n
+
+
+class TestPassageKernelProperties:
+    @given(st.lists(st.text(alphabet=st.sampled_from(list("ab é x")),
+                            max_size=40), min_size=1, max_size=12),
+           st.integers(1, 5))
+    @settings(max_examples=60, deadline=None)
+    def test_passage_arrays_match_python_split(self, texts, window):
+        """Vectorized passage extraction (ListArray offset rebuild +
+        binary_join) == pure-Python windowed split, on arbitrary text
+        incl. unicode, empty strings and repeated separators."""
+        import numpy as np
+        import pyarrow as pa
+
+        from logparse_rs_ray.pipelines.dedup import _passage_arrays
+
+        b = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        npass, pid, passages = _passage_arrays(b, window)
+        flat = passages.to_pylist()
+        k = 0
+        for d, t in enumerate(texts):
+            words = t.split(" ")
+            expect = [" ".join(words[i * window:(i + 1) * window])
+                      for i in range((len(words) + window - 1) // window)]
+            assert npass[d] == len(expect), (d, t)
+            got = flat[k:k + len(expect)]
+            assert got == expect, (d, t)
+            assert list(pid[k:k + len(expect)]) == list(range(len(expect)))
+            k += len(expect)
+        assert k == len(flat)
