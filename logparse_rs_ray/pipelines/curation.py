@@ -137,15 +137,12 @@ def doc_curation(sf_dir: str, *, k_shingle: int = 5, bench_mod: int = 97,
         keep = keep.filter(pc.equal(keep["ok"], 1))
         return keep.select(["doc_id", "lang", "n_words"])
 
+    # stays a Dataset: the kept set is corpus-∝ (compact rows, but still
+    # too big to funnel through the driver at real scale) — consumers
+    # stream it or aggregate it (doc_training_export)
     out = hash_partition(compact, ["text_hash"], num_partitions).map_batches(
         keep_min, batch_format="pyarrow", batch_size=None)
-    tbl = pa.concat_tables(
-        list(out.iter_batches(batch_format="pyarrow", batch_size=None)) or
-        [pa.table({"doc_id": pa.array([], type=pa.int64()),
-                   "lang": pa.array([], type=pa.string()),
-                   "n_words": pa.array([], type=pa.int64())})])
-    return tbl.select(["doc_id", "lang", "n_words"]).sort_by(
-        [("doc_id", "ascending")])
+    return out.sort("doc_id")
 
 
 DOC_CURATION_SQL = """
@@ -194,30 +191,39 @@ def doc_training_export(sf_dir: str, *, n_shards: int = 16,
     census as the returned manifest.
 
     Scale shape: inherits curation's two-corpus-pass / one-compact-shuffle
-    plan; the shard column is a pure function of doc_id (no RNG, no
-    all-to-all — `doc_shuffle_shards`' rule), the write is the only data
-    movement, and the census is a bounded group-by.  The oracle wraps the
-    curation SQL unchanged, so the composition is verified end-to-end, not
-    just its parts.
+    plan and stays a DATASET end-to-end — the kept set is corpus-∝ and
+    never funnels through the driver; the shard column is a pure function
+    of doc_id (no RNG, no all-to-all — `doc_shuffle_shards`' rule), one
+    ``materialize()`` (object-store-resident, spillable) lets the write
+    and the census share the curated blocks instead of re-executing the
+    lineage, and the census is a bounded combiner-tree group-by.  The
+    oracle wraps the curation SQL unchanged, so the composition is
+    verified end-to-end, not just its parts.
     """
     import shutil
 
-    import ray.data as rd
-
+    from ..stages.aggregate import grouped_agg
     from .textops import knuth_shard
 
     kept = doc_curation(sf_dir)
-    shard = knuth_shard(np.asarray(kept["doc_id"], dtype=np.int64), n_shards)
-    tbl = kept.append_column("shard", pa.array(shard, type=pa.int64()))
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        shard = knuth_shard(np.asarray(b["doc_id"], dtype=np.int64), n_shards)
+        return b.append_column("shard", pa.array(shard, type=pa.int64()))
+
+    sharded = kept.map_batches(add_shard, batch_format="pyarrow",
+                               batch_size=None).materialize()
 
     if out_dir:
         shutil.rmtree(out_dir, ignore_errors=True)
-        rd.from_arrow(tbl).write_parquet(out_dir, partition_cols=["shard"])
+        sharded.write_parquet(out_dir, partition_cols=["shard"])
 
-    g = tbl.group_by(["shard"]).aggregate([([], "count_all"),
-                                           ("n_words", "sum")])
-    g = g.rename_columns(["shard", "n_docs", "n_tokens"])
-    return g.sort_by([("shard", "ascending")])
+    census = grouped_agg(sharded.map_batches(
+        lambda b: pa.table({"shard": b["shard"], "n_words": b["n_words"]}),
+        batch_format="pyarrow", batch_size=None),
+        ["shard"], {"n_tokens": "n_words"}, count_name="n_docs",
+        final_partitions=1)
+    return census.select_columns(["shard", "n_docs", "n_tokens"]).sort("shard")
 
 
 from .textops import knuth_shard_sql as _shard_sql  # noqa: E402  (one shard rule)

@@ -261,6 +261,12 @@ def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3):
     is broadcast via the task closure.  Centroids are rounded to 12
     decimals after each update so the block-order float sum and any serial
     replay agree bit-for-bit on the next round's argmax.
+
+    Scale note: the driver M-step reads k x d floats PER BLOCK — fine up
+    to ~10^5 blocks; past that, insert a combiner hop (map_batches over
+    the partials summing per cluster) before the driver, at the cost of
+    bit-exact determinism (float addition order then depends on block
+    placement; the 12-decimal rounding no longer pins it).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")

@@ -156,8 +156,20 @@ def log_semi_join_bloom(sf_dir: str, *, num_partitions: int = 8):
         return pa.table({"bits": pa.array([bloom_build(ids).tobytes()],
                                           type=pa.binary())})
 
+    # distributed OR cascade: each combine task ORs its whole block of
+    # 128 KiB partials into ONE blob, so the driver reads num_partitions
+    # blobs, never one per input block (at 100 TB that difference is
+    # ~800k blobs vs a handful)
+    def or_blobs(b: pa.Table) -> pa.Table:
+        merged = bloom_merge([np.frombuffer(x.as_py(), dtype=np.uint64)
+                              for x in b["bits"]])
+        return pa.table({"bits": pa.array([merged.tobytes()],
+                                          type=pa.binary())})
+
     blobs = ev_cols.map_batches(partial_bloom, batch_format="pyarrow",
                                 batch_size=None)
+    blobs = blobs.repartition(8).map_batches(or_blobs, batch_format="pyarrow",
+                                             batch_size=None)
     bits = bloom_merge([
         np.frombuffer(r["bits"], dtype=np.uint64)
         for batch in blobs.iter_batches(batch_format="pyarrow",

@@ -285,9 +285,9 @@ class TestCuration:
             "text": list(docs.values()),
             "lang": ["en"] * len(docs),
         }), tmp_path / "documents.parquet")
-        out = doc_curation(str(tmp_path))
-        assert out["doc_id"].to_pylist() == [2]
-        assert out["n_words"].to_pylist() == [20]
+        out = doc_curation(str(tmp_path)).to_pandas()
+        assert out["doc_id"].tolist() == [2]
+        assert out["n_words"].tolist() == [20]
 
 
 @pytest.mark.usefixtures("ray_session")
