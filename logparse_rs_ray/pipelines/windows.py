@@ -475,9 +475,65 @@ ORDER BY a.hour
 """
 
 
+# contiguous half-open value bands [lo, hi) — the small side of the range join
+VALUE_BANDS = [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
+               (3, 200.0, 400.0), (4, 400.0, 1e6)]
+
+
+def q_value_band_join(sf_dir: str):
+    """(band, n_events, sum_value_cents) — range join of ``events.value``
+    into a small banded lookup table (the inequality-predicate join Ray
+    Data has no operator for).
+
+    Scale shape: the band table is tiny and sorted, so the join is a
+    broadcast binary search — one ``np.searchsorted`` per batch against
+    the band bounds riding the task closure (the standard small-side
+    range-join plan; an interval tree replaces searchsorted for
+    overlapping bands), then a bounded combiner-tree census.  Zero
+    shuffle, the big side never moves.
+    """
+    import numpy as np
+
+    from ..sources import read_table
+    from ..stages.aggregate import grouped_agg
+
+    bounds = np.array([b[1] for b in VALUE_BANDS], dtype=np.float64)
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"], dtype=np.float64)
+        band = (np.searchsorted(bounds, v, side="right") - 1).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"band": pa.array(band), "value_cents": cents})
+
+    out = grouped_agg(ds.map_batches(assign, batch_format="pyarrow",
+                                     batch_size=None),
+                      ["band"], {"sum_value_cents": "value_cents"},
+                      count_name="n_events", final_partitions=1)
+    return out.select_columns(["band", "n_events",
+                               "sum_value_cents"]).sort("band")
+
+
+Q_VALUE_BAND_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0),
+                                    (2, 100.0, 200.0), (3, 200.0, 400.0),
+                                    (4, 400.0, 1000000.0))
+SELECT CAST(b.band AS BIGINT) AS band,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+ORDER BY band
+"""
+
+
 QUERIES = {
     "log_streaming_window": log_streaming_window,
     "log_user_retention": log_user_retention,
+    "q_value_band_join": q_value_band_join,
     "log_sessionize": log_sessionize,
     "log_first_event_per_user": log_first_event_per_user,
     "log_semi_join_purchasers": log_semi_join_purchasers,
@@ -489,6 +545,7 @@ QUERIES = {
 ORACLE_SQL = {
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
     "log_user_retention": LOG_USER_RETENTION_SQL,
+    "q_value_band_join": Q_VALUE_BAND_JOIN_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,
     "log_first_event_per_user": LOG_FIRST_EVENT_SQL,
     "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,
