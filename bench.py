@@ -60,7 +60,9 @@ BENCH_QUERIES = [
     "doc_curation",
     "doc_passage_dedup",
     "doc_tfidf_top",
+    "doc_training_export",
     "log_streaming_window",
+    "q_orders_running_total",
 ]
 
 
