@@ -105,14 +105,19 @@ def _bloom_positions(keys: np.ndarray) -> np.ndarray:
 
 
 def bloom_build(keys: np.ndarray) -> np.ndarray:
-    """uint64[BLOOM_BITS/64] bit array containing every key."""
-    bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    """uint64[BLOOM_BITS/64] bit array containing every key.
+
+    Scattered OR as a plain boolean scatter (duplicate indices are fine
+    for same-value stores) + one ``np.packbits`` — no per-element atomic
+    OR (``np.bitwise_or.at``) and no sort.  Little-endian bit order makes
+    bit ``pos & 63`` of word ``pos >> 6`` line up with the probe masks.
+    """
     if len(keys) == 0:
-        return bits
+        return np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
     pos = _bloom_positions(keys).ravel()
-    np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
-                     np.uint64(1) << (pos & np.uint64(63)))
-    return bits
+    bools = np.zeros(BLOOM_BITS, dtype=bool)
+    bools[pos.astype(np.int64)] = True
+    return np.packbits(bools, bitorder="little").view(np.uint64)
 
 
 def bloom_merge(filters: list[np.ndarray]) -> np.ndarray:

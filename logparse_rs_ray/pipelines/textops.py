@@ -725,7 +725,11 @@ SHUFFLE_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
 
 def knuth_shard(ids: np.ndarray, n_shards: int) -> np.ndarray:
     ids = np.asarray(ids, dtype=np.uint64)
-    h = ((ids % np.uint64(1 << 32)) * np.uint64(SHUFFLE_KNUTH)) % np.uint64(1 << 32)
+    # x % 2^32 == x & (2^32-1) on unsigned ints; the bitwise form skips
+    # numpy's 64-bit division (~10x faster, same SQL-twin arithmetic)
+    mask32 = np.uint64((1 << 32) - 1)
+    with np.errstate(over="ignore"):
+        h = ((ids & mask32) * np.uint64(SHUFFLE_KNUTH)) & mask32
     return (h % np.uint64(n_shards)).astype(np.int64)
 
 
