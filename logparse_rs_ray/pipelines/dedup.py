@@ -1011,7 +1011,8 @@ def _rebuild_clean_docs(b: pa.Table, drop_sorted: np.ndarray,
     })
 
 
-def doc_passage_dedup(sf_dir: str, *, window: int = 8, num_partitions: int = 8,
+def doc_passage_dedup(sf_dir: str, *, window: int = 8,
+                      num_partitions: int | None = None,
                       broadcast_max_drop: int = 5_000_000):
     """(doc_id, n_passages, n_dropped, clean_text) — passage-level exact
     dedup with text reconstruction: each doc is cut into consecutive
@@ -1031,6 +1032,12 @@ def doc_passage_dedup(sf_dir: str, *, window: int = 8, num_partitions: int = 8,
     64-bit FNV (injective on any real corpus slice; same contract as
     ``dedup_exact_hash``).
     """
+    if num_partitions is None:  # size partitions to the input, not a constant
+        from ..stages.shuffle import input_size_bytes
+        from .streaming import auto_shard_count
+
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/documents.parquet"))
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def compact(b: pa.Table) -> pa.Table:

@@ -156,7 +156,8 @@ def log_value_quantiles(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
     })
 
 
-def log_hourly_topk(sf_dir: str, *, topk: int = 3, num_partitions: int = 8):
+def log_hourly_topk(sf_dir: str, *, topk: int = 3,
+                    num_partitions: int | None = None):
     """(hour, user_id, n_events, rk) — per-hour top-``topk`` users by event
     count (the trending-entities windowed top-k; ties -> smaller user_id).
 
@@ -170,8 +171,12 @@ def log_hourly_topk(sf_dir: str, *, topk: int = 3, num_partitions: int = 8):
     """
     import numpy as np
 
-    from ..stages.shuffle import hash_partition
+    from ..stages.shuffle import hash_partition, input_size_bytes
+    from .streaming import auto_shard_count
 
+    if num_partitions is None:  # size partitions to the input, not a constant
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/events.parquet"))
     ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
 
     def prep(b: pa.Table) -> pa.Table:

@@ -364,7 +364,7 @@ ORDER BY o_orderstatus
 
 
 
-def q_orders_running_total(sf_dir: str, *, num_partitions: int = 8):
+def q_orders_running_total(sf_dir: str, *, num_partitions: int | None = None):
     """(o_custkey, o_orderkey, o_orderdate, price_cents, running_cents) —
     per-customer running revenue in order-date order (the SQL
     ``SUM() OVER (PARTITION BY ... ORDER BY ...)`` cumulative window,
@@ -378,8 +378,12 @@ def q_orders_running_total(sf_dir: str, *, num_partitions: int = 8):
     """
     import numpy as np
 
-    from ..stages.shuffle import hash_partition
+    from ..stages.shuffle import hash_partition, input_size_bytes
+    from .streaming import auto_shard_count
 
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/orders.parquet"))
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
                                                "o_orderdate", "o_totalprice"])
 

@@ -904,7 +904,7 @@ ORDER BY doc_id, chunk_id
 
 # --- per-doc top term by tf/df (tf-idf-shaped, integer score) ---------------
 
-def doc_tfidf_top(sf_dir: str, *, num_partitions: int = 8):
+def doc_tfidf_top(sf_dir: str, *, num_partitions: int | None = None):
     """(doc_id, top_term, score) — each document's most distinctive term by
     an integer tf-idf-shaped score ``tf * 1e6 // df`` (idf = 1/df keeps the
     arithmetic exact in both engines; log-idf would hash-mismatch on floats).
@@ -917,8 +917,12 @@ def doc_tfidf_top(sf_dir: str, *, num_partitions: int = 8):
     ONE hash exchange back by doc_id for the per-doc argmax.  Both exchanges
     move compact integer+term rows, never text.
     """
-    from ..stages.shuffle import hash_partition
+    from ..stages.shuffle import hash_partition, input_size_bytes
+    from .streaming import auto_shard_count
 
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/documents.parquet"))
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def block_tf(b: pa.Table) -> pa.Table:

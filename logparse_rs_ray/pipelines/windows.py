@@ -46,6 +46,12 @@ def log_sessionize(sf_dir: str, *, num_partitions: int = 8, mode: str = "auto"):
 
     from ..stages.shuffle import hash_partition, resolve_mode
 
+    from ..stages.shuffle import input_size_bytes
+    from .streaming import auto_shard_count
+
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/events.parquet"))
     mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     part = (hash_partition(ds, ["user_id"], num_partitions)
@@ -400,7 +406,7 @@ ORDER BY user_id
 
 
 
-def log_user_retention(sf_dir: str, *, num_partitions: int = 8,
+def log_user_retention(sf_dir: str, *, num_partitions: int | None = None,
                        mode: str = "auto"):
     """(hour, n_active, n_retained_next) — hour-over-hour user retention:
     distinct active users per hour, and how many of them are also active
@@ -418,6 +424,12 @@ def log_user_retention(sf_dir: str, *, num_partitions: int = 8,
 
     from ..stages.shuffle import hash_partition, resolve_mode
 
+    from ..stages.shuffle import input_size_bytes
+    from .streaming import auto_shard_count
+
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/events.parquet"))
     mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
