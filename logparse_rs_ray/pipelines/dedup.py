@@ -939,6 +939,90 @@ def dedup_minhash_survivors(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                                 num_partitions=num_partitions)
 
 
+# --- incremental dedup against a prior corpus snapshot ----------------------
+
+def dedup_incremental(sf_dir: str, *, mode: str = "auto",
+                      num_partitions: int | None = None):
+    """(doc_id, source) — the crawl-update case: docs of the NEW batch
+    (odd doc_ids here; in production, the fresh crawl) that survive exact
+    dedup against BOTH the prior corpus snapshot (even doc_ids / the
+    existing index) and the new batch itself (min doc_id keeps).  The
+    reference's "shared mutable index" problem (SURVEY §2.3 ST2)
+    re-expressed as data: the prior index is just another Dataset of
+    compact (hash, origin) rows, co-located with the new batch's rows by
+    ONE hash exchange — no actor holds the index, no index is broadcast.
+
+    Scale shape: both sides emit compact (text_hash, rank) int64 rows
+    (text never shuffles); one exchange by hash; a partition-local lexsort
+    decides survival (any prior-side row kills every new-side row of that
+    hash; otherwise the minimum new rank survives).  The prior side reads
+    ONLY its hash column's worth of data.
+    """
+    from ..stages.shuffle import input_size_bytes, resolve_mode
+    from .streaming import auto_shard_count
+
+    path = f"{sf_dir}/documents.parquet"
+    mode = resolve_mode(mode, path)
+    if num_partitions is None:
+        num_partitions = auto_shard_count(input_size_bytes(path))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def compact(b: pa.Table) -> pa.Table:
+        h = fnv1a64_arrow(b["text"].combine_chunks()
+                          if isinstance(b["text"], pa.ChunkedArray)
+                          else b["text"])
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        # prior snapshot rows get rank -1: they dominate every new row
+        rank = np.where(ids % 2 == 0, np.int64(-1), ids)
+        return pa.table({"h": pa.array(h.astype(np.int64)),
+                         "rank": pa.array(rank)})
+
+    def survivors(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        h = np.asarray(b["h"], dtype=np.int64)
+        r = np.asarray(b["rank"], dtype=np.int64)
+        order = np.lexsort((r, h))
+        h_s, r_s = h[order], r[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = h_s[1:] != h_s[:-1]
+        win = r_s[first]                       # min rank per hash
+        return pa.table({"doc_id": pa.array(win[win >= 0])})
+
+    rows = docs.map_batches(compact, batch_format="pyarrow", batch_size=None)
+    if mode == "shuffle":
+        rows = hash_partition(rows, ["h"], num_partitions)
+    else:
+        rows = rows.repartition(1)
+    keep = rows.map_batches(survivors, batch_format="pyarrow",
+                            batch_size=None)
+
+    from ..stages.join import broadcast_join
+
+    keep_tbl = pa.concat_tables(
+        list(keep.iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"doc_id": pa.array([], type=pa.int64())})])
+    # survivor ids are ∝ the NEW batch (bounded by the update size, not the
+    # corpus) -> broadcast semi-join back for the payload columns
+    out = broadcast_join(
+        read_table(sf_dir, "documents", columns=["doc_id", "source"]),
+        keep_tbl, "doc_id", join_type="left semi")
+    return out.sort("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents p
+                  WHERE p.doc_id % 2 = 0 AND p.text = d.text)
+  AND NOT EXISTS (SELECT 1 FROM documents n
+                  WHERE n.doc_id % 2 = 1 AND n.text = d.text
+                    AND n.doc_id < d.doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --- passage-level exact dedup (ExactSubstr/CCNet-shaped) ------------------
 
 # rank = doc_id << _PID_BITS | pid: a single int64 orders passages by
@@ -1192,6 +1276,7 @@ QUERIES = {
     "embed_dedup_survivors": embed_dedup_survivors,
     "doc_passage_dedup": doc_passage_dedup,
     "dedup_minhash_survivors": dedup_minhash_survivors,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE_SQL = {
@@ -1200,6 +1285,7 @@ ORACLE_SQL = {
     "embed_neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "embed_dedup_survivors": EMBED_DEDUP_SURVIVORS_SQL,
     "doc_passage_dedup": DOC_PASSAGE_DEDUP_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     # minhash/simhash: probabilistic sketches, not SQL-expressible; pytest
     # verifies them against brute-force oracles on tiny corpora instead.
 }

@@ -714,3 +714,33 @@ class TestValueQuantiles:
         for r in out.itertuples():
             true = vals[int(np.ceil(len(vals) * r.q_pct / 100)) - 1]
             assert abs(r.value_est - true) / true <= 2 * DD_ALPHA, r
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalDedup:
+    def test_prior_dominates_and_new_keeps_min(self, tmp_path):
+        """Even ids = prior snapshot, odd ids = new batch.  A new doc dies
+        if its text exists in the prior corpus; within the new batch the
+        min doc_id survives.  (The sf corpus has no exact dups, so this
+        pinned corpus carries the real collisions.)"""
+        from logparse_rs_ray.pipelines.dedup import dedup_incremental
+
+        rows = {
+            0: "prior text alpha",     # prior
+            2: "prior text beta",      # prior
+            1: "prior text alpha",     # new, collides with prior -> dropped
+            3: "fresh text one",       # new, unique -> kept
+            5: "fresh text two",       # new, first of a new-new dup -> kept
+            7: "fresh text two",       # new, later dup -> dropped
+            9: "prior text beta",      # new, collides with prior -> dropped
+        }
+        tbl = pa.table({"doc_id": pa.array(list(rows), type=pa.int64()),
+                        "text": pa.array(list(rows.values())),
+                        "source": pa.array([f"s{k}" for k in rows])})
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = dedup_incremental(str(tmp_path)).to_pandas()
+        assert out.doc_id.tolist() == [3, 5]
+        assert out.source.tolist() == ["s3", "s5"]
+        # forced shuffle regime agrees
+        forced = dedup_incremental(str(tmp_path), mode="shuffle").to_pandas()
+        pd.testing.assert_frame_equal(out, forced)
