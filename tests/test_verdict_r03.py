@@ -744,3 +744,32 @@ class TestIncrementalDedup:
         # forced shuffle regime agrees
         forced = dedup_incremental(str(tmp_path), mode="shuffle").to_pandas()
         pd.testing.assert_frame_equal(out, forced)
+
+
+class TestQueryRegistry:
+    def test_names_unique_and_oracles_resolve(self):
+        """Cross-module query names must be unique (dict.update would
+        silently shadow), every oracle has a query, and every query is
+        either oracle-checked or deliberately rows-only."""
+        import importlib
+
+        mods = ["relational", "logops", "dedup", "similarity", "textops",
+                "multimodal", "windows", "curation"]
+        seen: dict[str, str] = {}
+        oracles: set[str] = set()
+        for m in mods:
+            mod = importlib.import_module(f"logparse_rs_ray.pipelines.{m}")
+            for name in mod.QUERIES:
+                assert name not in seen, f"{name} in both {seen[name]} and {m}"
+                seen[name] = m
+            assert set(mod.ORACLE_SQL) <= set(mod.QUERIES), m
+            oracles |= set(mod.ORACLE_SQL)
+        assert len(seen) >= 68
+        rows_only = set(seen) - oracles
+        # every rows-only op is one of the known inherently-non-SQL set
+        assert rows_only <= {
+            "approx_distinct_parts", "log_anonymize_users",
+            "dedup_minhash_pairs", "dedup_simhash_pairs", "ann_ivf_topk",
+            "doc_fingerprint", "mm_frame_samples", "embed_kmeans",
+            "dedup_minhash_survivors", "log_value_quantiles",
+        }, rows_only
