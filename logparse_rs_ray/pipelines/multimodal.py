@@ -267,11 +267,86 @@ def mm_frame_samples(sf_dir: str):
                           batch_size=2048, concurrency=2).sort("doc_id")
 
 
+class AudioLevelStub:
+    """Audio-shaped actor-pool stage: the payload byte stream stands in for
+    PCM samples; each 64-byte window yields an integer level (mean byte
+    value — the RMS stand-in).  ``__init__`` is where a real version loads
+    the audio codec (torchaudio/librosa) once per actor; swap the window
+    kernel for a real resample+RMS and nothing else changes.
+
+    The window arithmetic is one cumsum over the concatenated payload
+    buffer + the repeat/arange row-expansion (the doc_chunk trick) — no
+    Python loop over docs or windows.
+    """
+
+    WINDOW = 64
+
+    def __init__(self):
+        # real version: self.codec = torchaudio backend init
+        self.codec_ready = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        col = batch["payload"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                            count=len(col) + 1,
+                            offset=col.offset * 4).astype(np.int64)
+        raw = (np.frombuffer(col.buffers()[2], dtype=np.uint8)
+               if col.buffers()[2] is not None else np.empty(0, np.uint8))
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lens = np.diff(off)
+        W = self.WINDOW
+        nwin = (lens + W - 1) // W                    # 0 for empty payloads
+        total = int(nwin.sum())
+        cs = np.zeros(len(raw) + 1, dtype=np.int64)
+        np.cumsum(raw, out=cs[1:])
+        first_of = np.cumsum(nwin) - nwin
+        win_id = np.arange(total, dtype=np.int64) - np.repeat(first_of, nwin)
+        start = np.repeat(off[:-1], nwin) + win_id * W
+        end = np.minimum(start + W, np.repeat(off[1:], nwin))
+        level = (cs[end] - cs[start]) // np.maximum(end - start, 1)
+        # per-doc aggregate via group_by (empty-segment-safe, unlike reduceat)
+        wt = pa.table({"doc_id": pa.array(np.repeat(ids, nwin)),
+                       "level": pa.array(level)})
+        g = wt.group_by(["doc_id"]).aggregate(
+            [("level", "count"), ("level", "max"), ("level", "sum")])
+        g = g.rename_columns(["doc_id", "n_windows", "peak_level", "sum_level"])
+        have = np.asarray(g["doc_id"], dtype=np.int64)
+        # docs with empty payloads produced no window rows: fill zeros
+        out = {"doc_id": ids,
+               "n_windows": np.zeros(len(ids), dtype=np.int64),
+               "peak_level": np.zeros(len(ids), dtype=np.int64),
+               "mean_level": np.zeros(len(ids), dtype=np.int64)}
+        pos = {int(d): i for i, d in enumerate(ids)}
+        idx = np.fromiter((pos[int(d)] for d in have), dtype=np.int64,
+                          count=len(have))
+        out["n_windows"][idx] = np.asarray(g["n_windows"], dtype=np.int64)
+        out["peak_level"][idx] = np.asarray(g["peak_level"], dtype=np.int64)
+        out["mean_level"][idx] = (np.asarray(g["sum_level"], dtype=np.int64)
+                                  // np.maximum(out["n_windows"][idx], 1))
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+
+def mm_audio_levels(sf_dir: str):
+    """(doc_id, n_windows, peak_level, mean_level) — windowed audio-level
+    extraction over opaque binary payloads (rows-only: the window kernel is
+    a stub; the pytest replays it serially)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(AudioLevelStub, batch_format="pyarrow",
+                          batch_size=2048, concurrency=2).sort("doc_id")
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_feature_agg": mm_feature_agg,
     "mm_thumbnails": mm_thumbnails,
     "mm_frame_samples": mm_frame_samples,
+    "mm_audio_levels": mm_audio_levels,
 }
 
 # ASCII corpus => encode(substring(text,1,64)) is a byte-exact slice of the

@@ -433,9 +433,63 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
+def q3_urgent_revenue(sf_dir: str):
+    """(c_mktsegment, revenue_cents, n_lines) — TPC-H Q3-shaped three-way
+    join: discounted revenue of '1-URGENT' orders per customer market
+    segment.  Plan: the fact table hash-joins the FILTERED orders (the
+    predicate is pushed below the exchange, so only urgent order keys
+    shuffle), then the customer segment map rides a broadcast join —
+    lineitem itself crosses exactly one exchange.
+    """
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def urgent(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        return b.select(["o_orderkey", "o_custkey"])
+
+    urgent_orders = orders.map_batches(urgent, batch_format="pyarrow",
+                                       batch_size=None)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(1.0, b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "disc_cents": _cents(disc, 10000)})
+
+    li = li.map_batches(prep_li, batch_format="pyarrow", batch_size=None)
+    joined = hash_join(li, urgent_orders, on="l_orderkey",
+                       right_on="o_orderkey", num_partitions=16)
+    cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    enriched = broadcast_join(joined, cust, "o_custkey", "c_custkey",
+                              columns=["c_mktsegment"])
+    out = grouped_agg(enriched, ["c_mktsegment"],
+                      {"revenue_cents": "disc_cents"},
+                      count_name="n_lines", final_partitions=1)
+    return out.sort("c_mktsegment")
+
+
+Q3_URGENT_REVENUE_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_orders_running_total": q_orders_running_total,
+    "q3_urgent_revenue": q3_urgent_revenue,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q_customer_regions": q_customer_regions,
     "q_order_lineitem_join": q_order_lineitem_join,
@@ -452,6 +506,7 @@ QUERIES = {
 ORACLE_SQL = {
     "q1_pricing_summary": Q1_SQL,
     "q_orders_running_total": Q_ORDERS_RUNNING_TOTAL_SQL,
+    "q3_urgent_revenue": Q3_URGENT_REVENUE_SQL,
     "q6_revenue_forecast": Q6_SQL,
     "q_customer_regions": Q_CUSTOMER_REGIONS_SQL,
     "q_order_lineitem_join": Q_ORDER_LINEITEM_SQL,

@@ -772,4 +772,36 @@ class TestQueryRegistry:
             "dedup_minhash_pairs", "dedup_simhash_pairs", "ann_ivf_topk",
             "doc_fingerprint", "mm_frame_samples", "embed_kmeans",
             "dedup_minhash_survivors", "log_value_quantiles",
+            "mm_audio_levels",
         }, rows_only
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioLevels:
+    def test_matches_serial_window_kernel(self):
+        from logparse_rs_ray.pipelines.multimodal import (
+            AudioLevelStub, mm_audio_levels)
+
+        out = mm_audio_levels(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        W = AudioLevelStub.WINDOW
+        for r in docs.itertuples():
+            raw = r.text.encode()
+            wins = [raw[i:i + W] for i in range(0, len(raw), W)]
+            levels = [sum(w) // len(w) for w in wins]
+            row = out.loc[r.doc_id]
+            assert row.n_windows == len(wins), r.doc_id
+            assert row.peak_level == (max(levels) if levels else 0)
+            assert row.mean_level == (sum(levels) // len(levels) if levels else 0)
+
+    def test_empty_payload_row(self, tmp_path):
+        from logparse_rs_ray.pipelines.multimodal import mm_audio_levels
+
+        pq.write_table(pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                                 "text": ["", "abcd"]}),
+                       tmp_path / "documents.parquet")
+        out = mm_audio_levels(str(tmp_path)).to_pandas().set_index("doc_id")
+        assert out.loc[1].tolist() == [0, 0, 0]
+        lvl = sum(b"abcd") // 4
+        assert out.loc[2].tolist() == [1, lvl, lvl]
