@@ -71,6 +71,16 @@ def main(argv: list[str] | None = None) -> int:
     ndp.add_argument("--schema")
     ndp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
+    curp = sub.add_parser(
+        "curate", help="corpus curation -> sharded training export "
+                       "(quality gate + holdout + decontamination + dedup)")
+    curp.add_argument("--input", required=True,
+                      help="dir containing documents.parquet")
+    curp.add_argument("--output", required=True,
+                      help="export dir (one subdir per shard)")
+    curp.add_argument("--shards", type=int, default=16)
+    curp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     args = p.parse_args(argv)
 
     import ray
@@ -109,6 +119,17 @@ def main(argv: list[str] | None = None) -> int:
             parsed = parse_webtext(rd.read_parquet(args.input), schema)
             write_ndjson_sinks(parsed, args.output, schema)
             print(json.dumps({"status": "ok", "output": args.output}))
+        elif args.cmd == "curate":
+            from .pipelines.curation import doc_training_export
+
+            census = doc_training_export(args.input, n_shards=args.shards,
+                                         out_dir=args.output).to_pandas()
+            print(json.dumps({
+                "status": "ok", "output": args.output,
+                "shards": len(census),
+                "n_docs": int(census.n_docs.sum()),
+                "n_tokens": int(census.n_tokens.sum()),
+            }))
     finally:
         ray.shutdown()
     return 0
