@@ -71,8 +71,13 @@ ORDER BY event_type
 # --- top-k users by activity ----------------------------------------------
 
 def log_topk_users(sf_dir: str):
+    from ..stages.aggregate import local_topk
+
     ds = read_table(sf_dir, "events", columns=["user_id"])
     counts = count_by(ds, "user_id", count_name="n_events", final_partitions=1)
+    # prefilter each merged block to its local top-10 so the global sort
+    # never sees the (corpus-sized) distinct-user directory
+    counts = local_topk(counts, ["n_events", "user_id"], 10)
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
 
 

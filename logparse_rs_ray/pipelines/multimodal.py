@@ -320,9 +320,8 @@ class AudioLevelStub:
                "n_windows": np.zeros(len(ids), dtype=np.int64),
                "peak_level": np.zeros(len(ids), dtype=np.int64),
                "mean_level": np.zeros(len(ids), dtype=np.int64)}
-        pos = {int(d): i for i, d in enumerate(ids)}
-        idx = np.fromiter((pos[int(d)] for d in have), dtype=np.int64,
-                          count=len(have))
+        order = np.argsort(ids)                 # ids unique within a batch
+        idx = order[np.searchsorted(ids[order], have)]
         out["n_windows"][idx] = np.asarray(g["n_windows"], dtype=np.int64)
         out["peak_level"][idx] = np.asarray(g["peak_level"], dtype=np.int64)
         out["mean_level"][idx] = (np.asarray(g["sum_level"], dtype=np.int64)

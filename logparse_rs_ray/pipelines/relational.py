@@ -189,8 +189,11 @@ def q_top_parts_by_quantity(sf_dir: str):
         return pa.table({"l_partkey": b["l_partkey"],
                          "qty": pc.cast(b["l_quantity"], pa.int64())})
 
+    from ..stages.aggregate import local_topk
+
     agg = grouped_agg(li.map_batches(prep, batch_format="pyarrow", batch_size=None),
                       ["l_partkey"], {"sum_qty": "qty"})
+    agg = local_topk(agg, ["sum_qty", "l_partkey"], 10)
     return agg.sort(["sum_qty", "l_partkey"], descending=[True, False]).limit(10)
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 __all__ = ["count_by", "top_k", "sum_by", "multi_count", "multi_count_fn",
-           "grouped_agg", "tree_merge"]
+           "grouped_agg", "tree_merge", "local_topk"]
 
 
 def tree_merge(partials, keys: list[str], agg_specs: list[tuple[str, str]],
@@ -148,6 +148,11 @@ def top_k(ds, keys, k, *, count_name="count", drop_null_keys=False, mode="tree",
     to one row per distinct key, so the global sort is tiny."""
     counts = count_by(ds, keys, count_name=count_name, drop_null_keys=drop_null_keys,
                       mode=mode, fanin=fanin, final_partitions=final_partitions)
+    # per-block prefilter: merged blocks hold complete key groups (tree:
+    # one block; shuffle: hash-disjoint), so the final sort sees at most
+    # blocks x k candidate rows even for corpus-sized key sets
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    counts = local_topk(counts, [count_name] + keys, k)
     return counts.sort(count_name, descending=True).limit(k)
 
 
@@ -207,3 +212,25 @@ def multi_count(ds, dims, *, mode="tree", fanin=8, final_partitions=None):
 
     return hash_merge(partial, ["dim", "key"], [("count", "sum")],
                       num_partitions=final_partitions or 16)
+
+
+def local_topk(ds, sort_keys, k, *, descending=None):
+    """Per-block top-k prefilter before a global ``sort().limit(k)``.
+
+    Valid whenever each block holds COMPLETE key groups — true after
+    either merge mode (tree: everything in one block; shuffle: hash
+    partitions hold disjoint keys) — so the global top-k always survives
+    the prefilter and the final all-to-all sort sees at most
+    ``blocks x k`` rows instead of the whole key directory.  The
+    ``doc_term_df`` top-N plan (VERDICT r02 item 1), generalized.
+    """
+    descending = descending or [True] + [False] * (len(sort_keys) - 1)
+    order = [(c, "descending" if d else "ascending")
+             for c, d in zip(sort_keys, descending)]
+
+    def prune(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        return b.sort_by(order).slice(0, k)
+
+    return ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
