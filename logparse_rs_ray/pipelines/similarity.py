@@ -196,6 +196,87 @@ def ann_ivf_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
                                               batch_size=None).sort(["query_id", "vec_id"])
 
 
+def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
+                 n_planes: int = 6, max_hamming: int = 2):
+    """LSH-bucketed approximate top-k (the brief's second scale path next
+    to IVF): vectors bucket by the sign pattern of ``n_planes``
+    deterministic random hyperplane projections; each query multi-probes
+    every bucket within Hamming distance ``max_hamming`` of its own
+    signature (random-hyperplane LSH: closer cosine -> closer signature).
+    Rows-only (approximate by construction); pytest pins recall vs the
+    exact brute force and determinism.
+
+    Scale shape: the plane matrix and per-query probe sets ride the task
+    closure; each batch computes signatures with one matmul + sign-bit
+    pack and only probed rows enter the per-query local top-k; the global
+    merge sees <= blocks x queries x k rows.  Signatures could also feed
+    ``hash_partition`` for a bucket-materialized index — this operator is
+    the query-side, index-free variant.
+    """
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    dim = qmat.shape[1]
+    planes = np.random.default_rng(20240917).standard_normal((n_planes, dim))
+
+    def signatures(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes.T) > 0
+        return (bits.astype(np.uint64)
+                << np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+
+    qsig = signatures(qmat)
+    all_sigs = np.arange(1 << n_planes, dtype=np.uint64)
+    pop = np.array([bin(int(s)).count("1") for s in all_sigs])
+    probe = {}
+    for qi in range(len(qids)):
+        d = pop[(all_sigs ^ qsig[qi]).astype(np.int64)]
+        probe[int(qids[qi])] = all_sigs[d <= max_hamming]
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        ids = np.asarray(batch["vec_id"])
+        mat = _normalize(_list_matrix(batch["embedding"]))
+        sig = signatures(mat)
+        out_q, out_v, out_c = [], [], []
+        for qid, sigs in probe.items():
+            mask = np.isin(sig, sigs) & (ids != qid)
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            row = mat[cand] @ qmat[qid]
+            order = np.lexsort((ids[cand], -row))[:k]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qid))
+            out_v.append(ids[sel])
+            out_c.append(row[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
+
+    def global_topk(batch: pa.Table) -> pa.Table:
+        df2 = batch.to_pandas()
+        df2 = df2.sort_values(["query_id", "cos", "vec_id"],
+                              ascending=[True, False, True])
+        df2 = df2.groupby("query_id", as_index=False).head(k)
+        df2["cos_pct"] = np.floor(df2["cos"] * 1000).astype(np.int64)
+        return pa.Table.from_pandas(df2[["query_id", "vec_id", "cos_pct"]],
+                                    preserve_index=False)
+
+    return partial.repartition(1).map_batches(
+        global_topk, batch_format="pyarrow",
+        batch_size=None).sort(["query_id", "vec_id"])
+
+
 N_SEEDS = 8  # seeds = embeddings of vec_id 0..N_SEEDS-1 (deterministic)
 
 
@@ -321,6 +402,7 @@ def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3):
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "embed_cluster_assign": embed_cluster_assign,
     "embed_kmeans": embed_kmeans,
 }

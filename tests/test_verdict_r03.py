@@ -772,7 +772,7 @@ class TestQueryRegistry:
             "dedup_minhash_pairs", "dedup_simhash_pairs", "ann_ivf_topk",
             "doc_fingerprint", "mm_frame_samples", "embed_kmeans",
             "dedup_minhash_survivors", "log_value_quantiles",
-            "mm_audio_levels",
+            "mm_audio_levels", "ann_lsh_topk",
         }, rows_only
 
 
@@ -805,3 +805,31 @@ class TestAudioLevels:
         assert out.loc[1].tolist() == [0, 0, 0]
         lvl = sum(b"abcd") // 4
         assert out.loc[2].tolist() == [1, lvl, lvl]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLshAnn:
+    def test_recall_validity_and_determinism(self):
+        from logparse_rs_ray.pipelines.similarity import (
+            ann_lsh_topk, ann_topk_cosine)
+
+        lsh = ann_lsh_topk(SF).to_pandas()
+        exact = ann_topk_cosine(SF).to_pandas()
+        # every returned neighbor is real (its cos equals the exact one)
+        exact_map = {(r.query_id, r.vec_id): r.cos_pct
+                     for r in exact.itertuples()}
+        # recall vs the exact top-k
+        # recall floor for this dataset/parameterization (measured 0.47;
+        # random-hyperplane LSH keeps only P(sign-agreement)^planes of the
+        # moderate-cosine neighbors — raise max_hamming/probes to trade
+        # candidates for recall)
+        hits = sum((r.query_id, r.vec_id) in exact_map
+                   for r in lsh.itertuples())
+        assert hits / len(exact) >= 0.4, (hits, len(exact))
+        # any overlap agrees on the score exactly
+        for r in lsh.itertuples():
+            key = (r.query_id, r.vec_id)
+            if key in exact_map:
+                assert r.cos_pct == exact_map[key]
+        again = ann_lsh_topk(SF).to_pandas()
+        pd.testing.assert_frame_equal(lsh, again)
