@@ -833,3 +833,47 @@ class TestLshAnn:
                 assert r.cos_pct == exact_map[key]
         again = ann_lsh_topk(SF).to_pandas()
         pd.testing.assert_frame_equal(lsh, again)
+
+
+class TestRound3KernelProperties:
+    def test_knuth_shard_matches_sql_arithmetic(self):
+        """The numpy bitmask-fold shard hash == the HUGEINT SQL twin on
+        random 63-bit ids (cross-engine pin for the shared shard rule)."""
+        import duckdb
+
+        from logparse_rs_ray.pipelines.textops import (knuth_shard,
+                                                       knuth_shard_sql)
+
+        rng = np.random.default_rng(11)
+        ids = rng.integers(0, 2**62, size=10_000, dtype=np.int64)
+        got = knuth_shard(ids, 16)
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"doc_id": ids}))
+        want = con.execute(
+            f"SELECT {knuth_shard_sql(16)} AS s FROM t").fetchdf()["s"]
+        assert (got == want.to_numpy()).all()
+
+    def test_dd_bins_monotone_and_estimate_bound(self):
+        from logparse_rs_ray.functions.sketches import (DD_ALPHA, dd_bins,
+                                                        dd_estimate)
+
+        rng = np.random.default_rng(5)
+        v = np.sort(np.exp(rng.uniform(-20, 20, size=5000)))
+        bins = dd_bins(v)
+        assert (np.diff(bins) >= 0).all()          # monotone in value
+        est = dd_estimate(bins)
+        rel = np.abs(est - v) / v
+        assert (rel <= DD_ALPHA + 1e-12).all()     # per-value guarantee
+
+    def test_band_join_boundary_semantics(self):
+        """np.searchsorted(side='right')-1 == SQL's [lo, hi) half-open
+        bands on exact boundary doubles."""
+        from logparse_rs_ray.pipelines.windows import VALUE_BANDS
+
+        bounds = np.array([b[1] for b in VALUE_BANDS])
+        for v, want in [(0.0, 0), (49.999, 0), (50.0, 1), (99.999, 1),
+                        (100.0, 2), (400.0, 4), (399.999, 3)]:
+            band = int(np.searchsorted(bounds, v, side="right") - 1)
+            sql_band = max(i for i, (_, lo, hi) in enumerate(VALUE_BANDS)
+                           if lo <= v < hi)
+            assert band == want == sql_band, v
