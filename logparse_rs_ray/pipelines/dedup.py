@@ -828,22 +828,37 @@ def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
 
 # --- keep-one dedup: the corpus AFTER near-dup removal ---------------------
 
-def _anti_join_survivors(corpus, drop: pa.Table, key: str, payload: str,
-                         payload_type, *, broadcast_max_drop: int,
-                         num_partitions: int) -> pa.Table:
-    """``corpus`` minus rows whose ``key`` appears in ``drop`` — the shared
-    keep-one tail of the dedup pipelines.  Broadcast ``left anti`` join
-    below ``broadcast_max_drop`` drop rows (``ray.put`` once, one corpus
-    pass); above it, the same anti-filter runs per hash partition
-    (key-co-located union of corpus + drop rows), so degenerate corpora
-    never funnel the drop set through the driver or every task closure.
-    Returns the (key, payload) survivor table sorted by key.
+def _key_filter_survivors(corpus, keys_ds_or_tbl, key: str, payload: str,
+                          payload_type, *, keep_present: bool,
+                          broadcast_max_keys: int,
+                          num_partitions: int) -> pa.Table:
+    """Filter ``corpus`` by membership of ``key`` in a key set — the shared
+    keep-one tail of the dedup pipelines, in both polarities
+    (``keep_present=False`` = anti / drop-set, ``True`` = semi /
+    survivor-set).  Below ``broadcast_max_keys`` the key set broadcasts
+    (``ray.put`` once, one corpus pass); above it the same filter runs per
+    hash partition (key-co-located union of corpus + key rows), so a
+    corpus-sized key set never funnels through the driver or every task
+    closure.  Returns the (key, payload) result table sorted by key.
     """
+    import ray.data as rd
+
     from ..stages.join import broadcast_join
 
-    if drop.num_rows <= broadcast_max_drop:
-        out = broadcast_join(corpus, drop, key, join_type="left anti")
-    else:  # degenerate corpus (almost everything duplicated): co-locate by key
+    keys_ds = (rd.from_arrow(keys_ds_or_tbl)
+               if isinstance(keys_ds_or_tbl, pa.Table) else keys_ds_or_tbl)
+    keys_ds = keys_ds.materialize()
+    n_keys = keys_ds.count()
+
+    if n_keys <= broadcast_max_keys:
+        keys_tbl = pa.concat_tables(
+            list(keys_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)) or
+            [pa.table({key: pa.array([], type=pa.int64())})])
+        out = broadcast_join(corpus, keys_tbl.select([key]), key,
+                             join_type="left semi" if keep_present
+                             else "left anti")
+    else:  # corpus-sized key set: co-locate by key instead of broadcasting
 
         def mark(role: int):
             def f(b: pa.Table) -> pa.Table:
@@ -851,33 +866,43 @@ def _anti_join_survivors(corpus, drop: pa.Table, key: str, payload: str,
                     key: b[key],
                     payload: (b[payload] if role == 0
                               else pa.nulls(b.num_rows, payload_type)),
-                    "is_drop": pa.array(np.full(b.num_rows, role, dtype=np.int8)),
+                    "is_key": pa.array(np.full(b.num_rows, role, dtype=np.int8)),
                 })
             return f
 
-        import ray.data as rd
-
         mixed = corpus.map_batches(mark(0), batch_format="pyarrow",
                                    batch_size=None).union(
-            rd.from_arrow(drop.append_column(
-                payload, pa.nulls(drop.num_rows, payload_type))).map_batches(
-                mark(1), batch_format="pyarrow", batch_size=None))
+            keys_ds.map_batches(mark(1), batch_format="pyarrow",
+                                batch_size=None))
 
-        def anti(b: pa.Table) -> pa.Table:
-            dropped = pc.unique(b.filter(pc.equal(b["is_drop"], 1))[key])
-            keep = b.filter(pc.equal(b["is_drop"], 0))
-            mask = pc.invert(pc.is_in(keep[key], value_set=dropped))
+        def part_filter(b: pa.Table) -> pa.Table:
+            keyset = pc.unique(b.filter(pc.equal(b["is_key"], 1))[key])
+            keep = b.filter(pc.equal(b["is_key"], 0))
+            mask = pc.is_in(keep[key], value_set=keyset)
+            if not keep_present:
+                mask = pc.invert(mask)
             keep = keep.filter(mask)
             return pa.table({key: keep[key], payload: keep[payload]})
 
         out = hash_partition(mixed, [key], num_partitions).map_batches(
-            anti, batch_format="pyarrow", batch_size=None)
+            part_filter, batch_format="pyarrow", batch_size=None)
 
     tbl = pa.concat_tables(
         list(out.iter_batches(batch_format="pyarrow", batch_size=None)) or
         [pa.table({key: pa.array([], type=pa.int64()),
                    payload: pa.array([], type=payload_type)})])
     return tbl.select([key, payload]).sort_by([(key, "ascending")])
+
+
+def _anti_join_survivors(corpus, drop: pa.Table, key: str, payload: str,
+                         payload_type, *, broadcast_max_drop: int,
+                         num_partitions: int) -> pa.Table:
+    """``corpus`` minus rows whose ``key`` appears in ``drop`` (see
+    ``_key_filter_survivors``)."""
+    return _key_filter_survivors(corpus, drop, key, payload, payload_type,
+                                 keep_present=False,
+                                 broadcast_max_keys=broadcast_max_drop,
+                                 num_partitions=num_partitions)
 
 
 def embed_dedup_survivors(sf_dir: str, *, threshold: float = 0.40,
@@ -942,7 +967,8 @@ def dedup_minhash_survivors(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 # --- incremental dedup against a prior corpus snapshot ----------------------
 
 def dedup_incremental(sf_dir: str, *, mode: str = "auto",
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      broadcast_max_keep: int = 5_000_000):
     """(doc_id, source) — the crawl-update case: docs of the NEW batch
     (odd doc_ids here; in production, the fresh crawl) that survive exact
     dedup against BOTH the prior corpus snapshot (even doc_ids / the
@@ -996,18 +1022,14 @@ def dedup_incremental(sf_dir: str, *, mode: str = "auto",
         rows = rows.repartition(1)
     keep = rows.map_batches(survivors, batch_format="pyarrow",
                             batch_size=None)
-
-    from ..stages.join import broadcast_join
-
-    keep_tbl = pa.concat_tables(
-        list(keep.iter_batches(batch_format="pyarrow", batch_size=None)) or
-        [pa.table({"doc_id": pa.array([], type=pa.int64())})])
-    # survivor ids are ∝ the NEW batch (bounded by the update size, not the
-    # corpus) -> broadcast semi-join back for the payload columns
-    out = broadcast_join(
-        read_table(sf_dir, "documents", columns=["doc_id", "source"]),
-        keep_tbl, "doc_id", join_type="left semi")
-    return out.sort("doc_id")
+    # survivor ids are ∝ the NEW batch: broadcast below the gate, else the
+    # doc_id-co-located regime (a 10 TB crawl update never funnels through
+    # the driver)
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return _key_filter_survivors(corpus, keep, "doc_id", "source",
+                                 pa.string(), keep_present=True,
+                                 broadcast_max_keys=broadcast_max_keep,
+                                 num_partitions=num_partitions)
 
 
 DEDUP_INCREMENTAL_SQL = """

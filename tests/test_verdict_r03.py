@@ -744,6 +744,10 @@ class TestIncrementalDedup:
         # forced shuffle regime agrees
         forced = dedup_incremental(str(tmp_path), mode="shuffle").to_pandas()
         pd.testing.assert_frame_equal(out, forced)
+        # forced co-located semi-join regime (keys past the broadcast gate)
+        colo = dedup_incremental(str(tmp_path),
+                                 broadcast_max_keep=0).to_pandas()
+        pd.testing.assert_frame_equal(out, colo)
 
 
 class TestQueryRegistry:
