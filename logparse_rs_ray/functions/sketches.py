@@ -152,8 +152,11 @@ _LOG_GAMMA = np.log(DD_GAMMA)
 
 
 def dd_bins(values: np.ndarray) -> np.ndarray:
-    """int64 bin index per strictly-positive value."""
-    v = np.asarray(values, dtype=np.float64)
+    """int64 bin index per value.  Contract is strictly-positive input;
+    zeros/negatives are clamped to 1e-300 (one far-left bin) instead of
+    producing NaN/-inf, so a stray sentinel row degrades a tail estimate
+    rather than poisoning the whole histogram."""
+    v = np.maximum(np.asarray(values, dtype=np.float64), 1e-300)
     return np.ceil(np.log(v) / _LOG_GAMMA).astype(np.int64)
 
 
