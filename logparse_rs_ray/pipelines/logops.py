@@ -122,6 +122,94 @@ ORDER BY hour, event_type
 """
 
 
+def log_spike_detection(sf_dir: str):
+    """(hour, event_type, n_events, prev3_sum, is_spike) — trailing-window
+    rate-spike detection per event type: an hour is a spike when its count
+    exceeds 5/3 of the mean of the previous three hours' counts, computed
+    in exact integer arithmetic (``9*cnt > 5*sum_prev3``; hours with no
+    full history never flag).  The alerting-shaped windowed analytic over
+    the parse->route->aggregate output.
+
+    Scale shape: the corpus collapses to (hour, type) partial counts per
+    block (bounded key set: hours x types) through the combiner tree; the
+    trailing-window pass then runs in ONE tiny task over the aggregated
+    series — the raw events never see a window operator.
+    """
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.floor_temporal(b["ts"], unit="hour"),
+                         "event_type": b["event_type"]})
+
+    counts = count_by(ds.map_batches(prep, batch_format="pyarrow",
+                                     batch_size=None),
+                      ["hour", "event_type"], count_name="n_events",
+                      final_partitions=1)
+
+    def window(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"hour": pa.array([], type=pa.timestamp("us")),
+                             "event_type": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "prev3_sum": pa.array([], type=pa.int64()),
+                             "is_spike": pa.array([], type=pa.int64())})
+        hour = b["hour"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        n = np.asarray(b["n_events"], dtype=np.int64)
+        order = np.lexsort((hour, et))
+        hour, et, n = hour[order], et[order], n[order]
+        prev3 = np.zeros(len(n), dtype=np.int64)
+        valid = np.zeros(len(n), dtype=bool)
+        # trailing sums within each (contiguous hourly) type series
+        for lag in (1, 2, 3):
+            same = np.zeros(len(n), dtype=bool)
+            same[lag:] = ((et[lag:] == et[:-lag]) &
+                          (hour[lag:] - hour[:-lag]
+                           == np.timedelta64(lag, "h")))
+            prev3[lag:] += np.where(same[lag:], n[:-lag], 0)
+            if lag == 3:
+                valid = same
+        is_spike = (valid & (9 * n > 5 * prev3)).astype(np.int64)
+        return pa.table({"hour": pa.array(hour),
+                         "event_type": pa.array(et, type=pa.string()),
+                         "n_events": pa.array(n),
+                         "prev3_sum": pa.array(np.where(valid, prev3, 0)),
+                         "is_spike": pa.array(is_spike)})
+
+    out = counts.repartition(1).map_batches(window, batch_format="pyarrow",
+                                            batch_size=None)
+    return out.sort(["hour", "event_type"])
+
+
+LOG_SPIKE_DETECTION_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT hour, event_type, n_events,
+         lag(n_events, 1) OVER win AS p1, lag(hour, 1) OVER win AS h1,
+         lag(n_events, 2) OVER win AS p2, lag(hour, 2) OVER win AS h2,
+         lag(n_events, 3) OVER win AS p3, lag(hour, 3) OVER win AS h3
+  FROM c WINDOW win AS (PARTITION BY event_type ORDER BY hour)
+)
+SELECT hour, event_type, n_events,
+       CASE WHEN h3 = hour - INTERVAL 3 HOUR
+                  AND h2 = hour - INTERVAL 2 HOUR
+                  AND h1 = hour - INTERVAL 1 HOUR
+            THEN CAST(p1 + p2 + p3 AS BIGINT) ELSE 0 END AS prev3_sum,
+       CASE WHEN h3 = hour - INTERVAL 3 HOUR
+                  AND h2 = hour - INTERVAL 2 HOUR
+                  AND h1 = hour - INTERVAL 1 HOUR
+                  AND 9 * n_events > 5 * (p1 + p2 + p3)
+            THEN 1 ELSE 0 END AS is_spike
+FROM w
+ORDER BY hour, event_type
+"""
+
+
 def log_value_quantiles(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
     """(q_pct, value_est) — approximate quantiles of the CONTINUOUS
     ``events.value`` column via a DDSketch-style log-histogram (<= 1%
@@ -407,6 +495,7 @@ QUERIES = {
     "log_hourly_window": log_hourly_window,
     "log_hourly_topk": log_hourly_topk,
     "log_value_quantiles": log_value_quantiles,
+    "log_spike_detection": log_spike_detection,
     "doc_region_enrich": doc_region_enrich,
     "doc_token_stats": doc_token_stats,
     "doc_exact_dedup": doc_exact_dedup,
@@ -419,6 +508,7 @@ ORACLE_SQL = {
     "log_topk_users": LOG_TOPK_USERS_SQL,
     "log_hourly_window": LOG_HOURLY_WINDOW_SQL,
     "log_hourly_topk": LOG_HOURLY_TOPK_SQL,
+    "log_spike_detection": LOG_SPIKE_DETECTION_SQL,
     "doc_region_enrich": DOC_REGION_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,

@@ -881,3 +881,36 @@ class TestRound3KernelProperties:
             sql_band = max(i for i, (_, lo, hi) in enumerate(VALUE_BANDS)
                            if lo <= v < hi)
             assert band == want == sql_band, v
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpikeDetection:
+    def test_pinned_series_with_gap(self, tmp_path):
+        """9*cnt > 5*sum(prev 3 contiguous hours); any gap in the trailing
+        window disqualifies the hour."""
+        from logparse_rs_ray.pipelines.logops import log_spike_detection
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = []
+        # type A: counts 1,1,1 then 10 at hour 3 -> spike (9*10 > 5*3)
+        for h, cnt in [(0, 1), (1, 1), (2, 1), (3, 10), (4, 2)]:
+            rows += [(base + pd.Timedelta(hours=h), "A")] * cnt
+        # type B: hour 2 missing -> hour 3 has a gap, never flags
+        for h, cnt in [(0, 1), (1, 1), (3, 50)]:
+            rows += [(base + pd.Timedelta(hours=h), "B")] * cnt
+        t = pa.table({"ts": pa.array([r[0] for r in rows],
+                                     type=pa.timestamp("us")),
+                      "event_type": pa.array([r[1] for r in rows]),
+                      "user_id": pa.array([0] * len(rows), type=pa.int64()),
+                      "event_id": pa.array(range(len(rows)), type=pa.int64()),
+                      "value": pa.array([1.0] * len(rows)),
+                      "props": pa.array(['{"k": 1}'] * len(rows))})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = log_spike_detection(str(tmp_path)).to_pandas()
+        a = out[out.event_type == "A"].set_index(out[out.event_type == "A"]
+                                                 .hour.dt.hour)
+        assert a.loc[3].is_spike == 1 and a.loc[3].prev3_sum == 3
+        # hour 4 for A: prev3 = 1+1+10 = 12; 9*2 < 60 -> no spike
+        assert a.loc[4].is_spike == 0 and a.loc[4].prev3_sum == 12
+        b = out[out.event_type == "B"]
+        assert (b.is_spike == 0).all() and (b.prev3_sum == 0).all()
