@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "doc_training_export",
     "log_streaming_window",
     "q_orders_running_total",
+    "log_funnel",
+    "q_full_outer_join",
 ]
 
 

@@ -489,7 +489,74 @@ ORDER BY c_mktsegment
 """
 
 
+# --- full-outer join (both-side null alignment) -----------------------------
+
+# value threshold chosen so both sides have members the other lacks at the
+# test scales (sf0.001: 7 vs 7 users, 5 common; sf0.01: 75 vs 67, 31 common)
+FULL_OUTER_VALUE_THR = 150.0
+
+
+def q_full_outer_join(sf_dir: str, *, num_partitions: int = 8):
+    """(user_id, n_clicks, n_purchases) — FULL OUTER join of two per-user
+    activity aggregates (high-value clicks vs high-value purchases), the
+    one outer-join polarity not yet covered next to hash/broadcast/semi/
+    anti/as-of/range.
+
+    Scale shape: each side first collapses to ONE compact row per user
+    (per-block partials + combiner merge — corpus rows never reach the
+    join), then Ray Data's native hash-partitioned ``full_outer`` join
+    aligns the two key sets; unmatched rows surface as nulls and are
+    coalesced vectorized.  The join input is aggregate-sized, so the
+    exchange moves O(distinct users), not O(events).
+    """
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def side(event_type: str, out_name: str):
+        def prep(b: pa.Table) -> pa.Table:
+            keep = b.filter(pc.and_(
+                pc.equal(b["event_type"], event_type),
+                pc.greater(b["value"], FULL_OUTER_VALUE_THR)))
+            return keep.select(["user_id"])
+
+        rows = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        return count_by(rows, "user_id", count_name=out_name)
+
+    clicks = side("click", "n_clicks")
+    purch = side("purchase", "n_purchases")
+    # Ray's full-outer join coalesces the key column itself: right-only
+    # rows arrive with user_id already filled, only the counts are null
+    joined = hash_join(clicks, purch, on="user_id",
+                       join_type="full_outer", num_partitions=num_partitions)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_clicks": pc.coalesce(b["n_clicks"], zero),
+            "n_purchases": pc.coalesce(b["n_purchases"], zero),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None).sort("user_id")
+
+
+Q_FULL_OUTER_JOIN_SQL = f"""
+WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+           WHERE event_type = 'click' AND value > {FULL_OUTER_VALUE_THR}
+           GROUP BY user_id),
+     p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+           WHERE event_type = 'purchase' AND value > {FULL_OUTER_VALUE_THR}
+           GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "q_full_outer_join": q_full_outer_join,
     "q1_pricing_summary": q1_pricing_summary,
     "q_orders_running_total": q_orders_running_total,
     "q3_urgent_revenue": q3_urgent_revenue,
@@ -507,6 +574,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_full_outer_join": Q_FULL_OUTER_JOIN_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q_orders_running_total": Q_ORDERS_RUNNING_TOTAL_SQL,
     "q3_urgent_revenue": Q3_URGENT_REVENUE_SQL,

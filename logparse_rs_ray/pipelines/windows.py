@@ -542,8 +542,114 @@ ORDER BY band
 """
 
 
+FUNNEL_STAGES = [(0, "signup"), (1, "click"), (2, "purchase")]
+
+
+def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
+               mode: str = "auto"):
+    """(stage_idx, stage, n_users) — strict-order conversion funnel: users
+    with a signup, users whose first signup is followed by a later click,
+    and users whose first such click is followed by a later purchase (the
+    product-analytics funnel the reference's Counter aggregates cannot
+    express; cf. pan_dynamic_parser.py:1039-1096 which only counts flat
+    dimensions).
+
+    Scale shape: compact (user_id, stage_code, ts) rows, ONE hash exchange
+    by user_id so each user's funnel events are co-located, then the whole
+    chain is vectorized per partition — three masked ``minimum.reduceat``
+    passes over user segments (first signup ts -> first later click ts ->
+    first later purchase ts), no per-user Python.  The per-stage census is
+    3 rows per partition, tree-merged.  Below the auto-mode threshold the
+    input collapses to one block (same kernel, no shuffle actors).
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition, input_size_bytes, resolve_mode
+    from .streaming import auto_shard_count
+
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/events.parquet"))
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    stage_names = [s for _, s in FUNNEL_STAGES]
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def compact(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.is_in(b["event_type"],
+                                 value_set=pa.array(stage_names)))
+        code = pc.index_in(keep["event_type"],
+                           value_set=pa.array(stage_names))
+        return pa.table({"user_id": keep["user_id"],
+                         "code": pc.cast(code, pa.int8()),
+                         "ts": keep["ts"]})
+
+    rows = ds.map_batches(compact, batch_format="pyarrow", batch_size=None)
+    if mode == "shuffle":
+        rows = hash_partition(rows, ["user_id"], num_partitions)
+    else:
+        rows = rows.repartition(1)
+
+    sentinel = np.iinfo(np.int64).max
+
+    def census(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"stage_idx": pa.array([], type=pa.int64()),
+                             "stage": pa.array([], type=pa.string()),
+                             "n_users": pa.array([], type=pa.int64())})
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        c = np.asarray(b["code"], dtype=np.int8)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, u))
+        u, c, ts = u[order], c[order], ts[order]
+        starts = np.nonzero(np.concatenate(([True], u[1:] != u[:-1])))[0]
+        seg_len = np.diff(np.append(starts, len(u)))
+        # stage 1: first signup ts per user
+        t_prev = np.minimum.reduceat(np.where(c == 0, ts, sentinel), starts)
+        counts = [int(np.count_nonzero(t_prev < sentinel))]
+        # stages 2..n: first strictly-later event of the next code
+        for code in range(1, len(stage_names)):
+            gate = np.repeat(t_prev, seg_len)
+            t_prev = np.minimum.reduceat(
+                np.where((c == code) & (ts > gate), ts, sentinel), starts)
+            counts.append(int(np.count_nonzero(t_prev < sentinel)))
+        return pa.table({
+            "stage_idx": pa.array([i for i, _ in FUNNEL_STAGES], type=pa.int64()),
+            "stage": pa.array(stage_names, type=pa.string()),
+            "n_users": pa.array(counts, type=pa.int64()),
+        })
+
+    partial = rows.map_batches(census, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["stage_idx", "stage"], [("n_users", "sum")],
+                        fanin=8)
+    return merged.select_columns(["stage_idx", "stage",
+                                  "n_users"]).sort("stage_idx")
+
+
+LOG_FUNNEL_SQL = """
+WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+         (SELECT COUNT(*) FROM s) AS n_users
+  UNION ALL
+  SELECT 1, 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT COUNT(*) FROM p)
+) ORDER BY stage_idx
+"""
+
+
 QUERIES = {
     "log_streaming_window": log_streaming_window,
+    "log_funnel": log_funnel,
     "log_user_retention": log_user_retention,
     "q_value_band_join": q_value_band_join,
     "log_sessionize": log_sessionize,
@@ -556,6 +662,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
+    "log_funnel": LOG_FUNNEL_SQL,
     "log_user_retention": LOG_USER_RETENTION_SQL,
     "q_value_band_join": Q_VALUE_BAND_JOIN_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,

@@ -914,3 +914,60 @@ class TestSpikeDetection:
         assert a.loc[4].is_spike == 0 and a.loc[4].prev3_sum == 12
         b = out[out.event_type == "B"]
         assert (b.is_spike == 0).all() and (b.prev3_sum == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    def test_matches_serial_and_modes_agree(self):
+        """Strict-order funnel equals a per-user pandas replay; the
+        vectorized reduceat kernel must agree across shuffle shapes."""
+        from logparse_rs_ray.pipelines.windows import log_funnel
+
+        out = log_funnel(SF).to_pandas().set_index("stage")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_type"]).to_pandas()
+        ev = ev.sort_values(["user_id", "ts"])
+        n = {"signup": 0, "click": 0, "purchase": 0}
+        for _, g in ev.groupby("user_id"):
+            t1 = g.ts[g.event_type == "signup"].min()
+            if pd.isna(t1):
+                continue
+            n["signup"] += 1
+            t2 = g.ts[(g.event_type == "click") & (g.ts > t1)].min()
+            if pd.isna(t2):
+                continue
+            n["click"] += 1
+            t3 = g.ts[(g.event_type == "purchase") & (g.ts > t2)].min()
+            if not pd.isna(t3):
+                n["purchase"] += 1
+        for stage, expect in n.items():
+            assert out.loc[stage].n_users == expect, stage
+        # funnel is monotone non-increasing by construction
+        vals = out.sort_values("stage_idx").n_users.to_numpy()
+        assert (np.diff(vals) <= 0).all()
+        forced = log_funnel(SF, mode="shuffle", num_partitions=4).to_pandas()
+        tree = log_funnel(SF, mode="tree").to_pandas()
+        pd.testing.assert_frame_equal(forced, tree)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullOuterJoin:
+    def test_matches_pandas_outer_merge(self):
+        from logparse_rs_ray.pipelines.relational import (
+            FULL_OUTER_VALUE_THR, q_full_outer_join)
+
+        out = q_full_outer_join(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type",
+                                    "value"]).to_pandas()
+        hi = ev[ev.value > FULL_OUTER_VALUE_THR]
+        c = (hi[hi.event_type == "click"].groupby("user_id").size()
+             .rename("n_clicks"))
+        p = (hi[hi.event_type == "purchase"].groupby("user_id").size()
+             .rename("n_purchases"))
+        exp = (pd.merge(c, p, left_index=True, right_index=True, how="outer")
+               .fillna(0).astype("int64").reset_index().sort_values("user_id")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+        # both outer polarities must actually occur at this scale
+        assert (exp.n_clicks == 0).any() and (exp.n_purchases == 0).any()
