@@ -176,3 +176,59 @@ def dd_quantiles(bins: np.ndarray, counts: np.ndarray,
     n = cum[-1]
     ks = np.ceil(n * np.asarray(qs)).astype(np.int64)
     return dd_estimate(b[np.searchsorted(cum, ks)])
+
+
+# --- Count-Min sketch (mergeable heavy-hitter counts) ------------------------
+
+# d=4 rows x w=8192 counters (256 KiB of int64): overestimate-only error
+# bounded by e/w * N per query with probability 1 - e^-d; merged with a
+# plain elementwise SUM (counts are linear), same emit-per-block contract
+# as the HLL registers above.
+CMS_D = 4
+CMS_W = 1 << 13
+_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_rows(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """(d, n) counter indexes for string keys (FNV + salted splitmix)."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    h = fnv1a64_arrow(keys.cast(pa.string()))
+    with np.errstate(over="ignore"):
+        hs = h[None, :] ^ _CMS_SALTS[:, None]
+        hs = (hs ^ (hs >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        hs = (hs ^ (hs >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        hs = hs ^ (hs >> np.uint64(31))
+    return (hs >> np.uint64(64 - 13)).astype(np.int64)   # 13 = log2(CMS_W)
+
+
+def cms_build(keys: pa.Array | pa.ChunkedArray,
+              counts: np.ndarray) -> np.ndarray:
+    """int64[CMS_D, CMS_W] sketch of pre-aggregated (key, count) pairs.
+    One ``bincount`` per row — no per-element scatter loop (integer counts
+    stay exact: float64 bincount sums are exact below 2^53)."""
+    sk = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(keys) == 0:
+        return sk
+    idx = _cms_rows(keys)
+    w = np.asarray(counts, dtype=np.float64)
+    for d in range(CMS_D):
+        sk[d] = np.bincount(idx[d], weights=w, minlength=CMS_W).astype(np.int64)
+    return sk
+
+
+def cms_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for s in sketches:
+        out += s
+    return out
+
+
+def cms_query(sk: np.ndarray, keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """int64[n] point estimates: min over the d counter rows (>= true)."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = _cms_rows(keys)
+    return np.min(sk[np.arange(CMS_D)[:, None], idx], axis=0)

@@ -487,8 +487,135 @@ def approx_distinct_parts(sf_dir: str):
                                                        type=pa.int64())})
 
 
+def log_event_user_hll(sf_dir: str, *, fanin: int = 8):
+    """(event_type, approx_users) — approximate distinct users PER GROUP
+    via grouped HyperLogLog: the mergeable grouped-cardinality primitive
+    (exact grouped COUNT(DISTINCT) needs a corpus shuffle by (group, user);
+    this moves one 4 KiB register array per group per block instead).
+
+    Rows-only (approximate); pytest pins <5% error vs exact per group and
+    the merge==whole property.  Scale shape: per-block per-group sketches
+    -> combiner tree with elementwise-max per group — shuffle volume =
+    O(groups x blocks x 4 KiB), independent of row count.
+    """
+    import pickle
+
+    from ..functions.sketches import hll_estimate, hll_merge, hll_sketch
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def sketch(b: pa.Table) -> pa.Table:
+        et = (b["event_type"].combine_chunks()
+              if isinstance(b["event_type"], pa.ChunkedArray)
+              else b["event_type"])
+        groups, regs = [], []
+        for v in pc.unique(et).to_pylist():     # bounded: few event types
+            uid = b.filter(pc.equal(et, v))["user_id"]
+            groups.append(v)
+            regs.append(pickle.dumps(hll_sketch(pc.cast(uid, pa.string()))))
+        return pa.table({"event_type": pa.array(groups, type=pa.string()),
+                         "regs": pa.array(regs, type=pa.binary())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        acc: dict[str, list] = {}
+        for g, r in zip(t["event_type"].to_pylist(), t["regs"].to_pylist()):
+            acc.setdefault(g, []).append(pickle.loads(r))
+        return pa.table({
+            "event_type": pa.array(sorted(acc), type=pa.string()),
+            "regs": pa.array([pickle.dumps(hll_merge(acc[g]))
+                              for g in sorted(acc)], type=pa.binary())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "approx_users": pa.array(
+                [int(round(hll_estimate(pickle.loads(r))))
+                 for r in t["regs"].to_pylist()], type=pa.int64())})
+
+    merged = (ds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
+              .repartition(fanin)
+              .map_batches(merge, batch_format="pyarrow", batch_size=None)
+              .repartition(1)
+              .map_batches(merge, batch_format="pyarrow", batch_size=None))
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None).sort("event_type")
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# (name, RE2 pattern, replacement tag), applied IN ORDER — later patterns see
+# the text after earlier replacements (tags carry no digits, so the digit-run
+# catch-all cannot mangle an earlier tag).  RE2-only syntax (no lookaround/
+# backrefs) so pyarrow's replace_substring_regex and DuckDB's regexp_replace
+# — both RE2 — agree byte-for-byte; the oracle SQL below is GENERATED from
+# this same list (single source of truth).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d-]{6,13}\d", "<PHONE>"),
+    ("number", r"\d+", "<NUM>"),
+]
+
+
+def redact_pii(arr: pa.Array | pa.ChunkedArray):
+    """Apply the PII pattern chain to a string array.  Returns
+    ``(redacted, n_hits)`` where ``n_hits`` counts every replaced span
+    across all patterns.  Pure RE2 kernels — vectorized, no Python rows.
+    """
+    n_hits = pa.nulls(len(arr), pa.int64())
+    n_hits = pc.fill_null(n_hits, 0)
+    out = arr
+    for _, pat, tag in PII_PATTERNS:
+        n_hits = pc.add(n_hits, pc.cast(
+            pc.count_substring_regex(out, pat), pa.int64()))
+        out = pc.replace_substring_regex(out, pat, tag)
+    return out, n_hits
+
+
+def log_redact_pii(sf_dir: str):
+    """(event_id, redacted, n_hits) — PII-redact the ``props`` payload of
+    every event with the email/IPv4/phone/digit-run chain (the scrubbing
+    pass a training-data pipeline runs before export; generalizes the
+    reference's PAN anonymization from fixed columns to free text).
+
+    Scale shape: embarrassingly parallel — one vectorized RE2 pass per
+    block, zero shuffles, zero state; output is written per block.  The
+    pattern set fires on real spans here (digit runs in props); the
+    email/IP/phone arms are pinned by pytest on a synthetic PII corpus.
+    """
+    from .. import tune_worker_threads
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def redact(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
+        red, n = redact_pii(b["props"])
+        return pa.table({"event_id": b["event_id"],
+                         "redacted": red, "n_hits": n})
+
+    return ds.map_batches(redact, batch_format="pyarrow",
+                          batch_size=None).sort("event_id")
+
+
+def _redact_sql() -> str:
+    """Generate the nested regexp_replace oracle from PII_PATTERNS."""
+    txt, counts = "props", []
+    for i, (_, pat, tag) in enumerate(PII_PATTERNS):
+        counts.append(f"len(regexp_extract_all({txt}, '{pat}'))")
+        txt = f"regexp_replace({txt}, '{pat}', '{tag}', 'g')"
+    total = " + ".join(counts)
+    return (f"SELECT event_id, {txt} AS redacted,\n"
+            f"       CAST({total} AS BIGINT) AS n_hits\n"
+            f"FROM events ORDER BY event_id")
+
+
+LOG_REDACT_PII_SQL = _redact_sql()
+
+
 QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
+    "log_event_user_hll": log_event_user_hll,
+    "log_redact_pii": log_redact_pii,
     "log_parse_props": log_parse_props,
     "log_route_counts": log_route_counts,
     "log_topk_users": log_topk_users,
@@ -503,6 +630,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_redact_pii": LOG_REDACT_PII_SQL,
     "log_parse_props": LOG_PARSE_PROPS_SQL,
     "log_route_counts": LOG_ROUTE_COUNTS_SQL,
     "log_topk_users": LOG_TOPK_USERS_SQL,

@@ -273,6 +273,76 @@ ORDER BY lang
 """
 
 
+def doc_len_rank(sf_dir: str):
+    """(doc_id, lang, len_rank, n_lang) — RANK() of each document's length
+    within its language, plus the language size (the window-function rank
+    the reference's flat Counter aggregates cannot express).
+
+    Scale shape: the window function is re-expressed WITHOUT a per-lang
+    sort of the corpus — pass 1 builds the (lang, n_chars) value histogram
+    (per-block partials, associative tree merge; shuffle volume = O(distinct
+    values)); the driver turns the small histogram into a rank map
+    (rank(v) = 1 + count of smaller values, i.e. SQL RANK with ties) that
+    is broadcast via ``ray.put``; pass 2 assigns ranks vectorized with one
+    ``searchsorted`` per block.  Driver state is bounded by the value
+    domain (langs x distinct lengths), never by row count.  Integer
+    outputs only (driver-contract hash rule).
+    """
+    import ray
+
+    from .. import tune_worker_threads
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    partial = ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    h = tree_merge(partial, ["lang", "n_chars"], [("cnt", "sum")],
+                   fanin=8).to_pandas()
+    h = h.sort_values(["lang", "n_chars"]).reset_index(drop=True)
+    langs = sorted(h.lang.unique())
+    lang_code = {l: i for i, l in enumerate(langs)}
+    cnt = h.cnt.to_numpy(dtype=np.int64)
+    li = h.lang.map(lang_code).to_numpy(dtype=np.int64)
+    starts = np.concatenate(([True], li[1:] != li[:-1]))
+    cum = np.cumsum(cnt) - cnt                      # rows before this value
+    grp_base = np.maximum.accumulate(np.where(starts, cum, 0))
+    rank = cum - grp_base + 1                       # 1 + smaller-in-group
+    n_lang = np.add.reduceat(cnt, np.nonzero(starts)[0])[
+        np.cumsum(starts) - 1]
+    keys = (li << 32) | h.n_chars.to_numpy(dtype=np.int64)
+    ref = ray.put((keys, rank, n_lang, langs))
+
+    def assign(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
+        keys, rank, n_lang, langs = ray.get(ref)
+        code = pc.cast(pc.index_in(b["lang"], value_set=pa.array(langs)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        k = (code << 32) | np.asarray(b["n_chars"], dtype=np.int64)
+        pos = np.searchsorted(keys, k)
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "len_rank": pa.array(rank[pos], type=pa.int64()),
+            "n_lang": pa.array(n_lang[pos], type=pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
+DOC_LEN_RANK_SQL = """
+SELECT doc_id, lang,
+       RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS len_rank,
+       COUNT(*) OVER (PARTITION BY lang) AS n_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def doc_length_outliers(sf_dir: str, *, lo_q: float = 0.1, hi_q: float = 0.9):
     """(lang, p10, p90, n_docs, n_below, n_above) — per-lang quantile-gated
     length-outlier census (the Gopher/RefinedWeb "drop the tails" filter,
@@ -621,6 +691,76 @@ FROM wc
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --- approximate heavy hitters: Count-Min sketch (one pass, fixed state) ---
+
+def doc_cms_heavy_terms(sf_dir: str, *, k: int = 20, cand_per_block: int = 64):
+    """(term, est_cnt) — top-k corpus terms by Count-Min-estimated count:
+    the ONE-PASS approximate sibling of ``doc_heavy_hitters`` (which needs
+    two corpus passes for exactness).  Rows-only: CMS overestimates under
+    collision; pytest pins the one-sided error bound, merge linearity and
+    agreement with exact counts on this corpus.
+
+    Scale shape: one fixed 256 KiB sketch + <= ``cand_per_block`` local
+    top terms per block, merged through a combiner tree (sketches SUM,
+    candidates union) — state is O(1) per block and the driver never sees
+    a corpus-sized vocabulary.  The candidate recall argument is the same
+    averaging bound as doc_heavy_hitters pass 1.
+    """
+    import pickle
+
+    from .. import tune_worker_threads
+    from ..functions.sketches import cms_build, cms_merge, cms_query
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def _row(sk: np.ndarray, cands: np.ndarray) -> pa.Table:
+        return pa.table({
+            "sketch": pa.array([pickle.dumps(sk)], type=pa.binary()),
+            "cands": pa.array([[str(c) for c in cands]],
+                              type=pa.list_(pa.string())),
+        })
+
+    def sketch(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
+        flat = _arr(pc.list_flatten(pc.split_pattern(_arr(b["text"]), " ")))
+        vc = _arr(pc.value_counts(flat))
+        terms, counts = vc.field("values"), vc.field("counts").to_numpy()
+        top = np.argsort(-counts, kind="stable")[:cand_per_block]
+        return _row(cms_build(terms, counts),
+                    np.asarray(terms.to_pylist(), dtype=object)[top])
+
+    def merge(t: pa.Table) -> pa.Table:
+        sk = cms_merge([pickle.loads(s) for s in t["sketch"].to_pylist()])
+        lists = [np.asarray(c, dtype=object) for c in t["cands"].to_pylist()]
+        cands = (np.unique(np.concatenate(lists)) if lists
+                 else np.array([], dtype=object))
+        return _row(sk, cands)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sk = pickle.loads(t["sketch"][0].as_py())
+        cands_py = t["cands"][0].as_py()
+        est = cms_query(sk, pa.array(cands_py, type=pa.string()))
+        # candidate list is combiner-bounded (<= blocks x cand_per_block),
+        # so a driver-side top-k sort here is O(candidates), not O(vocab)
+        order = sorted(range(len(est)),
+                       key=lambda i: (-est[i], cands_py[i]))[:k]
+        return pa.table({
+            "term": pa.array([cands_py[i] for i in order], type=pa.string()),
+            "est_cnt": pa.array([int(est[i]) for i in order],
+                                type=pa.int64())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
+    merged = (parts.repartition(8)
+              .map_batches(merge, batch_format="pyarrow", batch_size=None)
+              .repartition(1)
+              .map_batches(merge, batch_format="pyarrow", batch_size=None))
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
 
 
 # --- exact heavy hitters, shuffle-free (two-pass local-threshold plan) -----
@@ -1095,12 +1235,14 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_len_quantiles": doc_len_quantiles,
+    "doc_len_rank": doc_len_rank,
     "doc_term_df": doc_term_df,
     "doc_decontaminate": doc_decontaminate,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_shuffle_shards": doc_shuffle_shards,
     "doc_repetition": doc_repetition,
     "doc_heavy_hitters": doc_heavy_hitters,
+    "doc_cms_heavy_terms": doc_cms_heavy_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_chunk": doc_chunk,
     "doc_tfidf_top": doc_tfidf_top,
@@ -1113,6 +1255,7 @@ ORACLE_SQL = {
     "doc_bpe_token_stats": DOC_BPE_TOKEN_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
+    "doc_len_rank": DOC_LEN_RANK_SQL,
     "doc_term_df": DOC_TERM_DF_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,

@@ -1,0 +1,160 @@
+"""Round-3 breadth operators: PII redaction, per-group ranks, mergeable
+Count-Min / grouped-HLL sketches.
+
+Each test pins the operator against a serial oracle (DuckDB on the same
+patterns, exact counts for the sketches) plus the merge/mode invariants
+the distributed shape relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+PII_CORPUS = [
+    "contact me at jane.doe+spam@example.co.uk or on +1-555-867-5309 now",
+    "server 10.0.255.3 returned 404 twice, then 10.0.255.4 once",
+    "no pii here at all",
+    "",
+    "a@b.io x 999.999.999.999 y +12345678 z 7",
+    "edge: v1.2.3.4 is a version-like quad and 1.2.3.4.5 a quint",
+    "mixed: bob@corp.example called +49-30-1234567 from 192.168.0.1 (attempt 2)",
+]
+
+
+class TestRedactPii:
+    def test_chain_matches_duckdb_on_pii_corpus(self):
+        """Engine parity: the Arrow RE2 chain and the generated DuckDB SQL
+        must agree byte-for-byte on text where EVERY pattern arm fires."""
+        import duckdb
+
+        from logparse_rs_ray.pipelines.logops import _redact_sql, redact_pii
+
+        red, hits = redact_pii(pa.array(PII_CORPUS))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events AS SELECT * FROM (SELECT "
+                    "row_number() OVER () - 1 AS event_id, col0 AS props "
+                    "FROM (SELECT UNNEST(?) AS col0))", [PII_CORPUS])
+        want = con.execute(_redact_sql()).df()
+        assert red.to_pylist() == want.redacted.tolist()
+        assert hits.to_pylist() == want.n_hits.tolist()
+
+    def test_tags_and_counts_pinned(self):
+        from logparse_rs_ray.pipelines.logops import redact_pii
+
+        red, hits = redact_pii(pa.array(PII_CORPUS))
+        red = red.to_pylist()
+        assert red[0] == "contact me at <EMAIL> or on <PHONE> now"
+        assert red[1] == "server <IP> returned <NUM> twice, then <IP> once"
+        assert red[2] == "no pii here at all" and hits[2].as_py() == 0
+        assert red[3] == "" and hits[3].as_py() == 0
+        # \d{1,3} quads: 999.999.999.999 is an <IP> by the documented
+        # pattern (no range check); phone needs 8-15 digits after '+'
+        assert red[4] == "<EMAIL> x <IP> y <PHONE> z <NUM>"
+        # a digit-boundary quad inside a longer dotted run still matches
+        # per RE2 leftmost-longest-free semantics documented in the op
+        assert "<IP>" in red[5]
+        assert red[6] == "mixed: <EMAIL> called <PHONE> from <IP> (attempt <NUM>)"
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_query_runs_and_counts_digit_runs(self):
+        from logparse_rs_ray.pipelines.logops import log_redact_pii
+
+        out = log_redact_pii(SF).to_pandas()
+        assert (out.n_hits >= 1).all()          # every props has "k": N
+        assert out.redacted.str.contains("<NUM>").all()
+        assert not out.redacted.str.contains(r"\d", regex=True).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLenRank:
+    def test_matches_pandas_min_rank(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.textops import doc_len_rank
+
+        out = doc_len_rank(SF).to_pandas()
+        df = pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"]).to_pandas()
+        df["len_rank"] = (df.groupby("lang").n_chars.rank(method="min")
+                          .astype("int64"))
+        df["n_lang"] = df.groupby("lang").lang.transform("size")
+        exp = (df[["doc_id", "lang", "len_rank", "n_lang"]]
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+        # ties must actually occur so the RANK (not ROW_NUMBER) semantics
+        # are exercised
+        assert (df.groupby(["lang", "n_chars"]).size() > 1).any()
+
+
+class TestCountMinSketch:
+    def test_overestimate_only_merge_linear_and_bound(self):
+        from logparse_rs_ray.functions.sketches import (
+            CMS_W, cms_build, cms_merge, cms_query)
+
+        rng = np.random.default_rng(7)
+        # zipf-ish term universe large enough to force some collisions
+        terms = [f"t{i}" for i in range(5000)]
+        freq = rng.zipf(1.5, size=200_000)
+        ids = np.minimum(freq, len(terms)) - 1
+        vals, counts = np.unique(ids, return_counts=True)
+        keys = pa.array([terms[v] for v in vals])
+        sk = cms_build(keys, counts)
+        est = cms_query(sk, keys)
+        true = counts.astype(np.int64)
+        n = int(true.sum())
+        assert (est >= true).all()                     # one-sided error
+        assert (est - true).max() <= (np.e / CMS_W) * n * 4
+        # merge linearity: sketch of halves == sketch of whole
+        half = len(vals) // 2
+        merged = cms_merge([cms_build(keys[:half], counts[:half]),
+                            cms_build(keys[half:], counts[half:])])
+        assert (merged == sk).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_query_tops_match_exact_counts(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.textops import doc_cms_heavy_terms
+
+        out = doc_cms_heavy_terms(SF, k=10).to_pandas()
+        txt = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["text"]).to_pandas().text
+        exact = pd.Series(" ".join(txt).split(" ")).value_counts()
+        # CMS may only overestimate, and on this small vocab the top set
+        # must agree with the exact counts
+        assert len(out) == 10
+        for term, est in zip(out.term, out.est_cnt):
+            assert est >= exact[term]
+            assert est - exact[term] <= 60          # e/W * N slack
+        assert set(out.term[:5]) <= set(exact.index[:10])
+
+
+class TestGroupedHll:
+    @pytest.mark.usefixtures("ray_session")
+    def test_within_5pct_of_exact_per_group(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.logops import log_event_user_hll
+
+        out = log_event_user_hll(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "user_id"]).to_pandas()
+        exact = ev.groupby("event_type").user_id.nunique()
+        assert set(out.index) == set(exact.index)
+        for et, true in exact.items():
+            assert abs(out.loc[et].approx_users - true) <= max(2, 0.05 * true), et
+
+    def test_grouped_merge_equals_whole(self):
+        import pickle
+
+        from logparse_rs_ray.functions.sketches import hll_merge, hll_sketch
+
+        ids = pa.array([str(i % 997) for i in range(10_000)])
+        whole = hll_sketch(ids)
+        parts = hll_merge([hll_sketch(ids[:3000]), hll_sketch(ids[3000:])])
+        assert (whole == parts).all()

@@ -777,6 +777,7 @@ class TestQueryRegistry:
             "doc_fingerprint", "mm_frame_samples", "embed_kmeans",
             "dedup_minhash_survivors", "log_value_quantiles",
             "mm_audio_levels", "ann_lsh_topk",
+            "doc_cms_heavy_terms", "log_event_user_hll",
         }, rows_only
 
 
