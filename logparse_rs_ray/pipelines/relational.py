@@ -489,6 +489,76 @@ ORDER BY c_mktsegment
 """
 
 
+# --- ROLLUP (hierarchical subtotals) ----------------------------------------
+
+def q_rollup_pricing(sf_dir: str):
+    """(l_returnflag, l_linestatus, sum_qty, sum_disc_cents) with ROLLUP
+    subtotal rows — per-flag subtotals and the grand total marked 'ALL'
+    (COALESCE'd in the oracle so both engines emit the same marker).
+
+    Scale shape: the corpus collapses ONCE to the finest-grain partial
+    (per-block group_by + combiner merge, bounded key set); every coarser
+    rollup level is derived from the tiny merged table inside one final
+    task — never a second corpus pass per level.
+    """
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"],
+                           pc.subtract(1.0, b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+            "disc_cents": _cents(disc, 10000),
+        })
+
+    fine = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "qty", "sum_disc_cents": "disc_cents"},
+        final_partitions=1)
+
+    def rollup(b: pa.Table) -> pa.Table:
+        cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_disc_cents"]
+        if b.num_rows == 0:
+            return b.select(cols)
+        aggs = [("sum_qty", "sum"), ("sum_disc_cents", "sum")]
+        by_flag = (b.group_by(["l_returnflag"]).aggregate(aggs)
+                   .rename_columns(["l_returnflag", "sum_qty",
+                                    "sum_disc_cents"]))
+        by_flag = by_flag.add_column(
+            1, "l_linestatus",
+            pa.array(["ALL"] * by_flag.num_rows, type=pa.string()))
+        total = pa.table({
+            "l_returnflag": pa.array(["ALL"], type=pa.string()),
+            "l_linestatus": pa.array(["ALL"], type=pa.string()),
+            "sum_qty": pa.array([pc.sum(b["sum_qty"]).as_py()],
+                                type=pa.int64()),
+            "sum_disc_cents": pa.array([pc.sum(b["sum_disc_cents"]).as_py()],
+                                       type=pa.int64()),
+        })
+        return pa.concat_tables([b.select(cols), by_flag.select(cols),
+                                 total.select(cols)])
+
+    return (fine.map_batches(rollup, batch_format="pyarrow", batch_size=None)
+            .sort(["l_returnflag", "l_linestatus"]))
+
+
+Q_ROLLUP_PRICING_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS sum_disc_cents
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # --- full-outer join (both-side null alignment) -----------------------------
 
 # value threshold chosen so both sides have members the other lacks at the
@@ -557,6 +627,7 @@ ORDER BY user_id
 
 QUERIES = {
     "q_full_outer_join": q_full_outer_join,
+    "q_rollup_pricing": q_rollup_pricing,
     "q1_pricing_summary": q1_pricing_summary,
     "q_orders_running_total": q_orders_running_total,
     "q3_urgent_revenue": q3_urgent_revenue,
@@ -575,6 +646,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q_full_outer_join": Q_FULL_OUTER_JOIN_SQL,
+    "q_rollup_pricing": Q_ROLLUP_PRICING_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q_orders_running_total": Q_ORDERS_RUNNING_TOTAL_SQL,
     "q3_urgent_revenue": Q3_URGENT_REVENUE_SQL,

@@ -542,6 +542,138 @@ ORDER BY band
 """
 
 
+def _event_exchange(sf_dir: str, columns: list[str],
+                    num_partitions: int | None, mode: str):
+    """Shared shape for per-user window ops: compact column-pruned read +
+    ONE user-keyed hash exchange (auto-gated to a single block below the
+    size threshold — window arithmetic is not associative, so there is no
+    combiner-tree middle ground)."""
+    from ..stages.shuffle import hash_partition, input_size_bytes, resolve_mode
+    from .streaming import auto_shard_count
+
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/events.parquet"))
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events", columns=columns)
+    return (hash_partition(ds, ["user_id"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
+
+
+def log_user_paths(sf_dir: str, *, num_partitions: int | None = None,
+                   mode: str = "auto"):
+    """(user_id, path, n_events) — ordered grouped string aggregation: each
+    user's event types joined '->' in (ts, event_id) order (the journey /
+    clickstream-path primitive; SQL ``string_agg(... ORDER BY ...)``).
+
+    Scale shape: one user-keyed exchange, then per partition ONE lexsort +
+    a zero-copy list reassembly — the sorted event-type strings become the
+    values buffer of a LargeListArray with user-boundary offsets, and
+    ``binary_join`` emits every path in one vectorized kernel (no per-user
+    Python, no string concat loop).
+    """
+    import numpy as np
+
+    part = _event_exchange(sf_dir, ["user_id", "ts", "event_id",
+                                    "event_type"], num_partitions, mode)
+
+    def paths(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "path": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64())})
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        starts = np.nonzero(np.concatenate(([True], us[1:] != us[:-1])))[0]
+        et = (b["event_type"].combine_chunks()
+              if isinstance(b["event_type"], pa.ChunkedArray)
+              else b["event_type"]).take(pa.array(order))
+        offsets = pa.array(np.append(starts, len(us)).astype(np.int64))
+        lst = pa.LargeListArray.from_arrays(offsets, et)
+        return pa.table({
+            "user_id": pa.array(us[starts]),
+            "path": pc.cast(pc.binary_join(lst, "->"), pa.string()),
+            "n_events": pa.array(np.diff(np.append(starts, len(us)))
+                                 .astype(np.int64)),
+        })
+
+    return part.map_batches(paths, batch_format="pyarrow",
+                            batch_size=None).sort("user_id")
+
+
+LOG_USER_PATHS_SQL = """
+SELECT user_id,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def log_interarrival(sf_dir: str, *, num_partitions: int | None = None,
+                     mode: str = "auto"):
+    """(gap_h, n_pairs) — census of hour-bucketed gaps between consecutive
+    events of the same user (the LAG()-window inter-arrival distribution;
+    load-model input for capacity planning).
+
+    Scale shape: one user-keyed exchange, per-partition lexsort + masked
+    neighbor diff, then the census collapses to bounded (gap_h, count)
+    rows merged by the combiner tree — the corpus never re-shuffles.
+    Bucket arithmetic is integer microseconds // 3.6e9 in BOTH engines
+    (DuckDB ``date_diff('second', ...)`` counts boundary crossings, which
+    diverges from floor division — epoch_us subtraction does not).
+    """
+    import numpy as np
+
+    part = _event_exchange(sf_dir, ["user_id", "ts", "event_id"],
+                           num_partitions, mode)
+
+    def gaps(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"gap_h": pa.array([], type=pa.int64()),
+                             "n_pairs": pa.array([], type=pa.int64())})
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us, tss = u[order], ts[order]
+        same = us[1:] == us[:-1]
+        gap_h = (tss[1:] - tss[:-1])[same] // 3_600_000_000
+        vals, cnts = np.unique(gap_h, return_counts=True)
+        return pa.table({"gap_h": pa.array(vals, type=pa.int64()),
+                         "n_pairs": pa.array(cnts.astype(np.int64))})
+
+    partial = part.map_batches(gaps, batch_format="pyarrow", batch_size=None)
+    return tree_merge(partial, ["gap_h"], [("n_pairs", "sum")],
+                      fanin=8).sort("gap_h")
+
+
+LOG_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT (epoch_us(ts) - epoch_us(prev)) // 3600000000 AS gap_h,
+       COUNT(*) AS n_pairs
+FROM g WHERE prev IS NOT NULL
+GROUP BY gap_h
+ORDER BY gap_h
+"""
+
+
 FUNNEL_STAGES = [(0, "signup"), (1, "click"), (2, "purchase")]
 
 
@@ -650,6 +782,8 @@ SELECT * FROM (
 QUERIES = {
     "log_streaming_window": log_streaming_window,
     "log_funnel": log_funnel,
+    "log_user_paths": log_user_paths,
+    "log_interarrival": log_interarrival,
     "log_user_retention": log_user_retention,
     "q_value_band_join": q_value_band_join,
     "log_sessionize": log_sessionize,
@@ -663,6 +797,8 @@ QUERIES = {
 ORACLE_SQL = {
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
     "log_funnel": LOG_FUNNEL_SQL,
+    "log_user_paths": LOG_USER_PATHS_SQL,
+    "log_interarrival": LOG_INTERARRIVAL_SQL,
     "log_user_retention": LOG_USER_RETENTION_SQL,
     "q_value_band_join": Q_VALUE_BAND_JOIN_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,

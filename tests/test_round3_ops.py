@@ -158,3 +158,67 @@ class TestGroupedHll:
         whole = hll_sketch(ids)
         parts = hll_merge([hll_sketch(ids[:3000]), hll_sketch(ids[3000:])])
         assert (whole == parts).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollup:
+    def test_levels_consistent_and_modes(self):
+        from logparse_rs_ray.pipelines.relational import q_rollup_pricing
+
+        out = q_rollup_pricing(SF).to_pandas()
+        fine = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+        flag = out[(out.l_returnflag != "ALL") & (out.l_linestatus == "ALL")]
+        grand = out[(out.l_returnflag == "ALL")]
+        assert len(grand) == 1 and grand.l_linestatus.iloc[0] == "ALL"
+        # each rollup level must re-sum exactly from the finer level
+        for col in ("sum_qty", "sum_disc_cents"):
+            per_flag = fine.groupby("l_returnflag")[col].sum()
+            for _, r in flag.iterrows():
+                assert r[col] == per_flag[r.l_returnflag]
+            assert grand[col].iloc[0] == fine[col].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUserPaths:
+    def test_matches_serial_join_and_modes_agree(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.windows import log_user_paths
+
+        out = log_user_paths(SF).to_pandas().set_index("user_id")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"]).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        exp = ev.groupby("user_id").event_type.agg("->".join)
+        n = ev.groupby("user_id").size()
+        assert len(out) == len(exp)
+        for uid, path in exp.items():
+            assert out.loc[uid].path == path, uid
+            assert out.loc[uid].n_events == n[uid]
+        forced = log_user_paths(SF, mode="shuffle", num_partitions=4).to_pandas()
+        tree = log_user_paths(SF, mode="tree").to_pandas()
+        pd.testing.assert_frame_equal(forced, tree)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInterarrival:
+    def test_matches_serial_diffs_and_modes_agree(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.windows import log_interarrival
+
+        out = log_interarrival(SF).to_pandas().set_index("gap_h")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_id"]).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        us = ev.ts.astype("int64")
+        same = ev.user_id.to_numpy()[1:] == ev.user_id.to_numpy()[:-1]
+        gaps = (us.to_numpy()[1:] - us.to_numpy()[:-1])[same] // 3_600_000_000
+        exp = pd.Series(gaps).value_counts().sort_index()
+        assert len(out) == len(exp)
+        for g, cnt in exp.items():
+            assert out.loc[g].n_pairs == cnt, g
+        forced = log_interarrival(SF, mode="shuffle", num_partitions=4).to_pandas()
+        tree = log_interarrival(SF, mode="tree").to_pandas()
+        pd.testing.assert_frame_equal(forced, tree)
