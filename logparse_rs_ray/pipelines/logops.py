@@ -487,6 +487,49 @@ def approx_distinct_parts(sf_dir: str):
                                                        type=pa.int64())})
 
 
+def log_event_user_distinct(sf_dir: str, *, mode: str = "auto",
+                            num_partitions: int = 8):
+    """(event_type, n_users) — EXACT grouped COUNT(DISTINCT): the
+    two-level-aggregation re-expression (per-block distinct (group, user)
+    pairs -> pair-level dedup merge -> bounded per-group census), i.e. the
+    exact sibling of ``log_event_user_hll`` (same answer, but the shuffle
+    carries the distinct pair set instead of fixed-size registers).
+
+    Scale shape: blocks emit pre-deduped pairs (shrinks the exchange to
+    block-distinct pairs); the pair set is corpus-keyed, so the dedup
+    merge is size-gated tree/hash-shuffle like exact-dedup; the final
+    census is a tiny count per group.
+    """
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_merge, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type", "user_id"]).aggregate([])
+        return g.append_column("one", pa.array([1] * g.num_rows,
+                                               type=pa.int64()))
+
+    p = ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    if mode == "shuffle":
+        dedup = hash_merge(p, ["event_type", "user_id"], [("one", "min")],
+                           num_partitions=num_partitions)
+    else:
+        dedup = tree_merge(p, ["event_type", "user_id"], [("one", "min")],
+                           fanin=8)
+    return count_by(dedup, "event_type",
+                    count_name="n_users").sort("event_type")
+
+
+LOG_EVENT_USER_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def log_event_user_hll(sf_dir: str, *, fanin: int = 8):
     """(event_type, approx_users) — approximate distinct users PER GROUP
     via grouped HyperLogLog: the mergeable grouped-cardinality primitive
@@ -615,6 +658,7 @@ LOG_REDACT_PII_SQL = _redact_sql()
 QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "log_event_user_hll": log_event_user_hll,
+    "log_event_user_distinct": log_event_user_distinct,
     "log_redact_pii": log_redact_pii,
     "log_parse_props": log_parse_props,
     "log_route_counts": log_route_counts,
@@ -631,6 +675,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "log_redact_pii": LOG_REDACT_PII_SQL,
+    "log_event_user_distinct": LOG_EVENT_USER_DISTINCT_SQL,
     "log_parse_props": LOG_PARSE_PROPS_SQL,
     "log_route_counts": LOG_ROUTE_COUNTS_SQL,
     "log_topk_users": LOG_TOPK_USERS_SQL,

@@ -489,6 +489,132 @@ ORDER BY c_mktsegment
 """
 
 
+# --- correlated-subquery shape (above own-group average) ---------------------
+
+def q_above_avg_orders(sf_dir: str, *, num_partitions: int = 8):
+    """(c_custkey, n_orders, n_above_avg) — per customer, how many of their
+    orders exceed their own average order value: the correlated-subquery
+    shape (WHERE price > (SELECT AVG(...) correlated)) re-expressed as a
+    self-aggregate + one co-located comparison pass.
+
+    Exactness trick: ``price > avg`` is compared as integer cross-
+    multiplication ``price_cents * n > sum_cents`` — no float division, so
+    both engines agree bit-for-bit.  Scale shape: compact (custkey,
+    price_cents) rows cross ONE hash exchange; each partition holds whole
+    customers, so per-customer sums and the comparison are one lexsort +
+    segment reduce — the corpus never passes twice and nothing joins back.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"],
+                         "price_cents": _cents(b["o_totalprice"])})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    part = hash_partition(rows, ["c_custkey"], num_partitions)
+
+    def census(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("c_custkey", "n_orders",
+                                       "n_above_avg")})
+        c = np.asarray(b["c_custkey"], dtype=np.int64)
+        p = np.asarray(b["price_cents"], dtype=np.int64)
+        order = np.argsort(c, kind="stable")
+        c, p = c[order], p[order]
+        starts = np.nonzero(np.concatenate(([True], c[1:] != c[:-1])))[0]
+        n = np.diff(np.append(starts, len(c)))
+        tot = np.add.reduceat(p, starts)
+        above = p * np.repeat(n, n) > np.repeat(tot, n)
+        n_above = np.add.reduceat(above.astype(np.int64), starts)
+        return pa.table({"c_custkey": pa.array(c[starts]),
+                         "n_orders": pa.array(n.astype(np.int64)),
+                         "n_above_avg": pa.array(n_above)})
+
+    return part.map_batches(census, batch_format="pyarrow",
+                            batch_size=None).sort("c_custkey")
+
+
+Q_ABOVE_AVG_ORDERS_SQL = """
+WITH o AS (SELECT o_custkey AS c_custkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+           FROM orders),
+w AS (SELECT c_custkey, price_cents,
+             COUNT(*) OVER (PARTITION BY c_custkey) AS n,
+             SUM(price_cents) OVER (PARTITION BY c_custkey) AS tot
+      FROM o)
+SELECT c_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN price_cents * n > tot THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_avg
+FROM w
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
+# --- pivot (long -> wide conditional aggregation) ----------------------------
+
+PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def q_pivot_lang_source(sf_dir: str):
+    """(lang, src0..src19) — document counts pivoted source-wise into wide
+    columns (the long->wide conditional-aggregation shape; fixed, known
+    column domain as SQL PIVOT requires).
+
+    Scale shape: per-block (lang, source) count partials -> combiner tree
+    (bounded key set: langs x sources) -> the pivot itself runs on the
+    tiny merged table in one final task via a searchsorted scatter.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "cnt"])
+
+    partial = ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["lang", "source"], [("cnt", "sum")], fanin=8)
+
+    def pivot(b: pa.Table) -> pa.Table:
+        cols = {"lang": pa.array([], type=pa.string())}
+        cols.update({s: pa.array([], type=pa.int64()) for s in PIVOT_SOURCES})
+        if b.num_rows == 0:
+            return pa.table(cols)
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        srcs = np.asarray(b["source"].to_pylist(), dtype=object)
+        cnt = np.asarray(b["cnt"], dtype=np.int64)
+        ulang = np.unique(langs)
+        wide = np.zeros((len(ulang), len(PIVOT_SOURCES)), dtype=np.int64)
+        li = np.searchsorted(ulang, langs)
+        src_idx = {s: j for j, s in enumerate(PIVOT_SOURCES)}
+        sj = np.array([src_idx[s] for s in srcs], dtype=np.int64)
+        np.add.at(wide, (li, sj), cnt)   # merged keys are unique; add is safe
+        out = {"lang": pa.array([str(x) for x in ulang], type=pa.string())}
+        out.update({s: pa.array(wide[:, j], type=pa.int64())
+                    for j, s in enumerate(PIVOT_SOURCES)})
+        return pa.table(out)
+
+    return merged.map_batches(pivot, batch_format="pyarrow",
+                              batch_size=None).sort("lang")
+
+
+Q_PIVOT_LANG_SOURCE_SQL = "SELECT lang,\n" + ",\n".join(
+    f"       CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS {s}" for s in PIVOT_SOURCES
+) + "\nFROM documents GROUP BY lang ORDER BY lang"
+
+
 # --- ROLLUP (hierarchical subtotals) ----------------------------------------
 
 def q_rollup_pricing(sf_dir: str):
@@ -628,6 +754,8 @@ ORDER BY user_id
 QUERIES = {
     "q_full_outer_join": q_full_outer_join,
     "q_rollup_pricing": q_rollup_pricing,
+    "q_above_avg_orders": q_above_avg_orders,
+    "q_pivot_lang_source": q_pivot_lang_source,
     "q1_pricing_summary": q1_pricing_summary,
     "q_orders_running_total": q_orders_running_total,
     "q3_urgent_revenue": q3_urgent_revenue,
@@ -647,6 +775,8 @@ QUERIES = {
 ORACLE_SQL = {
     "q_full_outer_join": Q_FULL_OUTER_JOIN_SQL,
     "q_rollup_pricing": Q_ROLLUP_PRICING_SQL,
+    "q_above_avg_orders": Q_ABOVE_AVG_ORDERS_SQL,
+    "q_pivot_lang_source": Q_PIVOT_LANG_SOURCE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q_orders_running_total": Q_ORDERS_RUNNING_TOTAL_SQL,
     "q3_urgent_revenue": Q3_URGENT_REVENUE_SQL,

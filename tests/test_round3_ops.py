@@ -222,3 +222,63 @@ class TestInterarrival:
         forced = log_interarrival(SF, mode="shuffle", num_partitions=4).to_pandas()
         tree = log_interarrival(SF, mode="tree").to_pandas()
         pd.testing.assert_frame_equal(forced, tree)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAboveAvgOrders:
+    def test_matches_pandas_and_cross_mult_exactness(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.relational import q_above_avg_orders
+
+        out = q_above_avg_orders(SF).to_pandas().set_index("c_custkey")
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_custkey", "o_totalprice"]).to_pandas()
+        o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+        g = o.groupby("o_custkey").cents
+        n, tot = g.size(), g.sum()
+        above = (o.cents * o.o_custkey.map(n) >
+                 o.o_custkey.map(tot)).groupby(o.o_custkey).sum()
+        assert len(out) == len(n)
+        for ck in n.index:
+            assert out.loc[ck].n_orders == n[ck]
+            assert out.loc[ck].n_above_avg == above[ck], ck
+        # multi-order customers exist, so the comparison is non-trivial
+        assert (n > 1).any() and above.sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivot:
+    def test_wide_counts_match_crosstab(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.relational import (
+            PIVOT_SOURCES, q_pivot_lang_source)
+
+        out = q_pivot_lang_source(SF).to_pandas().set_index("lang")
+        d = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["lang", "source"]).to_pandas()
+        ct = pd.crosstab(d.lang, d.source)
+        assert list(out.columns) == PIVOT_SOURCES
+        for lang in ct.index:
+            for s in PIVOT_SOURCES:
+                assert out.loc[lang, s] == ct.loc[lang].get(s, 0), (lang, s)
+        assert out.to_numpy().sum() == len(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedDistinct:
+    def test_exact_equals_pandas_and_modes_agree(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.logops import log_event_user_distinct
+
+        out = log_event_user_distinct(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "user_id"]).to_pandas()
+        exact = ev.groupby("event_type").user_id.nunique()
+        assert dict(out.n_users) == dict(exact)
+        forced = log_event_user_distinct(SF, mode="shuffle",
+                                         num_partitions=4).to_pandas()
+        tree = log_event_user_distinct(SF, mode="tree").to_pandas()
+        pd.testing.assert_frame_equal(forced, tree)
