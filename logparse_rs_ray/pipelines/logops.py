@@ -249,6 +249,75 @@ def log_value_quantiles(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
     })
 
 
+def log_value_quantiles_by_type(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
+    """(event_type, p50, p90, p99) — GROUPED approximate quantiles of the
+    continuous ``value`` column: the per-group DDSketch variant of
+    ``log_value_quantiles``, completing the grouped-sketch family next to
+    ``log_event_user_hll`` (grouped cardinality) and ``doc_len_quantiles``
+    (grouped exact over a discrete domain).  Rows-only (<=1% relative
+    error); pytest pins the per-group bound and merge==whole.
+
+    Scale shape: per-block sparse (event_type, bin, count) partials —
+    bounded by groups x ~2.3k bins regardless of corpus size — merged
+    associatively; one tiny final read-off per group.  No shuffle.
+    """
+    import numpy as np
+
+    from ..functions.sketches import dd_quantiles
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([])  # distinct groups
+        from ..functions.sketches import dd_bins
+
+        et = (b["event_type"].combine_chunks()
+              if isinstance(b["event_type"], pa.ChunkedArray)
+              else b["event_type"])
+        bins = dd_bins(np.asarray(b["value"], dtype=np.float64))
+        codes = pc.index_in(et, value_set=g["event_type"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        key = codes * 100_000 + (bins + 50_000)      # bins span +-~2.3k
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array(uk // 100_000)),
+            "bin": pa.array(uk % 100_000 - 50_000),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    merged = tree_merge(ds.map_batches(hist, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["event_type", "bin"], [("cnt", "sum")], fanin=8)
+
+    def readoff(t: pa.Table) -> pa.Table:
+        cols = {"event_type": pa.array([], type=pa.string())}
+        cols.update({f"p{int(q*100)}": pa.array([], type=pa.float64())
+                     for q in qs})
+        if t.num_rows == 0:
+            return pa.table(cols)
+        out: dict[str, list] = {"event_type": []}
+        for q in qs:
+            out[f"p{int(q*100)}"] = []
+        ets = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        bins = np.asarray(t["bin"], dtype=np.int64)
+        cnts = np.asarray(t["cnt"], dtype=np.int64)
+        for et in np.unique(ets):
+            m = ets == et
+            est = dd_quantiles(bins[m], cnts[m], qs)
+            out["event_type"].append(str(et))
+            for q, v in zip(qs, est):
+                out[f"p{int(q*100)}"].append(float(v))
+        return pa.table({"event_type": pa.array(out["event_type"],
+                                                type=pa.string()),
+                         **{f"p{int(q*100)}":
+                            pa.array(out[f"p{int(q*100)}"], type=pa.float64())
+                            for q in qs}})
+
+    return merged.map_batches(readoff, batch_format="pyarrow",
+                              batch_size=None).sort("event_type")
+
+
 def log_hourly_topk(sf_dir: str, *, topk: int = 3,
                     num_partitions: int | None = None):
     """(hour, user_id, n_events, rk) — per-hour top-``topk`` users by event
@@ -666,6 +735,7 @@ QUERIES = {
     "log_hourly_window": log_hourly_window,
     "log_hourly_topk": log_hourly_topk,
     "log_value_quantiles": log_value_quantiles,
+    "log_value_quantiles_by_type": log_value_quantiles_by_type,
     "log_spike_detection": log_spike_detection,
     "doc_region_enrich": doc_region_enrich,
     "doc_token_stats": doc_token_stats,

@@ -282,3 +282,23 @@ class TestGroupedDistinct:
                                          num_partitions=4).to_pandas()
         tree = log_event_user_distinct(SF, mode="tree").to_pandas()
         pd.testing.assert_frame_equal(forced, tree)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedDDQuantiles:
+    def test_per_group_relative_error_bound(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.functions.sketches import DD_ALPHA
+        from logparse_rs_ray.pipelines.logops import log_value_quantiles_by_type
+
+        out = log_value_quantiles_by_type(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        for et, g in ev.groupby("event_type"):
+            v = np.sort(g.value.to_numpy())
+            for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+                true = v[int(np.ceil(len(v) * q)) - 1]
+                est = out.loc[et][col]
+                assert abs(est - true) <= 2 * DD_ALPHA * abs(true) + 1e-9, (et, col)
+        assert set(out.index) == set(ev.event_type.unique())
