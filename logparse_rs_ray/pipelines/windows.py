@@ -576,36 +576,41 @@ def log_user_paths(sf_dir: str, *, num_partitions: int | None = None,
 
     part = _event_exchange(sf_dir, ["user_id", "ts", "event_id",
                                     "event_type"], num_partitions, mode)
-
-    def paths(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({"user_id": pa.array([], type=pa.int64()),
-                             "path": pa.array([], type=pa.string()),
-                             "n_events": pa.array([], type=pa.int64())})
-        u = np.asarray(b["user_id"], dtype=np.int64)
-        eid = np.asarray(b["event_id"], dtype=np.int64)
-        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
-              else b["ts"]).cast(pa.int64()).to_numpy()
-        order = np.lexsort((eid, ts, u))
-        us = u[order]
-        starts = np.nonzero(np.concatenate(([True], us[1:] != us[:-1])))[0]
-        et = (b["event_type"].combine_chunks()
-              if isinstance(b["event_type"], pa.ChunkedArray)
-              else b["event_type"]).take(pa.array(order))
-        offsets = pa.array(np.append(starts, len(us)).astype(np.int64))
-        lst = pa.LargeListArray.from_arrays(offsets, et)
-        return pa.table({
-            "user_id": pa.array(us[starts]),
-            "path": pc.cast(pc.binary_join(lst, "->"), pa.string()),
-            "n_events": pa.array(np.diff(np.append(starts, len(us)))
-                                 .astype(np.int64)),
-        })
-
-    return part.map_batches(paths, batch_format="pyarrow",
+    return part.map_batches(paths_kernel, batch_format="pyarrow",
                             batch_size=None).sort("user_id")
+
+
+def paths_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition path assembly; assumes all of a user's rows are in
+    ``b`` (the exchange guarantees it).  Module-level so hypothesis can
+    drive it directly against a serial oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({"user_id": pa.array([], type=pa.int64()),
+                         "path": pa.array([], type=pa.string()),
+                         "n_events": pa.array([], type=pa.int64())})
+    u = np.asarray(b["user_id"], dtype=np.int64)
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    order = np.lexsort((eid, ts, u))
+    us = u[order]
+    starts = np.nonzero(np.concatenate(([True], us[1:] != us[:-1])))[0]
+    et = (b["event_type"].combine_chunks()
+          if isinstance(b["event_type"], pa.ChunkedArray)
+          else b["event_type"]).take(pa.array(order))
+    offsets = pa.array(np.append(starts, len(us)).astype(np.int64))
+    lst = pa.LargeListArray.from_arrays(offsets, et)
+    return pa.table({
+        "user_id": pa.array(us[starts]),
+        "path": pc.cast(pc.binary_join(lst, "->"), pa.string()),
+        "n_events": pa.array(np.diff(np.append(starts, len(us)))
+                             .astype(np.int64)),
+    })
 
 
 LOG_USER_PATHS_SQL = """
@@ -635,29 +640,34 @@ def log_interarrival(sf_dir: str, *, num_partitions: int | None = None,
 
     part = _event_exchange(sf_dir, ["user_id", "ts", "event_id"],
                            num_partitions, mode)
-
-    def gaps(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({"gap_h": pa.array([], type=pa.int64()),
-                             "n_pairs": pa.array([], type=pa.int64())})
-        u = np.asarray(b["user_id"], dtype=np.int64)
-        eid = np.asarray(b["event_id"], dtype=np.int64)
-        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
-              else b["ts"]).cast(pa.int64()).to_numpy()
-        order = np.lexsort((eid, ts, u))
-        us, tss = u[order], ts[order]
-        same = us[1:] == us[:-1]
-        gap_h = (tss[1:] - tss[:-1])[same] // 3_600_000_000
-        vals, cnts = np.unique(gap_h, return_counts=True)
-        return pa.table({"gap_h": pa.array(vals, type=pa.int64()),
-                         "n_pairs": pa.array(cnts.astype(np.int64))})
-
-    partial = part.map_batches(gaps, batch_format="pyarrow", batch_size=None)
+    partial = part.map_batches(gaps_kernel, batch_format="pyarrow",
+                               batch_size=None)
     return tree_merge(partial, ["gap_h"], [("n_pairs", "sum")],
                       fanin=8).sort("gap_h")
+
+
+def gaps_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition masked neighbor-diff census; same co-location
+    assumption as ``paths_kernel``."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({"gap_h": pa.array([], type=pa.int64()),
+                         "n_pairs": pa.array([], type=pa.int64())})
+    u = np.asarray(b["user_id"], dtype=np.int64)
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    order = np.lexsort((eid, ts, u))
+    us, tss = u[order], ts[order]
+    same = us[1:] == us[:-1]
+    gap_h = (tss[1:] - tss[:-1])[same] // 3_600_000_000
+    vals, cnts = np.unique(gap_h, return_counts=True)
+    return pa.table({"gap_h": pa.array(vals, type=pa.int64()),
+                     "n_pairs": pa.array(cnts.astype(np.int64))})
 
 
 LOG_INTERARRIVAL_SQL = """
@@ -675,6 +685,45 @@ ORDER BY gap_h
 
 
 FUNNEL_STAGES = [(0, "signup"), (1, "click"), (2, "purchase")]
+
+
+def funnel_census_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition strict-order funnel census over compact (user_id,
+    code, ts) rows; assumes all of a user's rows are co-located.
+    Module-level so hypothesis can drive it against a serial oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    stage_names = [s for _, s in FUNNEL_STAGES]
+    if b.num_rows == 0:
+        return pa.table({"stage_idx": pa.array([], type=pa.int64()),
+                         "stage": pa.array([], type=pa.string()),
+                         "n_users": pa.array([], type=pa.int64())})
+    sentinel = np.iinfo(np.int64).max
+    u = np.asarray(b["user_id"], dtype=np.int64)
+    c = np.asarray(b["code"], dtype=np.int8)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    order = np.lexsort((ts, u))
+    u, c, ts = u[order], c[order], ts[order]
+    starts = np.nonzero(np.concatenate(([True], u[1:] != u[:-1])))[0]
+    seg_len = np.diff(np.append(starts, len(u)))
+    # stage 1: first signup ts per user
+    t_prev = np.minimum.reduceat(np.where(c == 0, ts, sentinel), starts)
+    counts = [int(np.count_nonzero(t_prev < sentinel))]
+    # stages 2..n: first strictly-later event of the next code
+    for code in range(1, len(stage_names)):
+        gate = np.repeat(t_prev, seg_len)
+        t_prev = np.minimum.reduceat(
+            np.where((c == code) & (ts > gate), ts, sentinel), starts)
+        counts.append(int(np.count_nonzero(t_prev < sentinel)))
+    return pa.table({
+        "stage_idx": pa.array([i for i, _ in FUNNEL_STAGES], type=pa.int64()),
+        "stage": pa.array(stage_names, type=pa.string()),
+        "n_users": pa.array(counts, type=pa.int64()),
+    })
 
 
 def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
@@ -721,40 +770,8 @@ def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
     else:
         rows = rows.repartition(1)
 
-    sentinel = np.iinfo(np.int64).max
-
-    def census(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({"stage_idx": pa.array([], type=pa.int64()),
-                             "stage": pa.array([], type=pa.string()),
-                             "n_users": pa.array([], type=pa.int64())})
-        u = np.asarray(b["user_id"], dtype=np.int64)
-        c = np.asarray(b["code"], dtype=np.int8)
-        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
-              else b["ts"]).cast(pa.int64()).to_numpy()
-        order = np.lexsort((ts, u))
-        u, c, ts = u[order], c[order], ts[order]
-        starts = np.nonzero(np.concatenate(([True], u[1:] != u[:-1])))[0]
-        seg_len = np.diff(np.append(starts, len(u)))
-        # stage 1: first signup ts per user
-        t_prev = np.minimum.reduceat(np.where(c == 0, ts, sentinel), starts)
-        counts = [int(np.count_nonzero(t_prev < sentinel))]
-        # stages 2..n: first strictly-later event of the next code
-        for code in range(1, len(stage_names)):
-            gate = np.repeat(t_prev, seg_len)
-            t_prev = np.minimum.reduceat(
-                np.where((c == code) & (ts > gate), ts, sentinel), starts)
-            counts.append(int(np.count_nonzero(t_prev < sentinel)))
-        return pa.table({
-            "stage_idx": pa.array([i for i, _ in FUNNEL_STAGES], type=pa.int64()),
-            "stage": pa.array(stage_names, type=pa.string()),
-            "n_users": pa.array(counts, type=pa.int64()),
-        })
-
-    partial = rows.map_batches(census, batch_format="pyarrow", batch_size=None)
+    partial = rows.map_batches(funnel_census_kernel, batch_format="pyarrow",
+                               batch_size=None)
     merged = tree_merge(partial, ["stage_idx", "stage"], [("n_users", "sum")],
                         fanin=8)
     return merged.select_columns(["stage_idx", "stage",

@@ -302,3 +302,86 @@ class TestGroupedDDQuantiles:
                 est = out.loc[et][col]
                 assert abs(est - true) <= 2 * DD_ALPHA * abs(true) + 1e-9, (et, col)
         assert set(out.index) == set(ev.event_type.unique())
+
+
+# --- property-based kernel conformance (no Ray needed) ----------------------
+
+def _events_table(rows):
+    """rows = list of (user_id, ts_us, event_id, event_type)."""
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+
+
+class TestWindowKernelProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(st.integers(0, 5),                      # user_id (collisions)
+                  st.integers(0, 10**7),                  # ts us (tie-prone)
+                  st.integers(0, 50),                     # event_id
+                  st.sampled_from(["signup", "click", "purchase", "view"])),
+        max_size=60, unique_by=lambda r: (r[0], r[1], r[2]))
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows_st)
+    def test_paths_kernel_matches_pandas(self, rows):
+        from logparse_rs_ray.pipelines.windows import paths_kernel
+
+        out = paths_kernel(_events_table(rows)).to_pandas()
+        df = (pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "et"])
+              .sort_values(["user_id", "ts", "event_id"]))
+        exp = df.groupby("user_id").et.agg("->".join)
+        got = dict(zip(out.user_id, out.path))
+        assert got == dict(exp)
+        assert dict(zip(out.user_id, out.n_events)) == dict(
+            df.groupby("user_id").size())
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows_st)
+    def test_gaps_kernel_matches_pandas(self, rows):
+        from logparse_rs_ray.pipelines.windows import gaps_kernel
+
+        out = gaps_kernel(_events_table(rows)).to_pandas()
+        df = (pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "et"])
+              .sort_values(["user_id", "ts", "event_id"]))
+        gaps = []
+        for _, g in df.groupby("user_id"):
+            t = g.ts.to_numpy()
+            gaps.extend((t[1:] - t[:-1]) // 3_600_000_000)
+        exp = pd.Series(gaps, dtype="int64").value_counts().sort_index()
+        assert dict(zip(out.gap_h, out.n_pairs)) == dict(exp)
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows_st)
+    def test_funnel_kernel_matches_serial_replay(self, rows):
+        from logparse_rs_ray.pipelines.windows import (FUNNEL_STAGES,
+                                                       funnel_census_kernel)
+
+        names = [s for _, s in FUNNEL_STAGES]
+        keep = [r for r in rows if r[3] in names]
+        compact = pa.table({
+            "user_id": pa.array([r[0] for r in keep], type=pa.int64()),
+            "code": pa.array([names.index(r[3]) for r in keep], type=pa.int8()),
+            "ts": pa.array([r[1] for r in keep], type=pa.timestamp("us")),
+        })
+        out = funnel_census_kernel(compact).to_pandas().set_index("stage")
+        n = dict.fromkeys(names, 0)
+        df = pd.DataFrame(keep, columns=["user_id", "ts", "event_id", "et"])
+        for _, g in df.groupby("user_id"):
+            t_prev = None
+            for stage in names:
+                sel = g.ts[(g.et == stage)] if t_prev is None else \
+                    g.ts[(g.et == stage) & (g.ts > t_prev)]
+                if sel.empty:
+                    break
+                t_prev = sel.min()
+                n[stage] += 1
+        if not keep:
+            assert len(out) == 0
+        else:
+            assert dict(out.n_users) == n
