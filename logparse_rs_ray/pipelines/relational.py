@@ -163,8 +163,12 @@ def q_order_lineitem_join(sf_dir: str):
                          "qty": pc.cast(b["l_quantity"], pa.int64())})
 
     li = li.map_batches(prep_li, batch_format="pyarrow", batch_size=None)
+    from ..stages.join import auto_join_partitions
+
     joined = hash_join(orders, li, on="o_orderkey", right_on="l_orderkey",
-                       num_partitions=16)
+                       num_partitions=auto_join_partitions(
+                           f"{sf_dir}/orders.parquet",
+                           f"{sf_dir}/lineitem.parquet"))
     out = grouped_agg(joined, ["o_orderpriority"], {"sum_qty": "qty"},
                       count_name="n_lines", final_partitions=1)
     return out.sort("o_orderpriority")
@@ -464,8 +468,13 @@ def q3_urgent_revenue(sf_dir: str):
                          "disc_cents": _cents(disc, 10000)})
 
     li = li.map_batches(prep_li, batch_format="pyarrow", batch_size=None)
+    from ..stages.join import auto_join_partitions
+
     joined = hash_join(li, urgent_orders, on="l_orderkey",
-                       right_on="o_orderkey", num_partitions=16)
+                       right_on="o_orderkey",
+                       num_partitions=auto_join_partitions(
+                           f"{sf_dir}/orders.parquet",
+                           f"{sf_dir}/lineitem.parquet"))
     cust = _read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     enriched = broadcast_join(joined, cust, "o_custkey", "c_custkey",
                               columns=["c_mktsegment"])

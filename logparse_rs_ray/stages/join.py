@@ -74,6 +74,24 @@ def broadcast_join(ds, small: pa.Table, keys, right_keys=None, *,
     )
 
 
+# ~64 MiB of input per join partition: each partition carries a fixed
+# aggregator-actor cost (measured 0.3-0.5 s each at toy scale), so the
+# count must grow with the data, not sit at a constant — 16 partitions is
+# simultaneously too many for a 20 MB toy join and far too few at 100 TB.
+JOIN_PARTITION_BYTES = 64 * 1024 * 1024
+
+
+def auto_join_partitions(*paths: str, lo: int = 4, hi: int = 512) -> int:
+    """Size-derived hash-join partition count from the on-disk bytes of
+    the join inputs; ``lo`` when sizes are unknown (safe small side)."""
+    from .shuffle import input_size_bytes
+
+    n = input_size_bytes(*paths)
+    if n is None:
+        return lo
+    return max(lo, min(hi, -(-n // JOIN_PARTITION_BYTES)))
+
+
 def hash_join(left, right, on, right_on=None, *, join_type: str = "inner",
               num_partitions: int = 32):
     """Large ⋈ large via Ray Data's hash-partitioned shuffle join."""

@@ -385,3 +385,23 @@ class TestWindowKernelProperties:
             assert len(out) == 0
         else:
             assert dict(out.n_users) == n
+
+
+class TestAutoJoinPartitions:
+    def test_size_derived_bounds(self, tmp_path):
+        from logparse_rs_ray.stages.join import (JOIN_PARTITION_BYTES,
+                                                 auto_join_partitions)
+
+        f = tmp_path / "x.bin"
+        f.write_bytes(b"z" * 1024)
+        assert auto_join_partitions(str(f)) == 4                    # floor
+        assert auto_join_partitions("/nonexistent/file") == 4       # unknown
+        big = tmp_path / "big.bin"
+        big.write_bytes(b"z" * (2 * JOIN_PARTITION_BYTES + 1))
+        assert auto_join_partitions(str(big)) == 4                  # < lo
+        # summed sides cross the per-partition budget -> ceil division
+        many = 10 * JOIN_PARTITION_BYTES
+        blob = tmp_path / "blob.bin"
+        blob.write_bytes(b"z" * many)
+        assert auto_join_partitions(str(blob)) == 10
+        assert auto_join_partitions(str(blob), str(big)) == 13
