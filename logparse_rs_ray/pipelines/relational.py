@@ -701,7 +701,7 @@ ORDER BY l_returnflag, l_linestatus
 FULL_OUTER_VALUE_THR = 150.0
 
 
-def q_full_outer_join(sf_dir: str, *, num_partitions: int = 8):
+def q_full_outer_join(sf_dir: str, *, num_partitions: int | None = None):
     """(user_id, n_clicks, n_purchases) — FULL OUTER join of two per-user
     activity aggregates (high-value clicks vs high-value purchases), the
     one outer-join polarity not yet covered next to hash/broadcast/semi/
@@ -728,6 +728,13 @@ def q_full_outer_join(sf_dir: str, *, num_partitions: int = 8):
 
     clicks = side("click", "n_clicks")
     purch = side("purchase", "n_purchases")
+    if num_partitions is None:
+        # the join inputs are per-user aggregates — smaller than events but
+        # still corpus-proportional (distinct users), so the partition count
+        # must track input size, not sit at a constant
+        from ..stages.join import auto_join_partitions
+
+        num_partitions = auto_join_partitions(f"{sf_dir}/events.parquet")
     # Ray's full-outer join coalesces the key column itself: right-only
     # rows arrive with user_id already filled, only the counts are null
     joined = hash_join(clicks, purch, on="user_id",

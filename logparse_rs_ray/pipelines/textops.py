@@ -734,11 +734,21 @@ def doc_cms_heavy_terms(sf_dir: str, *, k: int = 20, cand_per_block: int = 64):
         return _row(cms_build(terms, counts),
                     np.asarray(terms.to_pylist(), dtype=object)[top])
 
+    # candidate-union bound: at 100 TB the union across ~10^5-10^6 blocks
+    # could reach tens of millions of strings; each merge hop prunes to the
+    # top CAND_CAP by the locally-merged sketch estimate (a global heavy
+    # hitter is heavy within its merge subtree, the SpaceSaving-style recall
+    # argument; approximate by construction, pinned by pytest on this corpus)
+    CAND_CAP = 4096
+
     def merge(t: pa.Table) -> pa.Table:
         sk = cms_merge([pickle.loads(s) for s in t["sketch"].to_pylist()])
         lists = [np.asarray(c, dtype=object) for c in t["cands"].to_pylist()]
         cands = (np.unique(np.concatenate(lists)) if lists
                  else np.array([], dtype=object))
+        if len(cands) > CAND_CAP:
+            est = cms_query(sk, pa.array(list(cands), type=pa.string()))
+            cands = cands[np.argsort(-est, kind="stable")[:CAND_CAP]]
         return _row(sk, cands)
 
     def finalize(t: pa.Table) -> pa.Table:
