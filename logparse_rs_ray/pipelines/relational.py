@@ -525,30 +525,34 @@ def q_above_avg_orders(sf_dir: str, *, num_partitions: int = 8):
 
     rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     part = hash_partition(rows, ["c_custkey"], num_partitions)
-
-    def census(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({k: pa.array([], type=pa.int64())
-                             for k in ("c_custkey", "n_orders",
-                                       "n_above_avg")})
-        c = np.asarray(b["c_custkey"], dtype=np.int64)
-        p = np.asarray(b["price_cents"], dtype=np.int64)
-        order = np.argsort(c, kind="stable")
-        c, p = c[order], p[order]
-        starts = np.nonzero(np.concatenate(([True], c[1:] != c[:-1])))[0]
-        n = np.diff(np.append(starts, len(c)))
-        tot = np.add.reduceat(p, starts)
-        above = p * np.repeat(n, n) > np.repeat(tot, n)
-        n_above = np.add.reduceat(above.astype(np.int64), starts)
-        return pa.table({"c_custkey": pa.array(c[starts]),
-                         "n_orders": pa.array(n.astype(np.int64)),
-                         "n_above_avg": pa.array(n_above)})
-
-    return part.map_batches(census, batch_format="pyarrow",
+    return part.map_batches(above_avg_kernel, batch_format="pyarrow",
                             batch_size=None).sort("c_custkey")
+
+
+def above_avg_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition above-own-average census over (c_custkey, price_cents)
+    rows; assumes whole customers are co-located.  Module-level so
+    hypothesis drives it directly against a serial oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({k: pa.array([], type=pa.int64())
+                         for k in ("c_custkey", "n_orders", "n_above_avg")})
+    c = np.asarray(b["c_custkey"], dtype=np.int64)
+    p = np.asarray(b["price_cents"], dtype=np.int64)
+    order = np.argsort(c, kind="stable")
+    c, p = c[order], p[order]
+    starts = np.nonzero(np.concatenate(([True], c[1:] != c[:-1])))[0]
+    n = np.diff(np.append(starts, len(c)))
+    tot = np.add.reduceat(p, starts)
+    above = p * np.repeat(n, n) > np.repeat(tot, n)
+    n_above = np.add.reduceat(above.astype(np.int64), starts)
+    return pa.table({"c_custkey": pa.array(c[starts]),
+                     "n_orders": pa.array(n.astype(np.int64)),
+                     "n_above_avg": pa.array(n_above)})
 
 
 Q_ABOVE_AVG_ORDERS_SQL = """

@@ -405,3 +405,27 @@ class TestAutoJoinPartitions:
         blob.write_bytes(b"z" * many)
         assert auto_join_partitions(str(blob)) == 10
         assert auto_join_partitions(str(blob), str(big)) == 13
+
+
+class TestAboveAvgKernelProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 6),
+                              st.integers(-10**9, 10**9)), max_size=50))
+    def test_kernel_matches_pandas(self, rows):
+        from logparse_rs_ray.pipelines.relational import above_avg_kernel
+
+        t = pa.table({"c_custkey": pa.array([r[0] for r in rows],
+                                            type=pa.int64()),
+                      "price_cents": pa.array([r[1] for r in rows],
+                                              type=pa.int64())})
+        out = above_avg_kernel(t).to_pandas().set_index("c_custkey")
+        df = pd.DataFrame(rows, columns=["c", "p"])
+        for ck, g in df.groupby("c"):
+            assert out.loc[ck].n_orders == len(g)
+            # strict mean comparison, float-free
+            assert out.loc[ck].n_above_avg == int(
+                (g.p * len(g) > g.p.sum()).sum()), ck
+        assert len(out) == df.c.nunique()
