@@ -399,7 +399,77 @@ def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3):
                      "n_vectors": pa.array(census)})
 
 
+# --- embedding PRODUCTION: hashing-trick text vectorizer (actor pool) -------
+
+EMBED_DIM = 32
+
+
+class HashVectorizer:
+    """Actor-pool inference stage producing document embeddings from text —
+    the deterministic stand-in for a model-inference step (same Ray
+    plumbing: weights built ONCE per actor in ``__init__``, batched
+    vectorized inference in ``__call__``).  The featurizer itself is the
+    real hashing trick (Weinberger et al. 2009): token -> FNV hash ->
+    signed bucket count, L2-normalized — deterministic, so distributed ==
+    serial is exactly testable.
+    """
+
+    def __init__(self, dim: int = EMBED_DIM):
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..core.fnv import fnv1a64_arrow
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "embedding": pa.array([], type=pa.list_(
+                                 pa.float32()))})
+        toks = pc.split_pattern(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.combine_chunks().values if isinstance(
+            toks, pa.ChunkedArray) else toks.values
+        h = fnv1a64_arrow(flat)
+        bucket = (h % np.uint64(self.dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)).astype(bool), -1.0, 1.0)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        mat = np.zeros((n, self.dim), dtype=np.float64)
+        np.add.at(mat, (doc_idx, bucket), sign)
+        mat = _normalize(mat).astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel(), type=pa.float32()), self.dim)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "embedding": emb.cast(pa.list_(pa.float32()))})
+
+
+def doc_embed_hashvec(sf_dir: str):
+    """(doc_id, embedding list<float32>[32]) — produce document embeddings
+    from text with the hashing-trick vectorizer actor pool: the embedding-
+    computation stage that feeds SemDedup / ANN when no embeddings table
+    exists.  Rows-only (FNV-based, not SQL-expressible); pytest pins
+    determinism, unit norm, serial parity and composition into
+    ``embed_cluster_assign``-style consumers.
+
+    Scale shape: embarrassingly parallel actor-pool ``map_batches`` —
+    state per actor, one scatter-add per batch, no shuffle.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # no trailing sort: the output is the corpus-sized embedding payload
+    # and row order is not part of the contract (cf. log_redact_pii)
+    return ds.map_batches(HashVectorizer, batch_format="pyarrow",
+                          batch_size=None, concurrency=2)
+
+
 QUERIES = {
+    "doc_embed_hashvec": doc_embed_hashvec,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,

@@ -429,3 +429,55 @@ class TestAboveAvgKernelProperty:
             assert out.loc[ck].n_above_avg == int(
                 (g.p * len(g) > g.p.sum()).sum()), ck
         assert len(out) == df.c.nunique()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHashVectorizer:
+    def test_deterministic_unit_norm_and_serial_parity(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.core.fnv import fnv1a64
+        from logparse_rs_ray.pipelines.similarity import (EMBED_DIM,
+                                                          HashVectorizer,
+                                                          doc_embed_hashvec)
+
+        out = doc_embed_hashvec(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        assert len(out) == len(docs)
+        # serial oracle: per-token signed bucket counts, L2-normalized
+        for _, r in docs.head(40).iterrows():
+            v = np.zeros(EMBED_DIM)
+            for tok in r.text.split(" "):
+                h = fnv1a64(tok)
+                v[h % EMBED_DIM] += -1.0 if (h >> 63) else 1.0
+            n = np.linalg.norm(v)
+            exp = (v / n if n else v).astype(np.float32)
+            got = np.asarray(out.loc[r.doc_id].embedding, dtype=np.float32)
+            np.testing.assert_allclose(got, exp, rtol=1e-6, atol=1e-7)
+        norms = np.linalg.norm(np.stack(out.embedding.to_numpy()), axis=1)
+        assert ((np.abs(norms - 1) < 1e-5) | (norms == 0)).all()
+        # determinism across runs (actor-pool state is pure)
+        again = doc_embed_hashvec(SF).to_pandas().set_index("doc_id")
+        for did in list(out.index[:10]):
+            np.testing.assert_array_equal(
+                np.asarray(out.loc[did].embedding),
+                np.asarray(again.loc[did].embedding))
+
+    def test_batch_slice_invariance(self):
+        """Any slice of the input produces the same rows (no cross-row
+        state), so block boundaries cannot change results."""
+        import pyarrow as pa
+
+        from logparse_rs_ray.pipelines.similarity import HashVectorizer
+
+        t = pa.table({"doc_id": pa.array(range(6), type=pa.int64()),
+                      "text": pa.array(["a b", "", "c c c", "a", "b c", "x y z"])})
+        v = HashVectorizer()
+        whole = v(t).to_pandas()
+        parts = pd.concat([v(t.slice(0, 2)).to_pandas(),
+                           v(t.slice(2, 2)).to_pandas(),
+                           v(t.slice(4)).to_pandas()]).reset_index(drop=True)
+        for i in range(6):
+            np.testing.assert_array_equal(np.asarray(whole.embedding[i]),
+                                          np.asarray(parts.embedding[i]))

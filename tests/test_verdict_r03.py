@@ -778,7 +778,7 @@ class TestQueryRegistry:
             "dedup_minhash_survivors", "log_value_quantiles",
             "mm_audio_levels", "ann_lsh_topk",
             "doc_cms_heavy_terms", "log_event_user_hll",
-            "log_value_quantiles_by_type",
+            "log_value_quantiles_by_type", "doc_embed_hashvec",
         }, rows_only
 
 
