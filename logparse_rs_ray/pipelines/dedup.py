@@ -557,7 +557,7 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3, mode: str = "auto",
 
 def embedding_neardup_pairs_ds(sf_dir: str, *, threshold: float = 0.40,
                                num_partitions: int = 8, tile: int = 2048,
-                               max_cell: int = 100_000):
+                               max_cell: int = 100_000, ds=None):
     """Dataset-returning variant of ``embedding_neardup_pairs`` — the pair
     list stays distributed (ADVICE r02: consumers that only need blocks,
     like the clustering propagation, must not funnel O(edges) through the
@@ -572,7 +572,11 @@ def embedding_neardup_pairs_ds(sf_dir: str, *, threshold: float = 0.40,
     so cells stay under ``max_cell``; cells above it are processed anyway
     but logged, mirroring the LSH mega-bucket policy (never a silent drop).
     """
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    # ds override: callers that PRODUCE (vec_id, embedding, label) upstream
+    # (e.g. the text->hashvec->LSH-cell composition) reuse this kernel
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding", "label"])
     part = hash_partition(ds, ["label"], num_partitions)
 
     def pairs_in_block(batch: pa.Table) -> pa.Table:
@@ -1289,7 +1293,57 @@ ORDER BY vec_id
 """
 
 
+def doc_semantic_pairs(sf_dir: str, *, threshold: float = 0.95,
+                       n_planes: int = 4, num_partitions: int = 8):
+    """(vec_a, vec_b, cos_pct) — SemDedup end-to-end from RAW TEXT: no
+    precomputed embeddings table.  Composition: HashVectorizer (actor-pool
+    embedding inference) -> deterministic sign-bit LSH coarse cells (the
+    quantizer) -> the same hash-co-located tiled cosine pair kernel the
+    embeddings-table path uses (``embedding_neardup_pairs_ds``).
+
+    Rows-only and LSH-approximate: only same-cell pairs are compared, so
+    recall follows the sign-bit collision probability (identical texts
+    always collide: same embedding -> same cell -> cos 1.0).  Pytest pins
+    zero false positives under a serial replay, a recall floor on this
+    corpus, and determinism.
+
+    Scale shape: two shuffle-free corpus passes fused into one (embed +
+    label in the same map_batches chain) + ONE hash exchange by cell.
+    """
+    from ..sources import read_table as _read
+    from .similarity import EMBED_DIM, HashVectorizer
+
+    # fixed seeded hyperplanes -> deterministic cells across runs/engines
+    planes = np.random.default_rng(1234).standard_normal(
+        (EMBED_DIM, n_planes))
+
+    class EmbedAndLabel(HashVectorizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = super().__call__(batch)
+            emb = t["embedding"].combine_chunks() if isinstance(
+                t["embedding"], pa.ChunkedArray) else t["embedding"]
+            if len(emb) == 0:
+                mat = np.zeros((0, EMBED_DIM))
+            else:
+                mat = np.asarray(emb.flatten(),
+                                 dtype=np.float64).reshape(-1, EMBED_DIM)
+            bits = (mat @ planes) > 0
+            label = bits @ (1 << np.arange(n_planes))
+            return pa.table({"vec_id": t["doc_id"],
+                             "embedding": t["embedding"],
+                             "label": pa.array(label.astype(np.int32))})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    labeled = docs.map_batches(EmbedAndLabel, batch_format="pyarrow",
+                               batch_size=None, concurrency=2)
+    pairs = embedding_neardup_pairs_ds(sf_dir, threshold=threshold,
+                                       num_partitions=num_partitions,
+                                       ds=labeled)
+    return pairs.sort(["vec_a", "vec_b"])
+
+
 QUERIES = {
+    "doc_semantic_pairs": doc_semantic_pairs,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_minhash_pairs": verified_pairs_ngram,
     "dedup_simhash_pairs": simhash_pairs,

@@ -481,3 +481,45 @@ class TestHashVectorizer:
         for i in range(6):
             np.testing.assert_array_equal(np.asarray(whole.embedding[i]),
                                           np.asarray(parts.embedding[i]))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemanticPairs:
+    def test_no_false_positives_recall_floor_and_determinism(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.core.fnv import fnv1a64
+        from logparse_rs_ray.pipelines.dedup import doc_semantic_pairs
+        from logparse_rs_ray.pipelines.similarity import EMBED_DIM
+
+        thr = 0.95
+        out = doc_semantic_pairs(SF, threshold=thr).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+
+        def vec(text):
+            v = np.zeros(EMBED_DIM)
+            for t in text.split(" "):
+                h = fnv1a64(t)
+                v[h % EMBED_DIM] += -1.0 if (h >> 63) else 1.0
+            n = np.linalg.norm(v)
+            return v / n if n else v
+
+        mat = np.stack([vec(t) for t in docs.text])
+        ids = docs.doc_id.to_numpy()
+        pos = {d: i for i, d in enumerate(ids)}
+        # zero false positives: every emitted pair clears the threshold
+        assert len(out) > 0
+        for a, b, cp in zip(out.vec_a, out.vec_b, out.cos_pct):
+            cos = float(mat[pos[a]] @ mat[pos[b]])
+            assert cos >= thr - 1e-9, (a, b)
+            assert cp == int(np.floor(cos * 1000))
+        # recall floor vs brute force (sign-bit LSH with 4 planes keeps a
+        # deterministic subset; on this corpus it must find >= 1/3)
+        cos_all = mat @ mat.T
+        iu = np.triu_indices(len(ids), 1)
+        true_pairs = int((cos_all[iu] >= thr).sum())
+        assert len(out) >= max(1, true_pairs // 3)
+        # determinism
+        again = doc_semantic_pairs(SF, threshold=thr).to_pandas()
+        pd.testing.assert_frame_equal(out, again)
