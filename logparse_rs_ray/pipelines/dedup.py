@@ -1342,8 +1342,46 @@ def doc_semantic_pairs(sf_dir: str, *, threshold: float = 0.95,
     return pairs.sort(["vec_a", "vec_b"])
 
 
+def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,
+                           n_planes: int = 4, num_partitions: int = 8,
+                           broadcast_max_drop: int = 5_000_000):
+    """(doc_id, source) — the TEXT corpus after raw-text SemDedup: the
+    full composition embed (HashVectorizer) -> LSH cells -> verified
+    cosine pairs -> union-find clusters -> keep-one anti-join, mirroring
+    ``dedup_minhash_survivors`` with semantic instead of lexical pairs.
+
+    Scale shape: the pair list is ∝ near-dup density (bounded; same
+    contract as the minhash path), so the union-find fast path applies;
+    the survivors pass is the shared broadcast/co-located anti-join — the
+    corpus text itself never shuffles.
+    """
+    import ray as _ray
+
+    pairs_ds = doc_semantic_pairs(sf_dir, threshold=threshold,
+                                  n_planes=n_planes,
+                                  num_partitions=num_partitions)
+    refs = pairs_ds.to_arrow_refs()
+    tables = [t for t in _ray.get(refs) if t.num_rows]
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    if not tables:
+        return _anti_join_survivors(
+            corpus, pa.table({"doc_id": pa.array([], type=pa.int64())}),
+            "doc_id", "source", pa.string(),
+            broadcast_max_drop=broadcast_max_drop,
+            num_partitions=num_partitions)
+    pairs = pa.concat_tables(tables)
+    clusters = _union_find_clusters(pairs.select(["vec_a", "vec_b"]))
+    drop = clusters.filter(pc.less(clusters["cluster_id"],
+                                   clusters["vec_id"]))
+    drop = pa.table({"doc_id": drop["vec_id"]})
+    return _anti_join_survivors(corpus, drop, "doc_id", "source", pa.string(),
+                                broadcast_max_drop=broadcast_max_drop,
+                                num_partitions=num_partitions)
+
+
 QUERIES = {
     "doc_semantic_pairs": doc_semantic_pairs,
+    "doc_semantic_survivors": doc_semantic_survivors,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_minhash_pairs": verified_pairs_ngram,
     "dedup_simhash_pairs": simhash_pairs,

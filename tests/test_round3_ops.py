@@ -527,3 +527,30 @@ class TestSemanticPairs:
         # determinism
         again = doc_semantic_pairs(SF, threshold=thr).to_pandas()
         pd.testing.assert_frame_equal(out, again)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemanticSurvivors:
+    def test_keep_one_per_cluster_and_payload_intact(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import (_union_find_clusters,
+                                                     doc_semantic_pairs,
+                                                     doc_semantic_survivors)
+
+        surv = doc_semantic_survivors(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source"]).to_pandas()
+        pairs = doc_semantic_pairs(SF).to_pandas()
+        # serial replica: drop every non-min member of each component
+        clusters = _union_find_clusters(
+            pa.table({"vec_a": pa.array(pairs.vec_a, type=pa.int64()),
+                      "vec_b": pa.array(pairs.vec_b, type=pa.int64())}))
+        lab = dict(zip(clusters["vec_id"].to_pylist(),
+                       clusters["cluster_id"].to_pylist()))
+        dropped = {d for d, c in lab.items() if c < d}
+        assert dropped, "corpus must actually contain semantic near-dups"
+        exp = docs[~docs.doc_id.isin(dropped)]
+        got = surv.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp.sort_values("doc_id").reset_index(drop=True))

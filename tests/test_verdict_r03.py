@@ -779,7 +779,7 @@ class TestQueryRegistry:
             "mm_audio_levels", "ann_lsh_topk",
             "doc_cms_heavy_terms", "log_event_user_hll",
             "log_value_quantiles_by_type", "doc_embed_hashvec",
-            "doc_semantic_pairs",
+            "doc_semantic_pairs", "doc_semantic_survivors",
         }, rows_only
 
 
