@@ -554,3 +554,30 @@ class TestSemanticSurvivors:
         got = surv.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got, exp.sort_values("doc_id").reset_index(drop=True))
+
+
+class TestRedactParityProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # alphabet chosen to hit every pattern arm and its boundaries: emails,
+    # dotted quads, +phones, digit runs, and RE2 metacharacter bait
+    text_st = st.lists(
+        st.text(alphabet=st.sampled_from(list("ab9@.+-_ %1")), max_size=30),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=120, deadline=None)
+    @given(text_st)
+    def test_arrow_chain_equals_duckdb_chain(self, texts):
+        import duckdb
+
+        from logparse_rs_ray.pipelines.logops import _redact_sql, redact_pii
+
+        red, hits = redact_pii(pa.array(texts, type=pa.string()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events AS SELECT * FROM (SELECT "
+                    "row_number() OVER () - 1 AS event_id, col0 AS props "
+                    "FROM (SELECT UNNEST(?) AS col0))", [texts])
+        want = con.execute(_redact_sql()).df()
+        assert red.to_pylist() == want.redacted.tolist()
+        assert hits.to_pylist() == [int(x) for x in want.n_hits]
