@@ -1293,7 +1293,7 @@ ORDER BY vec_id
 """
 
 
-def doc_semantic_pairs(sf_dir: str, *, threshold: float = 0.95,
+def _semantic_pairs_ds(sf_dir: str, *, threshold: float = 0.95,
                        n_planes: int = 4, num_partitions: int = 8):
     """(vec_a, vec_b, cos_pct) — SemDedup end-to-end from RAW TEXT: no
     precomputed embeddings table.  Composition: HashVectorizer (actor-pool
@@ -1336,10 +1336,19 @@ def doc_semantic_pairs(sf_dir: str, *, threshold: float = 0.95,
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     labeled = docs.map_batches(EmbedAndLabel, batch_format="pyarrow",
                                batch_size=None, concurrency=2)
-    pairs = embedding_neardup_pairs_ds(sf_dir, threshold=threshold,
-                                       num_partitions=num_partitions,
-                                       ds=labeled)
-    return pairs.sort(["vec_a", "vec_b"])
+    return embedding_neardup_pairs_ds(sf_dir, threshold=threshold,
+                                      num_partitions=num_partitions,
+                                      ds=labeled)
+
+
+def doc_semantic_pairs(sf_dir: str, *, threshold: float = 0.95,
+                       n_planes: int = 4, num_partitions: int = 8):
+    """Sorted public form of ``_semantic_pairs_ds`` (see its docstring);
+    the survivors composition consumes the unsorted Dataset directly —
+    union-find needs no order, so it skips this sort."""
+    return _semantic_pairs_ds(sf_dir, threshold=threshold, n_planes=n_planes,
+                              num_partitions=num_partitions).sort(
+        ["vec_a", "vec_b"])
 
 
 def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,
@@ -1357,7 +1366,7 @@ def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,
     """
     import ray as _ray
 
-    pairs_ds = doc_semantic_pairs(sf_dir, threshold=threshold,
+    pairs_ds = _semantic_pairs_ds(sf_dir, threshold=threshold,
                                   n_planes=n_planes,
                                   num_partitions=num_partitions)
     refs = pairs_ds.to_arrow_refs()
