@@ -441,8 +441,11 @@ class HashVectorizer:
         bucket = (h % np.uint64(self.dim)).astype(np.int64)
         sign = np.where((h >> np.uint64(63)).astype(bool), -1.0, 1.0)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        mat = np.zeros((n, self.dim), dtype=np.float64)
-        np.add.at(mat, (doc_idx, bucket), sign)
+        # flattened-key bincount beats np.add.at ~10x (no per-element
+        # atomic scatter); weights sum exactly (+-1 floats < 2^53)
+        flat_key = doc_idx * self.dim + bucket
+        mat = np.bincount(flat_key, weights=sign,
+                          minlength=n * self.dim).reshape(n, self.dim)
         mat = _normalize(mat).astype(np.float32)
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(mat.ravel(), type=pa.float32()), self.dim)
