@@ -5,7 +5,7 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["read_table", "write_json_report"]
+__all__ = ["read_table", "read_ndjson", "write_json_report"]
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs):
@@ -27,3 +27,27 @@ def write_json_report(report: dict, path: str) -> None:
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(report, fh, indent=2, sort_keys=True)
     os.replace(tmp, path)
+
+
+def read_ndjson(path, column_types: dict | None = None, **kwargs):
+    """Distributed NDJSON (one JSON object per line) reader — re-ingests
+    the envelopes ``parse_file_to_ndjson`` emits so downstream pipelines
+    can consume a prior run's output as a source (reference README.md
+    round-trip: parse -> NDJSON -> analytics).  Ray's JSON datasource
+    splits by file and streams blocks; pass a directory for a sharded run.
+
+    ``column_types`` pins Arrow types that JSON inference gets wrong —
+    most importantly ``{"hash64": pa.uint64()}``: the engine's FNV hashes
+    exceed 2^53, so type inference reads them as float64 and silently
+    loses precision.  Unlisted fields are still inferred.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    if column_types:
+        from pyarrow import json as pj
+
+        kwargs.setdefault("parse_options", pj.ParseOptions(
+            explicit_schema=pa.schema(list(column_types.items())),
+            unexpected_field_behavior="infer"))
+    return rd.read_json(path, **kwargs)

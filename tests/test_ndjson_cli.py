@@ -141,3 +141,35 @@ class TestRuntimeNsEnvelope:
                 for l in fh:
                     if l.strip():
                         assert "runtime_ns" not in json.loads(l)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNdjsonRoundtrip:
+    def test_read_back_as_distributed_source(self, tmp_path):
+        """parse -> NDJSON sink -> read_ndjson re-ingest: the re-read
+        Dataset must hold exactly the written envelopes (count and
+        hash64 set), making a prior run's output usable as a source."""
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import parse_webtext
+        from logparse_rs_ray.pipelines.ndjson import write_ndjson_sinks
+        from logparse_rs_ray.sources import read_ndjson
+
+        table = generate_webtext_table(500, seed=7)
+        schema = pan_schema()
+        parsed = parse_webtext(rd.from_arrow(table), schema)
+        out = str(tmp_path / "nd")
+        write_ndjson_sinks(parsed, out, schema)
+
+        written = []
+        for f in glob.glob(f"{out}/**/*.json", recursive=True):
+            for line in open(f):
+                written.append(json.loads(line)["hash64"])
+        # hash64 exceeds 2^53: without the pinned uint64 type, JSON
+        # inference reads it as float64 and silently corrupts the hashes
+        ds = read_ndjson(glob.glob(f"{out}/**/*.json", recursive=True),
+                         column_types={"hash64": pa.uint64()})
+        back = ds.to_pandas()
+        assert len(back) == len(written) > 0
+        assert set(back.hash64) == set(written)
+        assert {"parsed", "raw_excerpt", "hash64"} <= set(back.columns)
