@@ -152,11 +152,17 @@ _LOG_GAMMA = np.log(DD_GAMMA)
 
 
 def dd_bins(values: np.ndarray) -> np.ndarray:
-    """int64 bin index per value.  Contract is strictly-positive input;
-    zeros/negatives are clamped to 1e-300 (one far-left bin) instead of
-    producing NaN/-inf, so a stray sentinel row degrades a tail estimate
-    rather than poisoning the whole histogram."""
-    v = np.maximum(np.asarray(values, dtype=np.float64), 1e-300)
+    """int64 bin index per value.  Contract is strictly-positive FINITE
+    input; zeros/negatives/NaN clamp to 1e-300 (one far-left bin) and
+    +inf clamps to 1e308 (one far-right bin) instead of producing an
+    INT64_MIN wraparound, so a stray sentinel row degrades a tail
+    estimate rather than poisoning the whole histogram (np.maximum
+    propagates NaN, and ceil(inf).astype(int64) wraps — both handled).
+    The resulting bin domain is bounded to ~[-34540, 35450] at alpha=1%,
+    which downstream group/bin key packers rely on."""
+    v = np.asarray(values, dtype=np.float64)
+    v = np.where(np.isnan(v), 1e-300, v)
+    v = np.clip(v, 1e-300, 1e308)
     return np.ceil(np.log(v) / _LOG_GAMMA).astype(np.int64)
 
 
@@ -185,7 +191,8 @@ def dd_quantiles(bins: np.ndarray, counts: np.ndarray,
 # plain elementwise SUM (counts are linear), same emit-per-block contract
 # as the HLL registers above.
 CMS_D = 4
-CMS_W = 1 << 13
+CMS_LOG2_W = 13
+CMS_W = 1 << CMS_LOG2_W
 _CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                        0x165667B19E3779F9, 0x27D4EB2F165667C5],
                       dtype=np.uint64)
@@ -201,7 +208,7 @@ def _cms_rows(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
         hs = (hs ^ (hs >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         hs = (hs ^ (hs >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         hs = hs ^ (hs >> np.uint64(31))
-    return (hs >> np.uint64(64 - 13)).astype(np.int64)   # 13 = log2(CMS_W)
+    return (hs >> np.uint64(64 - CMS_LOG2_W)).astype(np.int64)
 
 
 def cms_build(keys: pa.Array | pa.ChunkedArray,

@@ -724,7 +724,7 @@ def _union_find_clusters(pairs: pa.Table) -> pa.Table:
 
 def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
                      num_partitions: int = 8, max_rounds: int = 50,
-                     small_graph_max_pairs: int = 100_000):
+                     small_graph_max_pairs: int = 100_000, pairs_ds=None):
     """(vec_id, cluster_id) — connected components of the embedding
     near-dup graph; cluster_id = min vec_id reachable (the canonical
     keeper).
@@ -742,8 +742,11 @@ def neardup_clusters(sf_dir: str, *, threshold: float = 0.40,
     # gated on count() over the materialized blocks, and the big-graph
     # branch derives edges/labels with map_batches — driver memory is O(1)
     # there no matter the edge count
-    pairs_ds = enable_hash_shuffle(
-        embedding_neardup_pairs_ds(sf_dir, threshold=threshold).materialize())
+    # pairs_ds override: compositions that PRODUCE the pair graph upstream
+    # (e.g. the raw-text semantic path) reuse both size regimes
+    if pairs_ds is None:
+        pairs_ds = embedding_neardup_pairs_ds(sf_dir, threshold=threshold)
+    pairs_ds = enable_hash_shuffle(pairs_ds.materialize())
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return pa.table({"vec_id": pa.array([], type=pa.int64()),
@@ -1310,8 +1313,7 @@ def _semantic_pairs_ds(sf_dir: str, *, threshold: float = 0.95,
     Scale shape: two shuffle-free corpus passes fused into one (embed +
     label in the same map_batches chain) + ONE hash exchange by cell.
     """
-    from ..sources import read_table as _read
-    from .similarity import EMBED_DIM, HashVectorizer
+    from .similarity import EMBED_DIM, HashVectorizer, _list_matrix
 
     # fixed seeded hyperplanes -> deterministic cells across runs/engines
     planes = np.random.default_rng(1234).standard_normal(
@@ -1320,20 +1322,16 @@ def _semantic_pairs_ds(sf_dir: str, *, threshold: float = 0.95,
     class EmbedAndLabel(HashVectorizer):
         def __call__(self, batch: pa.Table) -> pa.Table:
             t = super().__call__(batch)
-            emb = t["embedding"].combine_chunks() if isinstance(
-                t["embedding"], pa.ChunkedArray) else t["embedding"]
-            if len(emb) == 0:
+            mat = _list_matrix(t["embedding"])
+            if mat.size == 0:
                 mat = np.zeros((0, EMBED_DIM))
-            else:
-                mat = np.asarray(emb.flatten(),
-                                 dtype=np.float64).reshape(-1, EMBED_DIM)
             bits = (mat @ planes) > 0
             label = bits @ (1 << np.arange(n_planes))
             return pa.table({"vec_id": t["doc_id"],
                              "embedding": t["embedding"],
                              "label": pa.array(label.astype(np.int32))})
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     labeled = docs.map_batches(EmbedAndLabel, batch_format="pyarrow",
                                batch_size=None, concurrency=2)
     return embedding_neardup_pairs_ds(sf_dir, threshold=threshold,
@@ -1359,30 +1357,21 @@ def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,
     cosine pairs -> union-find clusters -> keep-one anti-join, mirroring
     ``dedup_minhash_survivors`` with semantic instead of lexical pairs.
 
-    Scale shape: the pair list is ∝ near-dup density (bounded; same
-    contract as the minhash path), so the union-find fast path applies;
-    the survivors pass is the shared broadcast/co-located anti-join — the
-    corpus text itself never shuffles.
+    Scale shape: clustering reuses ``neardup_clusters``' size-gated dual
+    regime (driver union-find below 100k pairs, distributed min-label
+    propagation above — the pair list never funnels through the driver at
+    scale); the survivors pass is the shared broadcast/co-located
+    anti-join — the corpus text itself never shuffles.
     """
-    import ray as _ray
-
-    pairs_ds = _semantic_pairs_ds(sf_dir, threshold=threshold,
-                                  n_planes=n_planes,
-                                  num_partitions=num_partitions)
-    refs = pairs_ds.to_arrow_refs()
-    tables = [t for t in _ray.get(refs) if t.num_rows]
-    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
-    if not tables:
-        return _anti_join_survivors(
-            corpus, pa.table({"doc_id": pa.array([], type=pa.int64())}),
-            "doc_id", "source", pa.string(),
-            broadcast_max_drop=broadcast_max_drop,
-            num_partitions=num_partitions)
-    pairs = pa.concat_tables(tables)
-    clusters = _union_find_clusters(pairs.select(["vec_a", "vec_b"]))
+    clusters = neardup_clusters(
+        sf_dir, num_partitions=num_partitions,
+        pairs_ds=_semantic_pairs_ds(sf_dir, threshold=threshold,
+                                    n_planes=n_planes,
+                                    num_partitions=num_partitions))
     drop = clusters.filter(pc.less(clusters["cluster_id"],
                                    clusters["vec_id"]))
     drop = pa.table({"doc_id": drop["vec_id"]})
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
     return _anti_join_survivors(corpus, drop, "doc_id", "source", pa.string(),
                                 broadcast_max_drop=broadcast_max_drop,
                                 num_partitions=num_partitions)

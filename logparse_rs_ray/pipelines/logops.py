@@ -644,11 +644,11 @@ def log_event_user_hll(sf_dir: str, *, fanin: int = 8):
                 [int(round(hll_estimate(pickle.loads(r))))
                  for r in t["regs"].to_pylist()], type=pa.int64())})
 
-    merged = (ds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
-              .repartition(fanin)
-              .map_batches(merge, batch_format="pyarrow", batch_size=None)
-              .repartition(1)
-              .map_batches(merge, batch_format="pyarrow", batch_size=None))
+    from ..stages.aggregate import tree_combine
+
+    merged = tree_combine(
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=None),
+        merge, fanin=fanin)
     return merged.map_batches(finalize, batch_format="pyarrow",
                               batch_size=None).sort("event_type")
 

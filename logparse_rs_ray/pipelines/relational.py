@@ -500,7 +500,7 @@ ORDER BY c_mktsegment
 
 # --- correlated-subquery shape (above own-group average) ---------------------
 
-def q_above_avg_orders(sf_dir: str, *, num_partitions: int = 8):
+def q_above_avg_orders(sf_dir: str, *, num_partitions: int | None = None):
     """(c_custkey, n_orders, n_above_avg) — per customer, how many of their
     orders exceed their own average order value: the correlated-subquery
     shape (WHERE price > (SELECT AVG(...) correlated)) re-expressed as a
@@ -513,10 +513,13 @@ def q_above_avg_orders(sf_dir: str, *, num_partitions: int = 8):
     customers, so per-customer sums and the comparison are one lexsort +
     segment reduce — the corpus never passes twice and nothing joins back.
     """
-    import numpy as np
+    from ..stages.shuffle import hash_partition, input_size_bytes, resolve_mode
+    from .streaming import auto_shard_count
 
-    from ..stages.shuffle import hash_partition
-
+    path = f"{sf_dir}/orders.parquet"
+    if num_partitions is None:
+        num_partitions = auto_shard_count(input_size_bytes(path))
+    mode = resolve_mode("auto", path)
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -524,7 +527,8 @@ def q_above_avg_orders(sf_dir: str, *, num_partitions: int = 8):
                          "price_cents": _cents(b["o_totalprice"])})
 
     rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    part = hash_partition(rows, ["c_custkey"], num_partitions)
+    part = (hash_partition(rows, ["c_custkey"], num_partitions)
+            if mode == "shuffle" else rows.repartition(1))
     return part.map_batches(above_avg_kernel, batch_format="pyarrow",
                             batch_size=None).sort("c_custkey")
 
@@ -611,8 +615,12 @@ def q_pivot_lang_source(sf_dir: str):
         wide = np.zeros((len(ulang), len(PIVOT_SOURCES)), dtype=np.int64)
         li = np.searchsorted(ulang, langs)
         src_idx = {s: j for j, s in enumerate(PIVOT_SOURCES)}
-        sj = np.array([src_idx[s] for s in srcs], dtype=np.int64)
-        np.add.at(wide, (li, sj), cnt)   # merged keys are unique; add is safe
+        # out-of-domain sources contribute 0 to every pivot column but the
+        # lang row survives (matching the oracle's CASE WHEN semantics,
+        # which never crashes on unknown values)
+        sj = np.array([src_idx.get(s, -1) for s in srcs], dtype=np.int64)
+        known = sj >= 0
+        np.add.at(wide, (li[known], sj[known]), cnt[known])  # keys unique
         out = {"lang": pa.array([str(x) for x in ulang], type=pa.string())}
         out.update({s: pa.array(wide[:, j], type=pa.int64())
                     for j, s in enumerate(PIVOT_SOURCES)})
@@ -720,15 +728,26 @@ def q_full_outer_join(sf_dir: str, *, num_partitions: int | None = None):
     """
     ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
 
-    def side(event_type: str, out_name: str):
-        def prep(b: pa.Table) -> pa.Table:
-            keep = b.filter(pc.and_(
-                pc.equal(b["event_type"], event_type),
-                pc.greater(b["value"], FULL_OUTER_VALUE_THR)))
-            return keep.select(["user_id"])
+    def prep(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.and_(
+            pc.is_in(b["event_type"],
+                     value_set=pa.array(["click", "purchase"])),
+            pc.greater(b["value"], FULL_OUTER_VALUE_THR)))
+        return keep.select(["user_id", "event_type"])
 
-        rows = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
-        return count_by(rows, "user_id", count_name=out_name)
+    rows = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    # ONE corpus scan: both join sides branch off the same materialized
+    # compact aggregate (branching an unmaterialized lineage re-executes
+    # the whole read per consumer)
+    agg = count_by(rows, ["user_id", "event_type"], count_name="n").materialize()
+
+    def side(event_type: str, out_name: str):
+        def pick(b: pa.Table) -> pa.Table:
+            keep = b.filter(pc.equal(b["event_type"], event_type))
+            return pa.table({"user_id": keep["user_id"],
+                             out_name: keep["n"]})
+
+        return agg.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
     clicks = side("click", "n_clicks")
     purch = side("purchase", "n_purchases")

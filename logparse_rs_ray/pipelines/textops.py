@@ -764,11 +764,10 @@ def doc_cms_heavy_terms(sf_dir: str, *, k: int = 20, cand_per_block: int = 64):
             "est_cnt": pa.array([int(est[i]) for i in order],
                                 type=pa.int64())})
 
+    from ..stages.aggregate import tree_combine
+
     parts = ds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
-    merged = (parts.repartition(8)
-              .map_batches(merge, batch_format="pyarrow", batch_size=None)
-              .repartition(1)
-              .map_batches(merge, batch_format="pyarrow", batch_size=None))
+    merged = tree_combine(parts, merge, fanin=8)
     return merged.map_batches(finalize, batch_format="pyarrow",
                               batch_size=None)
 

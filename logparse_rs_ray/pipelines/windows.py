@@ -543,11 +543,13 @@ ORDER BY band
 
 
 def _event_exchange(sf_dir: str, columns: list[str],
-                    num_partitions: int | None, mode: str):
+                    num_partitions: int | None, mode: str,
+                    transform=None):
     """Shared shape for per-user window ops: compact column-pruned read +
-    ONE user-keyed hash exchange (auto-gated to a single block below the
-    size threshold — window arithmetic is not associative, so there is no
-    combiner-tree middle ground)."""
+    optional per-block compaction + ONE user-keyed hash exchange
+    (auto-gated to a single block below the size threshold — window
+    arithmetic is not associative, so there is no combiner-tree middle
+    ground).  Every sizing/gating policy change lands here once."""
     from ..stages.shuffle import hash_partition, input_size_bytes, resolve_mode
     from .streaming import auto_shard_count
 
@@ -556,6 +558,9 @@ def _event_exchange(sf_dir: str, columns: list[str],
             input_size_bytes(f"{sf_dir}/events.parquet"))
     mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events", columns=columns)
+    if transform is not None:
+        ds = ds.map_batches(transform, batch_format="pyarrow",
+                            batch_size=None)
     return (hash_partition(ds, ["user_id"], num_partitions)
             if mode == "shuffle" else ds.repartition(1))
 
@@ -572,8 +577,6 @@ def log_user_paths(sf_dir: str, *, num_partitions: int | None = None,
     ``binary_join`` emits every path in one vectorized kernel (no per-user
     Python, no string concat loop).
     """
-    import numpy as np
-
     part = _event_exchange(sf_dir, ["user_id", "ts", "event_id",
                                     "event_type"], num_partitions, mode)
     # no trailing sort: one row per user with a payload-sized path string —
@@ -639,8 +642,6 @@ def log_interarrival(sf_dir: str, *, num_partitions: int | None = None,
     (DuckDB ``date_diff('second', ...)`` counts boundary crossings, which
     diverges from floor division — epoch_us subtraction does not).
     """
-    import numpy as np
-
     part = _event_exchange(sf_dir, ["user_id", "ts", "event_id"],
                            num_partitions, mode)
     partial = part.map_batches(gaps_kernel, batch_format="pyarrow",
@@ -746,17 +747,7 @@ def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
     3 rows per partition, tree-merged.  Below the auto-mode threshold the
     input collapses to one block (same kernel, no shuffle actors).
     """
-    import numpy as np
-
-    from ..stages.shuffle import hash_partition, input_size_bytes, resolve_mode
-    from .streaming import auto_shard_count
-
-    if num_partitions is None:
-        num_partitions = auto_shard_count(
-            input_size_bytes(f"{sf_dir}/events.parquet"))
-    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     stage_names = [s for _, s in FUNNEL_STAGES]
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def compact(b: pa.Table) -> pa.Table:
         keep = b.filter(pc.is_in(b["event_type"],
@@ -767,12 +758,8 @@ def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
                          "code": pc.cast(code, pa.int8()),
                          "ts": keep["ts"]})
 
-    rows = ds.map_batches(compact, batch_format="pyarrow", batch_size=None)
-    if mode == "shuffle":
-        rows = hash_partition(rows, ["user_id"], num_partitions)
-    else:
-        rows = rows.repartition(1)
-
+    rows = _event_exchange(sf_dir, ["user_id", "ts", "event_type"],
+                           num_partitions, mode, transform=compact)
     partial = rows.map_batches(funnel_census_kernel, batch_format="pyarrow",
                                batch_size=None)
     merged = tree_merge(partial, ["stage_idx", "stage"], [("n_users", "sum")],

@@ -55,6 +55,20 @@ def tree_merge(partials, keys: list[str], agg_specs: list[tuple[str, str]],
                                           batch_size=None)
 
 
+def tree_combine(ds, combine_fn, *, fanin: int = 8):
+    """Combiner cascade for MERGEABLE-SKETCH partials that pyarrow
+    group_by cannot express (register max per group, sketch sums, bounded
+    candidate unions): repartition(fanin) -> combine -> repartition(1) ->
+    combine.  ``combine_fn`` maps a block of partial rows to one (or few)
+    combined rows and must be associative over row concatenation."""
+    out = ds
+    if fanin > 1:
+        out = out.repartition(fanin).map_batches(
+            combine_fn, batch_format="pyarrow", batch_size=None)
+    return out.repartition(1).map_batches(combine_fn, batch_format="pyarrow",
+                                          batch_size=None)
+
+
 def grouped_agg(ds, keys, sum_cols=None, *, count_name=None, mode="tree",
                 fanin=8, final_partitions=None):
     """Multi-column grouped sums (+ row count) with per-block pre-aggregation.

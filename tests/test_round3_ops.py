@@ -581,3 +581,74 @@ class TestRedactParityProperty:
         want = con.execute(_redact_sql()).df()
         assert red.to_pylist() == want.redacted.tolist()
         assert hits.to_pylist() == [int(x) for x in want.n_hits]
+
+
+# --- review regressions (round-3 self-review findings) -----------------------
+
+class TestDDBinsSentinels:
+    def test_nan_and_inf_degrade_not_poison(self):
+        from logparse_rs_ray.functions.sketches import dd_bins
+
+        bins = dd_bins(np.array([np.nan, np.inf, -np.inf, 0.0, -5.0, 1.0, 1e308]))
+        # every sentinel lands in a bounded far bin; nothing wraps to
+        # INT64_MIN (which overflowed the grouped packer's key arithmetic)
+        assert bins.min() > -50_000 and bins.max() < 50_000
+        assert bins[0] == bins[3] == bins[4]       # nan == clamped zero/neg
+        assert bins[1] == bins[6]                  # inf == clamped 1e308
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_grouped_quantiles_survive_nan_rows(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.logops import log_value_quantiles_by_type
+
+        ts = pd.to_datetime(["2024-01-01"] * 6)
+        t = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                      "event_type": pa.array(["a", "a", "a", "a", "b", "b"]),
+                      "user_id": pa.array([0] * 6, type=pa.int64()),
+                      "event_id": pa.array(range(6), type=pa.int64()),
+                      "value": pa.array([1.0, 2.0, 4.0, float("nan"),
+                                         10.0, 10.0]),
+                      "props": pa.array(["{}"] * 6)})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = log_value_quantiles_by_type(str(tmp_path)).to_pandas()
+        # the NaN row degrades one tail estimate of group 'a'; group 'b'
+        # is exact within the sketch bound and nothing crashes
+        assert set(out.event_type) == {"a", "b"}
+        b = out.set_index("event_type").loc["b"]
+        assert abs(b.p50 - 10.0) <= 0.25
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivotUnknownSource:
+    def test_out_of_domain_source_keeps_lang_row(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.relational import q_pivot_lang_source
+
+        t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                      "text": pa.array(["x", "y", "z"]),
+                      "lang": pa.array(["en", "en", "zz"]),
+                      "source": pa.array(["src3", "src99", "weird"]),
+                      "n_chars": pa.array([1, 1, 1], type=pa.int64())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_pivot_lang_source(str(tmp_path)).to_pandas().set_index("lang")
+        # unknown sources contribute zero but the lang rows survive —
+        # matching the SQL oracle's CASE WHEN semantics (never a KeyError)
+        assert set(out.index) == {"en", "zz"}
+        assert out.loc["en", "src3"] == 1
+        assert out.loc["en"].drop("src3").sum() == 0
+        assert out.loc["zz"].sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemanticClustersRegimes:
+    def test_pairs_ds_override_distributed_equals_union_find(self):
+        from logparse_rs_ray.pipelines.dedup import (_semantic_pairs_ds,
+                                                     neardup_clusters)
+
+        fast = neardup_clusters(SF, pairs_ds=_semantic_pairs_ds(SF))
+        forced = neardup_clusters(SF, pairs_ds=_semantic_pairs_ds(SF),
+                                  small_graph_max_pairs=1)
+        assert fast.num_rows > 1          # regime actually exercised
+        assert fast.sort_by("vec_id").equals(forced.sort_by("vec_id"))
