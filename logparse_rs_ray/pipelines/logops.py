@@ -122,6 +122,38 @@ ORDER BY hour, event_type
 """
 
 
+def log_dow_hour_heatmap(sf_dir: str):
+    """(isodow, hour, n_events) — day-of-week x hour-of-day activity
+    matrix (the ops-dashboard heatmap).  Bounded key set (7 x 24), so the
+    corpus collapses to per-block partials through the combiner tree.
+    Arrow's ``day_of_week`` counts Monday=0; +1 matches DuckDB ``isodow``
+    (Monday=1) exactly — both ISO, no locale dependence.
+    """
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "isodow": pc.cast(pc.add(pc.day_of_week(b["ts"]), 1), pa.int64()),
+            "hour": pc.cast(pc.hour(b["ts"]), pa.int64()),
+        })
+
+    out = count_by(ds.map_batches(prep, batch_format="pyarrow",
+                                  batch_size=None),
+                   ["isodow", "hour"], count_name="n_events",
+                   final_partitions=1)
+    return out.sort(["isodow", "hour"])
+
+
+LOG_DOW_HOUR_HEATMAP_SQL = """
+SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY isodow, hour
+"""
+
+
 def log_spike_detection(sf_dir: str):
     """(hour, event_type, n_events, prev3_sum, is_spike) — trailing-window
     rate-spike detection per event type: an hour is a spike when its count
@@ -736,6 +768,7 @@ QUERIES = {
     "log_route_counts": log_route_counts,
     "log_topk_users": log_topk_users,
     "log_hourly_window": log_hourly_window,
+    "log_dow_hour_heatmap": log_dow_hour_heatmap,
     "log_hourly_topk": log_hourly_topk,
     "log_value_quantiles": log_value_quantiles,
     "log_value_quantiles_by_type": log_value_quantiles_by_type,
@@ -753,6 +786,7 @@ ORACLE_SQL = {
     "log_route_counts": LOG_ROUTE_COUNTS_SQL,
     "log_topk_users": LOG_TOPK_USERS_SQL,
     "log_hourly_window": LOG_HOURLY_WINDOW_SQL,
+    "log_dow_hour_heatmap": LOG_DOW_HOUR_HEATMAP_SQL,
     "log_hourly_topk": LOG_HOURLY_TOPK_SQL,
     "log_spike_detection": LOG_SPIKE_DETECTION_SQL,
     "doc_region_enrich": DOC_REGION_SQL,
