@@ -52,3 +52,31 @@ def tune_worker_threads() -> None:
 
 
 tune_worker_threads()
+
+
+def auto_pool_size(min_actors: int = 2) -> tuple[int, int]:
+    """(min, max) autoscaling bounds for an actor-pool ``map_batches`` stage,
+    derived from the cluster instead of a constant (ADVICE r03: a
+    hard-coded ``concurrency=2`` caps an embarrassingly-parallel inference
+    stage at 2 actors on a 256-node cluster).
+
+    Ray's autoscaling pool starts at ``min_actors`` and grows toward the
+    max only while the stage is the bottleneck, so a high ceiling costs
+    nothing at toy scale but lets the stage own the cluster when it is the
+    hot stage.  Falls back to ``os.cpu_count()`` when called before Ray is
+    initialized (Dataset build time) — the bound is resolved per run, not
+    baked into the pipeline definition.
+    """
+    cpus = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if not cpus:
+        import os
+
+        cpus = os.cpu_count() or min_actors
+    return (min_actors, max(min_actors, cpus))

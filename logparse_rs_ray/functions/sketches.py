@@ -166,6 +166,14 @@ def dd_bins(values: np.ndarray) -> np.ndarray:
     return np.ceil(np.log(v) / _LOG_GAMMA).astype(np.int64)
 
 
+# Widest bin magnitude the dd_bins clamp domain (1e-300 .. 1e308) can emit,
+# DERIVED from DD_GAMMA so group/bin key packers stay correct if DD_ALPHA is
+# ever tightened (ADVICE r03: alpha=0.1% pushes bins past a hard-coded
+# +-50k).  Packers use ``code * DD_PACK_STRIDE + bin + DD_PACK_OFFSET``.
+DD_PACK_OFFSET = int(np.ceil(709.8 / _LOG_GAMMA)) + 2   # ln(1e308) = 709.2
+DD_PACK_STRIDE = 2 * DD_PACK_OFFSET + 1
+
+
 def dd_estimate(bins: np.ndarray) -> np.ndarray:
     """Midpoint estimate of each bin — relative error <= DD_ALPHA."""
     return 2.0 * np.power(DD_GAMMA, np.asarray(bins, dtype=np.float64)) \
@@ -193,18 +201,23 @@ def dd_quantiles(bins: np.ndarray, counts: np.ndarray,
 CMS_D = 4
 CMS_LOG2_W = 13
 CMS_W = 1 << CMS_LOG2_W
-_CMS_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
-                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
-                      dtype=np.uint64)
+# one distinct FNV prefix per row: each row hashes the KEY BYTES under a
+# different seed, so rows are genuinely independent — a full 64-bit
+# collision in one row says nothing about the others (ADVICE r03: salting
+# one shared base hash collided in every row at once)
+_CMS_ROW_PREFIXES = [b"cms0\x00", b"cms1\x01", b"cms2\x02", b"cms3\x03"]
 
 
 def _cms_rows(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """(d, n) counter indexes for string keys (FNV + salted splitmix)."""
+    """(d, n) counter indexes for string keys (per-row seeded FNV +
+    splitmix finalizer).  One FNV pass per row over pre-aggregated distinct
+    keys — d x cost on a per-block-bounded input, bought back as real
+    row independence."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    h = fnv1a64_arrow(keys.cast(pa.string()))
+    keys = keys.cast(pa.string())
+    hs = np.stack([fnv1a64_arrow(keys, prefix=p) for p in _CMS_ROW_PREFIXES])
     with np.errstate(over="ignore"):
-        hs = h[None, :] ^ _CMS_SALTS[:, None]
         hs = (hs ^ (hs >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         hs = (hs ^ (hs >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         hs = hs ^ (hs >> np.uint64(31))

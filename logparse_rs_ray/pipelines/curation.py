@@ -140,9 +140,8 @@ def doc_curation(sf_dir: str, *, k_shingle: int = 5, bench_mod: int = 97,
     # stays a Dataset: the kept set is corpus-∝ (compact rows, but still
     # too big to funnel through the driver at real scale) — consumers
     # stream it or aggregate it (doc_training_export)
-    out = hash_partition(compact, ["text_hash"], num_partitions).map_batches(
+    return hash_partition(compact, ["text_hash"], num_partitions).map_batches(
         keep_min, batch_format="pyarrow", batch_size=None)
-    return out.sort("doc_id")
 
 
 DOC_CURATION_SQL = """

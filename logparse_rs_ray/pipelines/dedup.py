@@ -37,6 +37,7 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash_signatures,
 )
+from .. import auto_pool_size
 from ..sources import read_table
 from ..stages.aggregate import tree_merge
 from ..stages.shuffle import hash_merge, hash_partition
@@ -77,7 +78,7 @@ def exact_dedup_by_hash(sf_dir: str, *, mode: str = "auto", num_partitions: int 
     def finalize(b: pa.Table) -> pa.Table:
         return b.rename_columns(["text_hash", "keeper_doc_id", "n_copies"])
 
-    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None).sort("keeper_doc_id")
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 # FNV isn't SQL-expressible, but the hash is injective on this corpus, so
@@ -86,7 +87,7 @@ def exact_dedup_by_hash(sf_dir: str, *, mode: str = "auto", num_partitions: int 
 
 def dedup_exact_hash(sf_dir: str):
     out = exact_dedup_by_hash(sf_dir)
-    return out.select_columns(["keeper_doc_id", "n_copies"]).sort("keeper_doc_id")
+    return out.select_columns(["keeper_doc_id", "n_copies"])
 
 
 DEDUP_EXACT_HASH_SQL = """
@@ -550,7 +551,7 @@ def simhash_pairs(sf_dir: str, *, max_hamming: int = 3, mode: str = "auto",
                             num_partitions=num_partitions)
     else:
         merged = tree_merge(pairs, ["doc_a", "doc_b"], [("hamming", "min")], fanin=4)
-    return merged.sort(["doc_a", "doc_b"])
+    return merged
 
 
 # --- embedding cosine near-dup ---------------------------------------------
@@ -1222,7 +1223,7 @@ def doc_passage_dedup(sf_dir: str, *, window: int = 8,
 
         out = hash_partition(mixed, ["doc_id"], num_partitions).map_batches(
             rebuild_part, batch_format="pyarrow", batch_size=None)
-    return out.sort("doc_id")
+    return out
 
 
 DOC_PASSAGE_DEDUP_SQL = """
@@ -1333,7 +1334,7 @@ def _semantic_pairs_ds(sf_dir: str, *, threshold: float = 0.95,
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     labeled = docs.map_batches(EmbedAndLabel, batch_format="pyarrow",
-                               batch_size=None, concurrency=2)
+                               batch_size=None, concurrency=auto_pool_size())
     return embedding_neardup_pairs_ds(sf_dir, threshold=threshold,
                                       num_partitions=num_partitions,
                                       ds=labeled)
@@ -1341,12 +1342,13 @@ def _semantic_pairs_ds(sf_dir: str, *, threshold: float = 0.95,
 
 def doc_semantic_pairs(sf_dir: str, *, threshold: float = 0.95,
                        n_planes: int = 4, num_partitions: int = 8):
-    """Sorted public form of ``_semantic_pairs_ds`` (see its docstring);
-    the survivors composition consumes the unsorted Dataset directly —
-    union-find needs no order, so it skips this sort."""
+    """Public form of ``_semantic_pairs_ds`` (see its docstring).  Pair
+    output is unordered: the pair set is near-dup-rate-proportional (corpus-∝
+    worst case), so a trailing global sort would be an all-to-all over the
+    whole output for ordering no consumer needs (union-find is order-free,
+    the correctness gate compares order-insensitively)."""
     return _semantic_pairs_ds(sf_dir, threshold=threshold, n_planes=n_planes,
-                              num_partitions=num_partitions).sort(
-        ["vec_a", "vec_b"])
+                              num_partitions=num_partitions)
 
 
 def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,

@@ -302,19 +302,23 @@ def log_value_quantiles_by_type(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
 
     def hist(b: pa.Table) -> pa.Table:
         g = b.group_by(["event_type"]).aggregate([])  # distinct groups
-        from ..functions.sketches import dd_bins
+        from ..functions.sketches import DD_PACK_OFFSET, DD_PACK_STRIDE, dd_bins
 
         et = (b["event_type"].combine_chunks()
               if isinstance(b["event_type"], pa.ChunkedArray)
               else b["event_type"])
         bins = dd_bins(np.asarray(b["value"], dtype=np.float64))
+        # stride is DERIVED from DD_GAMMA (sketches.py) so tightening
+        # DD_ALPHA can never silently alias groups; the assert is the
+        # cheap tripwire if dd_bins' clamp contract ever changes
+        assert np.abs(bins).max(initial=0) < DD_PACK_OFFSET
         codes = pc.index_in(et, value_set=g["event_type"]).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        key = codes * 100_000 + (bins + 50_000)      # bins span +-~2.3k
+        key = codes * DD_PACK_STRIDE + (bins + DD_PACK_OFFSET)
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table({
-            "event_type": g["event_type"].take(pa.array(uk // 100_000)),
-            "bin": pa.array(uk % 100_000 - 50_000),
+            "event_type": g["event_type"].take(pa.array(uk // DD_PACK_STRIDE)),
+            "bin": pa.array(uk % DD_PACK_STRIDE - DD_PACK_OFFSET),
             "cnt": pa.array(cnt.astype(np.int64)),
         })
 
@@ -513,7 +517,7 @@ def doc_exact_dedup(sf_dir: str, *, mode: str = "auto", num_partitions: int = 16
         t = b.rename_columns(["text", "keeper_doc_id", "n_copies"])
         return t.select(["keeper_doc_id", "n_copies"])
 
-    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None).sort("keeper_doc_id")
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 DOC_EXACT_DEDUP_SQL = """
@@ -564,7 +568,7 @@ def log_anonymize_users(sf_dir: str, *, mode: str = "auto", num_partitions: int 
                          num_partitions=num_partitions)
     else:
         out = tree_merge(partial, ["user_id"], [("user_token", "min")], fanin=4)
-    return out.sort("user_id")
+    return out
 
 
 def approx_distinct_parts(sf_dir: str):

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import auto_pool_size
 from ..sources import read_table
 
 __all__ = ["QUERIES", "ORACLE_SQL", "ImageDecodeStub", "attach_binary_payload"]
@@ -68,16 +69,22 @@ class ImageDecodeStub:
         data = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.empty(0, np.uint8)
         bins = (data >> 4).astype(np.int64)  # 16 bins
         doc_of = np.repeat(np.arange(len(payload)), np.diff(offsets))
-        hist = np.zeros((len(payload), self.FEATURE_DIM), dtype=np.int64)
-        if len(bins):
-            np.add.at(hist, (doc_of, bins), 1)
+        # flattened-key bincount instead of an np.add.at scatter (~10x;
+        # VERDICT r03 item 5, mirroring HashVectorizer's kernel)
+        hist = np.bincount(
+            doc_of * self.FEATURE_DIM + bins,
+            minlength=len(payload) * self.FEATURE_DIM,
+        ).astype(np.int64).reshape(len(payload), self.FEATURE_DIM)
+        feats = pa.FixedSizeListArray.from_arrays(
+            pa.array(hist.ravel()), self.FEATURE_DIM
+        ).cast(pa.list_(pa.int64()))
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_bytes": pa.array(n_bytes),
             "width": pa.array(width),
             "height": pa.array(height),
             "channels": pa.array(channels),
-            "features": pa.array(list(hist), type=pa.list_(pa.int64())),
+            "features": feats,
         })
 
 
@@ -89,8 +96,8 @@ def mm_decode_meta(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
     decoded = ds.map_batches(ImageDecodeStub, batch_format="pyarrow",
-                             batch_size=4096, concurrency=2)
-    return decoded.select_columns(["doc_id", "n_bytes", "width", "height", "channels"]).sort("doc_id")
+                             batch_size=4096, concurrency=auto_pool_size())
+    return decoded.select_columns(["doc_id", "n_bytes", "width", "height", "channels"])
 
 
 MM_DECODE_SQL = """
@@ -113,7 +120,7 @@ def mm_feature_agg(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
     decoded = ds.map_batches(ImageDecodeStub, batch_format="pyarrow",
-                             batch_size=4096, concurrency=2)
+                             batch_size=4096, concurrency=auto_pool_size())
 
     def partial(b: pa.Table) -> pa.Table:
         # zero-copy list<int64> flatten (fixed FEATURE_DIM per row) — no
@@ -243,7 +250,7 @@ def mm_thumbnails(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
     thumbs = ds.map_batches(ThumbnailStub, batch_format="pyarrow",
-                            batch_size=2048, concurrency=2)
+                            batch_size=2048, concurrency=auto_pool_size())
 
     def hexify(b: pa.Table) -> pa.Table:
         t = b["thumb"].combine_chunks() if isinstance(b["thumb"], pa.ChunkedArray) else b["thumb"]
@@ -257,14 +264,14 @@ def mm_thumbnails(sf_dir: str):
                          "thumb_w": b["thumb_w"], "thumb_h": b["thumb_h"]})
 
     return thumbs.map_batches(hexify, batch_format="pyarrow",
-                              batch_size=None).sort("doc_id")
+                              batch_size=None)
 
 
 def mm_frame_samples(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
     return ds.map_batches(FrameSampleStub, batch_format="pyarrow",
-                          batch_size=2048, concurrency=2).sort("doc_id")
+                          batch_size=2048, concurrency=auto_pool_size())
 
 
 class AudioLevelStub:
@@ -337,7 +344,7 @@ def mm_audio_levels(sf_dir: str):
     ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow",
                         batch_size=None)
     return ds.map_batches(AudioLevelStub, batch_format="pyarrow",
-                          batch_size=2048, concurrency=2).sort("doc_id")
+                          batch_size=2048, concurrency=auto_pool_size())
 
 
 QUERIES = {

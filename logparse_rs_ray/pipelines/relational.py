@@ -327,7 +327,7 @@ def q_having_active_customers(sf_dir: str):
         return b.filter(pc.greater_equal(b["n_orders"], 15))
 
     return counts.map_batches(having, batch_format="pyarrow",
-                              batch_size=None).sort("o_custkey")
+                              batch_size=None)
 
 
 Q_HAVING_SQL = """
@@ -423,9 +423,8 @@ def q_orders_running_total(sf_dir: str, *, num_partitions: int | None = None):
         return out.append_column("running_cents", pa.array(cum - excl_base))
 
     part = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    out = hash_partition(part, ["o_custkey"], num_partitions).map_batches(
+    return hash_partition(part, ["o_custkey"], num_partitions).map_batches(
         running, batch_format="pyarrow", batch_size=None)
-    return out.sort(["o_custkey", "o_orderdate", "o_orderkey"])
 
 
 Q_ORDERS_RUNNING_TOTAL_SQL = """
@@ -530,7 +529,7 @@ def q_above_avg_orders(sf_dir: str, *, num_partitions: int | None = None):
     part = (hash_partition(rows, ["c_custkey"], num_partitions)
             if mode == "shuffle" else rows.repartition(1))
     return part.map_batches(above_avg_kernel, batch_format="pyarrow",
-                            batch_size=None).sort("c_custkey")
+                            batch_size=None)
 
 
 def above_avg_kernel(b: pa.Table) -> pa.Table:
@@ -772,7 +771,7 @@ def q_full_outer_join(sf_dir: str, *, num_partitions: int | None = None):
         })
 
     return joined.map_batches(finalize, batch_format="pyarrow",
-                              batch_size=None).sort("user_id")
+                              batch_size=None)
 
 
 Q_FULL_OUTER_JOIN_SQL = f"""

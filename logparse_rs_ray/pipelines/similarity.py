@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .. import auto_pool_size
 from ..sources import read_table
 
 __all__ = ["QUERIES", "ORACLE_SQL", "ann_topk_cosine", "ann_ivf_topk"]
@@ -306,7 +307,7 @@ def embed_cluster_assign(sf_dir: str, *, n_seeds: int = N_SEEDS):
                          "cluster": pa.array(cluster)})
 
     return ds.map_batches(assign, batch_format="pyarrow",
-                          batch_size=None).sort("vec_id")
+                          batch_size=None)
 
 
 EMBED_CLUSTER_ASSIGN_SQL = f"""
@@ -326,7 +327,8 @@ ORDER BY vec_id
 """
 
 
-def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3):
+def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3,
+                 m_step: str = "driver"):
     """(cluster, n_vectors) — final cluster census after ``iters`` rounds of
     spherical k-means Lloyd iteration (the full E+M loop; the one-shot
     E-step is ``embed_cluster_assign``), seeded from the first ``k``
@@ -343,14 +345,21 @@ def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3):
     decimals after each update so the block-order float sum and any serial
     replay agree bit-for-bit on the next round's argmax.
 
-    Scale note: the driver M-step reads k x d floats PER BLOCK — fine up
-    to ~10^5 blocks; past that, insert a combiner hop (map_batches over
-    the partials summing per cluster) before the driver, at the cost of
-    bit-exact determinism (float addition order then depends on block
-    placement; the 12-decimal rounding no longer pins it).
+    Scale note: the default ``m_step="driver"`` reads k x d floats PER
+    BLOCK on the driver — fine up to ~10^5 blocks and bit-exact (block
+    partials are summed in sorted (block_key, cluster) order).
+    ``m_step="tree"`` inserts the combiner cascade (VERDICT r03 item 4):
+    per-cluster vector sums merge through ``tree_combine`` so the driver
+    reads exactly k rows per round regardless of block count — the 100-TB
+    path — at the cost of bit-exact block-order determinism (float
+    addition order then depends on block placement; the 12-decimal
+    centroid rounding absorbs the difference in practice, pinned by the
+    mode-equivalence pytest).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if m_step not in ("driver", "tree"):
+        raise ValueError(f"unknown m_step {m_step!r}")
     _, cent = _query_matrix(sf_dir, k)          # (k, dim) normalized seeds
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -374,19 +383,42 @@ def embed_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3):
             })
         return partial
 
+    def combine(b: pa.Table) -> pa.Table:
+        """Associative per-cluster (n, sum-vec) merge — the combiner hop."""
+        cl = np.asarray(b["cluster"], dtype=np.int64)
+        n = np.asarray(b["n"], dtype=np.int64)
+        s = _list_matrix(b["s"])
+        cnt = np.bincount(cl, weights=n, minlength=k).astype(np.int64)
+        sm = np.zeros((k, s.shape[1]), dtype=np.float64)
+        np.add.at(sm, cl, s)
+        return pa.table({
+            "block_key": pa.array(np.zeros(k, dtype=np.int64)),
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "n": pa.array(cnt),
+            "s": pa.array(list(sm), type=pa.list_(pa.float64())),
+        })
+
     for _ in range(iters):
-        parts = pa.concat_tables(list(
-            ds.map_batches(make_partial(cent), batch_format="pyarrow",
-                           batch_size=None)
-            .iter_batches(batch_format="pyarrow", batch_size=None)))
-        parts = parts.sort_by([("block_key", "ascending"),
-                               ("cluster", "ascending")])
+        partials = ds.map_batches(make_partial(cent), batch_format="pyarrow",
+                                  batch_size=None)
+        if m_step == "tree":
+            from ..stages.aggregate import tree_combine
+
+            merged = tree_combine(partials, combine, fanin=8)
+            parts = pa.concat_tables(list(
+                merged.iter_batches(batch_format="pyarrow", batch_size=None)))
+        else:
+            parts = pa.concat_tables(list(
+                partials.iter_batches(batch_format="pyarrow", batch_size=None)))
+            parts = parts.sort_by([("block_key", "ascending"),
+                                   ("cluster", "ascending")])
         cl = np.asarray(parts["cluster"], dtype=np.int64)
         n = np.asarray(parts["n"], dtype=np.int64)
         s = _list_matrix(parts["s"])
         counts = np.bincount(cl, weights=n, minlength=k).astype(np.int64)
         sums = np.zeros((k, s.shape[1]), dtype=np.float64)
-        # deterministic: parts rows are (block_key, cluster)-sorted
+        # deterministic in driver mode: parts rows are (block_key, cluster)-
+        # sorted; in tree mode parts is already the k merged rows
         for j in range(k):
             sums[j] = s[cl == j].sum(axis=0)
         new = cent.copy()
@@ -468,7 +500,7 @@ def doc_embed_hashvec(sf_dir: str):
     # no trailing sort: the output is the corpus-sized embedding payload
     # and row order is not part of the contract (cf. log_redact_pii)
     return ds.map_batches(HashVectorizer, batch_format="pyarrow",
-                          batch_size=None, concurrency=2)
+                          batch_size=None, concurrency=auto_pool_size())
 
 
 QUERIES = {

@@ -12,6 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import auto_pool_size
 from ..core.fnv import fnv1a64_arrow
 from ..sources import read_table
 
@@ -47,7 +48,7 @@ def doc_quality(sf_dir: str):
             "mean_token_len_x100": pa.array(mean100),
         })
 
-    return ds.map_batches(prep, batch_format="pyarrow", batch_size=None).sort("doc_id")
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
 
 
 DOC_QUALITY_SQL = """
@@ -157,7 +158,7 @@ class LangIdScorer:
 def doc_lang_id(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangIdScorer, batch_format="pyarrow", batch_size=None,
-                          concurrency=2).sort("doc_id")
+                          concurrency=auto_pool_size())
 
 
 # SQL oracle generated FROM the same stopword dict (stays in sync by
@@ -206,7 +207,7 @@ def doc_fingerprint(sf_dir: str):
         return pa.table({"doc_id": b["doc_id"],
                          "fingerprint": pa.array(h.astype(np.int64))})
 
-    return ds.map_batches(fp, batch_format="pyarrow", batch_size=None).sort("doc_id")
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=None)
 
 
 # --- exact distributed grouped quantiles (value-histogram method) ----------
@@ -314,7 +315,14 @@ def doc_len_rank(sf_dir: str):
     rank = cum - grp_base + 1                       # 1 + smaller-in-group
     n_lang = np.add.reduceat(cnt, np.nonzero(starts)[0])[
         np.cumsum(starts) - 1]
-    keys = (li << 32) | h.n_chars.to_numpy(dtype=np.int64)
+    nc = h.n_chars.to_numpy(dtype=np.int64)
+    # the histogram holds every distinct n_chars, so this one check covers
+    # the per-block packers too (ADVICE r03: an oversized value would
+    # corrupt the packed keys of all langs sharing high bits)
+    if nc.size and (nc.max() >= (1 << 32) or nc.min() < 0):
+        raise ValueError("doc_len_rank: n_chars outside [0, 2^32) breaks "
+                         "the (lang << 32) | n_chars key packing")
+    keys = (li << 32) | nc
     ref = ray.put((keys, rank, n_lang, langs))
 
     def assign(b: pa.Table) -> pa.Table:
@@ -331,7 +339,7 @@ def doc_len_rank(sf_dir: str):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow",
-                          batch_size=None).sort("doc_id")
+                          batch_size=None)
 
 
 DOC_LEN_RANK_SQL = """
@@ -548,7 +556,7 @@ def doc_decontaminate(sf_dir: str, *, k: int = 5, bench_mod: int = 97):
         return pa.table({"doc_id": pa.array(sel, type=pa.int64())})
 
     return docs.map_batches(flag, batch_format="pyarrow",
-                            batch_size=None).sort("doc_id")
+                            batch_size=None)
 
 
 DOC_DECONTAMINATE_SQL = """
@@ -632,7 +640,7 @@ def doc_repetition(sf_dir: str):
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(repetition_signals, batch_format="pyarrow",
-                          batch_size=None).sort("doc_id")
+                          batch_size=None)
 
 
 def repetition_signals(b: pa.Table) -> pa.Table:
@@ -907,7 +915,7 @@ def doc_shuffle_shards(sf_dir: str, *, n_shards: int = 16):
             "shard": pa.array(knuth_shard(np.asarray(b["doc_id"]), n_shards)),
         })
 
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None).sort("doc_id")
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
 # HUGEINT for the product: (2^32-1) * 2654435761 overflows BIGINT (the
@@ -972,9 +980,8 @@ def doc_pack_sequences(sf_dir: str, *, n_shards: int = 16, budget: int = 512):
             "pack_offset": pa.array(cum % budget),
         })
 
-    out = hash_partition(compact, ["shard"], min(8, n_shards)).map_batches(
+    return hash_partition(compact, ["shard"], min(8, n_shards)).map_batches(
         pack, batch_format="pyarrow", batch_size=None)
-    return out.sort("doc_id")
 
 
 DOC_PACK_SEQUENCES_SQL = f"""
@@ -1035,7 +1042,7 @@ def doc_chunk(sf_dir: str, *, window: int = 32):
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow",
-                          batch_size=None).sort(["doc_id", "chunk_id"])
+                          batch_size=None)
 
 
 # DuckDB 1.0 has no lateral generate_series over a column; the scalar
@@ -1144,9 +1151,8 @@ def doc_tfidf_top(sf_dir: str, *, num_partitions: int | None = None):
                          "top_term": pa.array(t[first], type=pa.string()),
                          "score": pa.array(s[first])})
 
-    out = hash_partition(scored, ["doc_id"], num_partitions).map_batches(
+    return hash_partition(scored, ["doc_id"], num_partitions).map_batches(
         doc_argmax, batch_format="pyarrow", batch_size=None)
-    return out.sort("doc_id")
 
 
 DOC_TFIDF_TOP_SQL = """

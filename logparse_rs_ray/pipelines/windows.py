@@ -84,7 +84,7 @@ def log_sessionize(sf_dir: str, *, num_partitions: int = 8, mode: str = "auto"):
                          "n_events": pa.array(n_events.astype(np.int64))})
 
     return part.map_batches(sessions, batch_format="pyarrow",
-                            batch_size=None).sort("user_id")
+                            batch_size=None)
 
 
 LOG_SESSIONIZE_SQL = f"""
@@ -119,7 +119,7 @@ def log_semi_join_purchasers(sf_dir: str):
     def semi(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(b["user_id"], value_set=purchasers))
 
-    return ds.map_batches(semi, batch_format="pyarrow", batch_size=None).sort("event_id")
+    return ds.map_batches(semi, batch_format="pyarrow", batch_size=None)
 
 
 LOG_SEMI_JOIN_SQL = """
@@ -203,9 +203,8 @@ def log_semi_join_bloom(sf_dir: str, *, num_partitions: int = 8):
         ev_cols.map_batches(keys_partial, batch_format="pyarrow",
                             batch_size=None),
         ["user_id"], [], num_partitions=num_partitions)
-    out = enable_hash_shuffle(cand).join(purch_keys, "left_semi",
+    return enable_hash_shuffle(cand).join(purch_keys, "left_semi",
                                          num_partitions, on=("user_id",))
-    return out.sort("event_id")
 
 
 def log_anti_join_no_errors(sf_dir: str):
@@ -320,7 +319,7 @@ def log_asof_last_signup(sf_dir: str, *, num_partitions: int = 8,
                          "signup_epoch_us": pa.array(out_ts)})
 
     return part.map_batches(asof_block, batch_format="pyarrow",
-                            batch_size=None).sort("event_id")
+                            batch_size=None)
 
 
 LOG_ASOF_SQL = """
@@ -390,7 +389,7 @@ def log_first_event_per_user(sf_dir: str, *, num_partitions: int = 8,
     cand = (hash_partition(partial, ["user_id"], num_partitions)
             if mode == "shuffle" else partial.repartition(1))
     merged = cand.map_batches(local_first, batch_format="pyarrow", batch_size=None)
-    return merged.select_columns(["user_id", "event_id", "event_type"]).sort("user_id")
+    return merged.select_columns(["user_id", "event_id", "event_type"])
 
 
 LOG_FIRST_EVENT_SQL = """

@@ -524,9 +524,13 @@ class TestSemanticPairs:
         iu = np.triu_indices(len(ids), 1)
         true_pairs = int((cos_all[iu] >= thr).sum())
         assert len(out) >= max(1, true_pairs // 3)
-        # determinism
+        # determinism (as a SET — pair output is order-free since the
+        # trailing corpus sort was dropped, VERDICT r03 item 2)
         again = doc_semantic_pairs(SF, threshold=thr).to_pandas()
-        pd.testing.assert_frame_equal(out, again)
+        key = ["vec_a", "vec_b"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True),
+            again.sort_values(key).reset_index(drop=True))
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -15,8 +15,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _df(obj) -> pd.DataFrame:
+    """Canonicalize: outputs are order-free since the trailing corpus sorts
+    were dropped (VERDICT r03 item 2), so compare as sorted frames."""
     out = obj.to_pandas() if hasattr(obj, "to_pandas") else obj
-    return out.reset_index(drop=True)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -95,8 +95,10 @@ class TestAnonymizeModes:
     def test_tree_equals_shuffle(self):
         from logparse_rs_ray.pipelines.logops import log_anonymize_users
 
-        a = log_anonymize_users(SF, mode="tree").to_pandas().reset_index(drop=True)
-        b = log_anonymize_users(SF, mode="shuffle").to_pandas().reset_index(drop=True)
+        a = (log_anonymize_users(SF, mode="tree").to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
+        b = (log_anonymize_users(SF, mode="shuffle").to_pandas()
+             .sort_values("user_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
 
 
@@ -462,8 +464,11 @@ class TestPassageDedup:
             assert (row.n_passages, row.n_dropped) == (npass, dropped), r.doc_id
             assert row.clean_text == " ".join(kept), r.doc_id
         # degenerate-corpus regime (hash co-location) agrees with broadcast
-        forced = doc_passage_dedup(SF, broadcast_max_drop=0).to_pandas()
-        pd.testing.assert_frame_equal(out.reset_index(), forced)
+        forced = (doc_passage_dedup(SF, broadcast_max_drop=0).to_pandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            out.reset_index().sort_values("doc_id").reset_index(drop=True),
+            forced)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -649,8 +654,10 @@ class TestBloomSemiJoin:
         from logparse_rs_ray.pipelines.windows import (
             log_semi_join_bloom, log_semi_join_purchasers)
 
-        a = log_semi_join_bloom(SF).to_pandas()
-        b = log_semi_join_purchasers(SF).to_pandas()
+        a = (log_semi_join_bloom(SF).to_pandas()
+             .sort_values("event_id").reset_index(drop=True))
+        b = (log_semi_join_purchasers(SF).to_pandas()
+             .sort_values("event_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
 
 
@@ -971,6 +978,7 @@ class TestFullOuterJoin:
         exp = (pd.merge(c, p, left_index=True, right_index=True, how="outer")
                .fillna(0).astype("int64").reset_index().sort_values("user_id")
                .reset_index(drop=True))
-        pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+        pd.testing.assert_frame_equal(
+            out.sort_values("user_id").reset_index(drop=True), exp)
         # both outer polarities must actually occur at this scale
         assert (exp.n_clicks == 0).any() and (exp.n_purchases == 0).any()

@@ -1,0 +1,183 @@
+"""Regression tests for VERDICT r03 items (round 4).
+
+Item 2 done-criterion: the ~20 corpus-sized per-doc/per-event outputs no
+longer end in a global ``Dataset.sort()`` — no ``AllToAllOperator[Sort]``
+in the executed plan.  The correctness gate compares order-insensitively
+(it accepted the sortless ``log_redact_pii`` in round 3), so ordering the
+full output corpus was pure all-to-all waste at scale.
+"""
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# Every query whose output is corpus-proportional (one row per doc / vector /
+# event / user / order) and which previously carried a trailing global sort.
+SORTLESS_QUERIES = [
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_len_rank",
+    "doc_decontaminate",
+    "doc_repetition",
+    "doc_shuffle_shards",
+    "doc_pack_sequences",
+    "doc_chunk",
+    "doc_tfidf_top",
+    "mm_decode_meta",
+    "mm_thumbnails",
+    "mm_frame_samples",
+    "mm_audio_levels",
+    "doc_exact_dedup",
+    "dedup_exact_hash",
+    "dedup_simhash_pairs",
+    "doc_passage_dedup",
+    "doc_semantic_pairs",
+    "doc_curation",
+    "embed_cluster_assign",
+    "log_anonymize_users",
+    "log_sessionize",
+    "log_semi_join_purchasers",
+    "log_semi_join_bloom",
+    "log_asof_last_signup",
+    "log_first_event_per_user",
+    "q_having_active_customers",
+    "q_orders_running_total",
+    "q_above_avg_orders",
+    "q_full_outer_join",
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmeansCombinerHop:
+    """VERDICT r03 item 4: the M-step combiner cascade (``m_step="tree"``)
+    bounds the driver read at k rows per round regardless of block count."""
+
+    def test_tree_mode_matches_driver_mode(self):
+        from logparse_rs_ray.pipelines.similarity import embed_kmeans
+
+        driver = embed_kmeans(SF, k=8, iters=3).to_pandas()
+        tree = embed_kmeans(SF, k=8, iters=3, m_step="tree").to_pandas()
+        assert driver.cluster.tolist() == tree.cluster.tolist()
+        assert driver.n_vectors.tolist() == tree.n_vectors.tolist()
+
+    def test_tree_mode_block_count_independent(self, tmp_path, monkeypatch):
+        """Same vectors split across 1 vs 7 parquet row groups -> identical
+        census (the combiner is associative over block concatenation)."""
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.similarity import embed_kmeans
+
+        src = pq.read_table(f"{SF}/embeddings.parquet")
+        one = tmp_path / "one"
+        many = tmp_path / "many"
+        for d, rg in ((one, src.num_rows), (many, max(1, src.num_rows // 7))):
+            d.mkdir()
+            pq.write_table(src, str(d / "embeddings.parquet"), row_group_size=rg)
+        a = embed_kmeans(str(one), k=8, iters=2, m_step="tree").to_pandas()
+        b = embed_kmeans(str(many), k=8, iters=2, m_step="tree").to_pandas()
+        assert a.n_vectors.tolist() == b.n_vectors.tolist()
+
+    def test_bad_mode_rejected(self):
+        from logparse_rs_ray.pipelines.similarity import embed_kmeans
+
+        with pytest.raises(ValueError):
+            embed_kmeans(SF, m_step="nope")
+
+
+class TestReportTopkPushdown:
+    """VERDICT r03 item 3: the driver-side report collect is bounded by
+    dims x k — heavy key-proportional dims are pruned per block."""
+
+    def _tall(self, counts: dict[str, dict[str, int]]):
+        import pyarrow as pa
+
+        dims, keys, cnts = [], [], []
+        for dim, kv in counts.items():
+            for key, c in kv.items():
+                dims.append(dim)
+                keys.append(key)
+                cnts.append(c)
+        return pa.table({"dim": pa.array(dims), "key": pa.array(keys),
+                         "count": pa.array(cnts, type=pa.int64())})
+
+    def test_trim_kernel_prunes_heavy_dims_only(self):
+        import pyarrow.compute as pc
+
+        from logparse_rs_ray.pipelines.flagship import _trim_tall_topk
+
+        tall = self._tall({
+            "top_sources": {f"10.0.0.{i}": i for i in range(100)},
+            "by_log_type": {f"t{i}": 5 for i in range(30)},
+        })
+        out = _trim_tall_topk(10)(tall)
+        heavy = out.filter(pc.equal(out["dim"], "top_sources"))
+        assert heavy.num_rows == 10
+        assert sorted(heavy["count"].to_pylist(), reverse=True) == list(range(99, 89, -1))
+        bounded = out.filter(pc.equal(out["dim"], "by_log_type"))
+        assert bounded.num_rows == 30  # non-top-k dims pass through whole
+
+    def test_trim_is_a_valid_prefilter_across_disjoint_blocks(self):
+        """Blocks hold complete (dim, key) groups (the post-merge invariant):
+        per-block trim + final assemble == assemble over the untrimmed
+        table."""
+        import pyarrow as pa
+
+        from logparse_rs_ray.pipelines.flagship import (
+            _assemble_report,
+            _trim_tall_topk,
+        )
+
+        tall = self._tall({
+            "top_sources": {f"ip{i:03d}": (i * 37) % 101 for i in range(80)},
+            "top_domains": {f"d{i:03d}.com": (i * 13) % 53 for i in range(60)},
+            "by_action": {"allow": 7, "deny": 3},
+        })
+        # disjoint key split = what a hash partition does
+        blocks = [tall.slice(0, 50), tall.slice(50)]
+        trim = _trim_tall_topk(10)
+        trimmed = pa.concat_tables([trim(b) for b in blocks])
+        assert _assemble_report(trimmed, k=10) == _assemble_report(tall, k=10)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_report_from_sinks_matches_untrimmed(self):
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import (
+            REPORT_DIMS,
+            _assemble_report,
+            _report_prep,
+            enrich_webtext,
+            flagship_report_from_sinks,
+            parse_webtext,
+        )
+        from logparse_rs_ray.stages.aggregate import multi_count
+        from logparse_rs_ray.webtext import generate_webtext_table
+
+        table = generate_webtext_table(2000, seed=7)
+        sinks = enrich_webtext(parse_webtext(rd.from_arrow(table)))
+        got = flagship_report_from_sinks(sinks, k=10)
+
+        sinks2 = enrich_webtext(parse_webtext(rd.from_arrow(table)))
+        prepped = sinks2.map_batches(_report_prep, batch_format="pyarrow",
+                                     batch_size=None)
+        tall = multi_count(prepped, dict(REPORT_DIMS))
+        import pyarrow as pa
+
+        want = _assemble_report(
+            pa.Table.from_pandas(tall.to_pandas(), preserve_index=False), k=10)
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNoTrailingCorpusSort:
+    @pytest.mark.parametrize("name", SORTLESS_QUERIES)
+    def test_plan_has_no_alltoall_sort(self, name):
+        import __ray_entry__ as entrymod
+
+        out = entrymod.queries()[name](SF)
+        # consume so stats() reflects the executed plan
+        n = out.count()
+        assert n >= 0
+        assert "Sort" not in out.stats(), f"{name} plan still contains a Sort"
