@@ -347,8 +347,94 @@ def mm_audio_levels(sf_dir: str):
                           batch_size=2048, concurrency=auto_pool_size())
 
 
+# --- modality sniffing / routing ---------------------------------------------
+
+# (modality, magic-byte prefix) — the dispatch table a mixed-media crawl
+# pipeline routes on; doc_id % 3 picks the synthetic payload's modality
+MODALITY_MAGIC = (
+    ("image", b"\x89PNG\r\n\x1a\n"),
+    ("audio", b"RIFF"),
+    ("video", b"\x00\x00\x00\x18ftyp"),
+)
+
+
+def attach_modal_payload(batch: pa.Table) -> pa.Table:
+    """Synthesize a mixed-media binary payload: real magic bytes (PNG/RIFF/
+    ftyp) chosen by doc_id % 3, followed by the text bytes."""
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    prefixes = pa.array([m[1] for m in MODALITY_MAGIC], type=pa.binary())
+    pref = prefixes.take(pa.array(ids % len(MODALITY_MAGIC)))
+    payload = pc.binary_join_element_wise(
+        pref, pc.cast(batch["text"], pa.binary()), b"")
+    return batch.append_column("payload", payload)
+
+
+class ModalitySniffer:
+    """Actor-pool dispatch stage: classify opaque payloads by magic bytes
+    (the real pre-decode router of a mixed-media pipeline).  The dispatch
+    table is built once per actor; classification is a handful of
+    vectorized prefix compares per batch — never a per-row Python loop."""
+
+    def __init__(self):
+        self.table = [(name, magic, len(magic)) for name, magic in MODALITY_MAGIC]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(payload)
+        modality = np.full(n, "unknown", dtype=object)
+        for name, magic, w in self.table:
+            head = pc.binary_slice(payload, 0, w)
+            hit = np.asarray(pc.equal(head, pa.scalar(magic, pa.binary())),
+                             dtype=bool)
+            modality[hit & (modality == "unknown")] = name
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "modality": pa.array(modality, type=pa.string()),
+            "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+        })
+
+
+def mm_modality_route(sf_dir: str):
+    """(modality, n_files, total_bytes) — sniff-and-route census over a
+    mixed-media payload column.  The oracle derives the same census from
+    the synthesis rule (doc_id % 3 + prefix lengths), so a misclassifying
+    sniffer fails the gate.  Bounded output; the per-doc routed stream
+    (sniffer output) is the corpus-proportional intermediate and never
+    sorts."""
+    from .. import auto_pool_size
+    from ..stages.aggregate import grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(attach_modal_payload, batch_format="pyarrow",
+                        batch_size=None)
+    sniffed = ds.map_batches(ModalitySniffer, batch_format="pyarrow",
+                             batch_size=4096, concurrency=auto_pool_size())
+    out = grouped_agg(sniffed, ["modality"], {"total_bytes": "n_bytes"},
+                      count_name="n_files")
+    return out.select_columns(["modality", "n_files", "total_bytes"]).sort("modality")
+
+
+_MAGIC_LENS = {i: len(m[1]) for i, m in enumerate(MODALITY_MAGIC)}
+MM_MODALITY_ROUTE_SQL = f"""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+       COUNT(*) AS n_files,
+       CAST(SUM(strlen(text) + CASE doc_id % 3
+            WHEN 0 THEN {_MAGIC_LENS[0]} WHEN 1 THEN {_MAGIC_LENS[1]}
+            ELSE {_MAGIC_LENS[2]} END) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY 1 ORDER BY modality
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
+    "mm_modality_route": mm_modality_route,
     "mm_feature_agg": mm_feature_agg,
     "mm_thumbnails": mm_thumbnails,
     "mm_frame_samples": mm_frame_samples,
@@ -389,6 +475,7 @@ MM_FEATURE_AGG_SQL = _mm_feature_agg_sql()
 
 ORACLE_SQL = {
     "mm_decode_meta": MM_DECODE_SQL,
+    "mm_modality_route": MM_MODALITY_ROUTE_SQL,
     "mm_thumbnails": MM_THUMBNAILS_SQL,
     "mm_feature_agg": MM_FEATURE_AGG_SQL,
     # mm_frame_samples: rows-only (FNV frame hashes aren't SQL-expressible).

@@ -1244,8 +1244,224 @@ ORDER BY source
 """
 
 
+# --- quality-classifier inference (fasttext-style filter, integer linear) ---
+
+class QualityClassifier:
+    """Actor-pool inference stage — the quality-filter model of an LLM data
+    pipeline (fastText / Gopher-rules stand-in).  The "model" (integer
+    weight vector + stopword table) is built ONCE per actor in
+    ``__init__``; ``__call__`` scores a whole batch vectorized.  Integer
+    arithmetic end to end so the DuckDB oracle reproduces scores exactly.
+
+    score = W_STOP * stopword_hits + n_tokens - |mean_tok_len_x100 - TARGET| // DIV
+    keep  = score >= THRESHOLD and MIN_TOKENS <= n_tokens <= MAX_TOKENS
+    """
+
+    W_STOP = 10
+    TARGET_MEAN100 = 450
+    DIV = 25
+    THRESHOLD = 20
+    MIN_TOKENS = 5
+    MAX_TOKENS = 100_000
+
+    def __init__(self):
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        # real version: self.model = fasttext.load_model(...)
+        self.stopwords = pa.array(sorted(_STOPWORDS["en"]))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..functions.hashing import segment_sum
+
+        text = b["text"]
+        ntok = np.asarray(pc.count_substring_regex(text, r"\S+"), dtype=np.int64)
+        nonspace = np.asarray(pc.count_substring_regex(text, r"\S"), dtype=np.int64)
+        mean100 = np.where(ntok > 0, nonspace * 100 // np.maximum(ntok, 1), 0)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        hit = np.asarray(pc.is_in(toks.flatten(), value_set=self.stopwords),
+                         dtype=np.int64)
+        stop_hits = (segment_sum(hit, off) if len(hit)
+                     else np.zeros(b.num_rows, dtype=np.int64))
+        score = (self.W_STOP * stop_hits + ntok
+                 - np.abs(mean100 - self.TARGET_MEAN100) // self.DIV)
+        keep = ((score >= self.THRESHOLD) & (ntok >= self.MIN_TOKENS)
+                & (ntok <= self.MAX_TOKENS)).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "score": pa.array(score.astype(np.int64)),
+            "keep": pa.array(keep),
+        })
+
+
+def doc_quality_classifier(sf_dir: str):
+    """(doc_id, score, keep) — model-scored quality filtering as an
+    autoscaling actor pool; embarrassingly parallel, zero shuffle, no
+    trailing sort (corpus-proportional output)."""
+    from .. import auto_pool_size
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(QualityClassifier, batch_format="pyarrow",
+                          batch_size=None, concurrency=auto_pool_size())
+
+
+_QC = QualityClassifier
+_QC_STOPS = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+DOC_QUALITY_CLASSIFIER_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(regexp_replace(text, '\\s', '', 'g')) * 100
+                   // GREATEST(len(string_split_regex(trim(text), '\\s+')), 1)
+                   AS BIGINT) END AS mean100,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ({_QC_STOPS}))) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST({_QC.W_STOP} * stop_hits + ntok
+            - ABS(mean100 - {_QC.TARGET_MEAN100}) // {_QC.DIV} AS BIGINT) AS score,
+       CAST(CASE WHEN {_QC.W_STOP} * stop_hits + ntok
+                      - ABS(mean100 - {_QC.TARGET_MEAN100}) // {_QC.DIV}
+                      >= {_QC.THRESHOLD}
+                  AND ntok BETWEEN {_QC.MIN_TOKENS} AND {_QC.MAX_TOKENS}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+ORDER BY doc_id
+"""
+
+
+# --- vocabulary-coverage (OOV-rate) scoring ---------------------------------
+
+VOCAB_MIN_DF_PCT = 2  # shared with the generated SQL oracle below
+
+
+def doc_vocab_coverage(sf_dir: str, *, min_df_pct: int = VOCAB_MIN_DF_PCT,
+                       num_partitions: int = 8):
+    """(doc_id, n_words, n_oov, oov_pm) — out-of-vocabulary rate per doc
+    against a corpus-derived vocabulary (the cheap stand-in for LM-
+    perplexity quality scoring; RefinedWeb/CCNet use the same shape).
+
+    Two passes + one broadcast, no corpus-sized shuffle of payloads:
+    pass 1 computes document frequency per term (block-local distinct ->
+    ONE hash exchange by term) and keeps terms whose df >= ``min_df_pct``%
+    of docs — a deterministic threshold vocabulary (no top-K tie
+    ambiguity).  The vocab is broadcast via ``ray.put`` (bounded: df
+    threshold caps it at 100/min_df_pct x corpus-average distinct terms);
+    pass 2 scores every doc vectorized with one ``is_in`` kernel.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import hash_merge
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def block_df(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(object)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        doc_of = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+        nonempty = np.asarray([len(x) > 0 for x in flat], dtype=bool)
+        flat, doc_of = flat[nonempty], doc_of[nonempty]
+        order = np.lexsort((flat, doc_of))
+        f, d = flat[order], doc_of[order]
+        keep = np.ones(len(f), dtype=bool)
+        if len(f) > 1:
+            keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        t = pa.table({"term": pa.array(f[keep], type=pa.string())})
+        g = t.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "df"])
+
+    partial = ds.map_batches(block_df, batch_format="pyarrow", batch_size=None)
+    merged = hash_merge(partial, ["term"], [("df", "sum")],
+                        num_partitions=num_partitions)
+
+    def above_threshold(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(
+            pc.multiply(b["df"].cast(pa.int64()), 100),
+            min_df_pct * n_docs)).select(["term"])
+
+    vocab_tbl = pa.concat_tables(list(
+        merged.map_batches(above_threshold, batch_format="pyarrow",
+                           batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    vocab_ref = ray.put(vocab_tbl["term"].combine_chunks())
+
+    def score(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+        from ..functions.hashing import segment_sum
+
+        tune_worker_threads()
+        vocab = ray.get(vocab_ref)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        lens = np.asarray(pc.binary_length(flat), dtype=np.int64)
+        word = (lens > 0).astype(np.int64)
+        inv = np.asarray(pc.is_in(flat, value_set=vocab), dtype=np.int64)
+        oov = word * (1 - inv)
+        if len(flat):
+            n_words = segment_sum(word, off)
+            n_oov = segment_sum(oov, off)
+        else:
+            n_words = np.zeros(b.num_rows, dtype=np.int64)
+            n_oov = np.zeros(b.num_rows, dtype=np.int64)
+        pm = np.where(n_words > 0, 1000 * n_oov // np.maximum(n_words, 1), 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_oov": pa.array(n_oov),
+            "oov_pm": pa.array(pm.astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+DOC_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+vocab AS (
+  SELECT t FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY t)
+  WHERE df * 100 >= {VOCAB_MIN_DF_PCT} * (SELECT COUNT(*) FROM documents)),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_words,
+         SUM(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(CASE WHEN COALESCE(per.n_words, 0) > 0
+                 THEN 1000 * per.n_oov // per.n_words ELSE 0 END AS BIGINT)
+         AS oov_pm
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
+    "doc_quality_classifier": doc_quality_classifier,
+    "doc_vocab_coverage": doc_vocab_coverage,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -1267,6 +1483,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "doc_quality": DOC_QUALITY_SQL,
+    "doc_quality_classifier": DOC_QUALITY_CLASSIFIER_SQL,
+    "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     "doc_bpe_token_stats": DOC_BPE_TOKEN_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,

@@ -785,8 +785,56 @@ SELECT * FROM (
 """
 
 
+# --- sliding (overlapping) windows ------------------------------------------
+
+SLIDE_US = 1_800_000_000           # 30-minute slide
+SLIDE_PER_WINDOW = 2               # 60-minute window = 2 slides
+
+
+def log_sliding_window_counts(sf_dir: str):
+    """(ws_us, n_events) — 60-minute windows sliding every 30 minutes (the
+    overlapping-window shape next to the tumbling ``log_hourly_window``).
+
+    Shuffle-free: each event belongs to exactly ``SLIDE_PER_WINDOW`` window
+    starts, all computable from its own timestamp, so a block emits a
+    bounded (window, count) census (keys ∝ corpus time span, not rows) and
+    the combiner tree sums them.  Window starts are integer epoch_us so
+    both engines do identical arithmetic.
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        half = ts // SLIDE_US
+        starts = np.concatenate(
+            [half - k for k in range(SLIDE_PER_WINDOW)]) if len(half) else half
+        uk, cnt = np.unique(starts, return_counts=True)
+        return pa.table({"ws_us": pa.array(uk * SLIDE_US),
+                         "n_events": pa.array(cnt.astype(np.int64))})
+
+    merged = tree_merge(ds.map_batches(partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["ws_us"], [("n_events", "sum")], fanin=8)
+    return merged.sort("ws_us")
+
+
+LOG_SLIDING_WINDOW_SQL = f"""
+WITH h AS (SELECT epoch_us(ts) // {SLIDE_US} AS half FROM events),
+w AS (SELECT half AS hw FROM h
+      UNION ALL SELECT half - 1 FROM h)
+SELECT hw * {SLIDE_US} AS ws_us, COUNT(*) AS n_events
+FROM w GROUP BY hw ORDER BY ws_us
+"""
+
+
 QUERIES = {
     "log_streaming_window": log_streaming_window,
+    "log_sliding_window_counts": log_sliding_window_counts,
     "log_funnel": log_funnel,
     "log_user_paths": log_user_paths,
     "log_interarrival": log_interarrival,
@@ -802,6 +850,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
+    "log_sliding_window_counts": LOG_SLIDING_WINDOW_SQL,
     "log_funnel": LOG_FUNNEL_SQL,
     "log_user_paths": LOG_USER_PATHS_SQL,
     "log_interarrival": LOG_INTERARRIVAL_SQL,

@@ -46,7 +46,65 @@ SORTLESS_QUERIES = [
     "q_orders_running_total",
     "q_above_avg_orders",
     "q_full_outer_join",
+    # round-4 additions with corpus-proportional outputs: born sortless
+    "doc_quality_classifier",
+    "doc_vocab_coverage",
 ]
+
+
+class TestRound4Ops:
+    """Kernel-level checks for the round-4 operators (their end-to-end
+    values are oracle-gated; these pin the edges the oracle can't see)."""
+
+    def test_modality_sniffer_unknown_payload(self):
+        import pyarrow as pa
+
+        from logparse_rs_ray.pipelines.multimodal import ModalitySniffer
+
+        sniff = ModalitySniffer()
+        out = sniff(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "payload": pa.array([b"\x89PNG\r\n\x1a\nxx", b"nope", b""],
+                                type=pa.binary()),
+        }))
+        assert out["modality"].to_pylist() == ["image", "unknown", "unknown"]
+        assert out["n_bytes"].to_pylist() == [10, 4, 0]
+
+    def test_quality_classifier_empty_and_edge_docs(self):
+        import pyarrow as pa
+
+        from logparse_rs_ray.pipelines.textops import QualityClassifier
+
+        clf = QualityClassifier()
+        out = clf(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["", "the and of a to in is " * 10]),
+        }))
+        assert out["score"].to_pylist()[0] == -QualityClassifier.TARGET_MEAN100 // QualityClassifier.DIV
+        assert out["keep"].to_pylist()[0] == 0
+        assert out["keep"].to_pylist()[1] == 1  # stopword-rich doc passes
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_sliding_windows_cover_each_event_twice(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.windows import (
+            SLIDE_PER_WINDOW,
+            log_sliding_window_counts,
+        )
+
+        out = log_sliding_window_counts(SF).to_pandas()
+        n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+        assert out.n_events.sum() == SLIDE_PER_WINDOW * n_events
+        assert (out.ws_us % 1_800_000_000 == 0).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_vocab_coverage_bounds_and_threshold(self):
+        from logparse_rs_ray.pipelines.textops import doc_vocab_coverage
+
+        out = doc_vocab_coverage(SF).to_pandas()
+        assert ((out.oov_pm >= 0) & (out.oov_pm <= 1000)).all()
+        assert (out.n_oov <= out.n_words).all()
 
 
 @pytest.mark.usefixtures("ray_session")
