@@ -1,9 +1,11 @@
 """Benchmark harness: headline flagship pipeline + representative queries.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <headline sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
-   "docs": n, "docs_per_sec": r}
+  {"metric": "...", "value": <headline sec = best of BENCH_REPEAT runs>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "docs": n, "docs_per_sec": r, "estimator": "min_of_N",
+   "raw_runs_sec": [...], "ab_vs_r3": {interleaved fresh-process A/B vs
+   the pinned round-3 commit — the artifact's own noise control}, ...}
 
 Env:
   GRAFT_SF_DIR   test-table dir (default /root/testdata/sf0.1)
