@@ -1395,11 +1395,13 @@ def doc_vocab_coverage(sf_dir: str, *, min_df_pct: int = VOCAB_MIN_DF_PCT,
             pc.multiply(b["df"].cast(pa.int64()), 100),
             min_df_pct * n_docs)).select(["term"])
 
-    vocab_tbl = pa.concat_tables(list(
+    batches = list(
         merged.map_batches(above_threshold, batch_format="pyarrow",
                            batch_size=None)
-        .iter_batches(batch_format="pyarrow", batch_size=None)))
-    vocab_ref = ray.put(vocab_tbl["term"].combine_chunks())
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    vocab = (pa.concat_tables(batches)["term"].combine_chunks()
+             if batches else pa.array([], type=pa.string()))
+    vocab_ref = ray.put(vocab)
 
     def score(b: pa.Table) -> pa.Table:
         from .. import tune_worker_threads
