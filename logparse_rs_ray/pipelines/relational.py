@@ -316,6 +316,145 @@ SELECT l_returnflag, COUNT(*) AS n_rows FROM (
 """
 
 
+# --- INTERSECT / EXCEPT distinct set ops -------------------------------------
+
+URGENT_PRIO = "1-URGENT"
+LOW_PRIO = "5-LOW"
+
+
+def q_intersect_except(sf_dir: str, *, mode: str = "auto",
+                       num_partitions: int = 8):
+    """(set_op, n_keys) — INTERSECT / EXCEPT over customer key sets (the
+    two distinct set operations missing next to UNION): customers with
+    urgent orders vs customers with low-priority orders.
+
+    One pass over orders: per-block distinct custkeys carry (in_a, in_b)
+    flags; flags merge with MAX (set union of evidence) through the
+    size-gated tree/hash regimes; the census over the merged directory is
+    3 bounded rows computed partition-locally (complete key groups after
+    either merge) and tree-summed.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_merge, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/orders.parquet")
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        a = pc.equal(b["o_orderpriority"], URGENT_PRIO)
+        bb = pc.equal(b["o_orderpriority"], LOW_PRIO)
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "in_a": pc.cast(a, pa.int64()),
+            "in_b": pc.cast(bb, pa.int64()),
+        })
+        g = t.group_by(["o_custkey"]).aggregate([("in_a", "max"), ("in_b", "max")])
+        return g.rename_columns(["o_custkey", "in_a", "in_b"])
+
+    partial = ds.map_batches(flags, batch_format="pyarrow", batch_size=None)
+    specs = [("in_a", "max"), ("in_b", "max")]
+    if mode == "shuffle":
+        merged = hash_merge(partial, ["o_custkey"], specs,
+                            num_partitions=num_partitions)
+    else:
+        merged = tree_merge(partial, ["o_custkey"], specs, fanin=8)
+
+    def census(b: pa.Table) -> pa.Table:
+        ia = np.asarray(b["in_a"], dtype=np.int64) if b.num_rows else np.zeros(0, np.int64)
+        ib = np.asarray(b["in_b"], dtype=np.int64) if b.num_rows else np.zeros(0, np.int64)
+        return pa.table({
+            "set_op": pa.array(["except_low", "except_urgent", "intersect"]),
+            "n_keys": pa.array([int((ia & ~ib & 1).sum()),
+                                int((ib & ~ia & 1).sum()),
+                                int((ia & ib).sum())], type=pa.int64()),
+        })
+
+    out = tree_merge(merged.map_batches(census, batch_format="pyarrow",
+                                        batch_size=None),
+                     ["set_op"], [("n_keys", "sum")], fanin=8)
+    return out.sort("set_op")
+
+
+Q_INTERSECT_EXCEPT_SQL = f"""
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '{URGENT_PRIO}'),
+     b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '{LOW_PRIO}')
+SELECT 'except_low' AS set_op,
+       (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_keys
+UNION ALL
+SELECT 'except_urgent',
+       (SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+UNION ALL
+SELECT 'intersect',
+       (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+ORDER BY set_op
+"""
+
+
+# --- top-N per group (QUALIFY / row_number <= N) ------------------------------
+
+def q_top_orders_per_customer(sf_dir: str, *, n: int = 2,
+                              num_partitions: int | None = None):
+    """(o_custkey, o_orderkey, price_cents, rn) — each customer's top-``n``
+    orders by total price (the classic top-N-per-group window).  ONE
+    customer-keyed exchange co-locates each customer's orders; one lexsort
+    + segment-rank per partition picks the winners.  Output is
+    corpus-proportional (customers x n) — no trailing sort (the gate is
+    order-insensitive).
+    """
+    import numpy as np
+
+    from ..stages.join import auto_join_partitions
+    from ..stages.shuffle import hash_partition
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet")
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "o_orderkey": b["o_orderkey"],
+                         "price_cents": _cents(b["o_totalprice"])})
+
+    def topn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "price_cents": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64())})
+        c = np.asarray(b["o_custkey"], dtype=np.int64)
+        k = np.asarray(b["o_orderkey"], dtype=np.int64)
+        p = np.asarray(b["price_cents"], dtype=np.int64)
+        order = np.lexsort((k, -p, c))   # per customer: price desc, key asc
+        cs = c[order]
+        starts = np.ones(len(cs), dtype=bool)
+        starts[1:] = cs[1:] != cs[:-1]
+        seg_start = np.nonzero(starts)[0]
+        rn = np.arange(len(cs)) - seg_start[np.cumsum(starts) - 1] + 1
+        keep = order[rn <= n]
+        out = b.take(pa.array(keep, type=pa.int64()))
+        return out.append_column("rn", pa.array(rn[rn <= n].astype(np.int64)))
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return hash_partition(rows, ["o_custkey"], num_partitions).map_batches(
+        topn, batch_format="pyarrow", batch_size=None)
+
+
+Q_TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+
 # --- grouped filter (HAVING) ------------------------------------------------
 
 def q_having_active_customers(sf_dir: str):
@@ -790,6 +929,8 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "q_intersect_except": q_intersect_except,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_full_outer_join": q_full_outer_join,
     "q_rollup_pricing": q_rollup_pricing,
     "q_above_avg_orders": q_above_avg_orders,
@@ -811,6 +952,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_intersect_except": Q_INTERSECT_EXCEPT_SQL,
+    "q_top_orders_per_customer": Q_TOP_ORDERS_PER_CUSTOMER_SQL,
     "q_full_outer_join": Q_FULL_OUTER_JOIN_SQL,
     "q_rollup_pricing": Q_ROLLUP_PRICING_SQL,
     "q_above_avg_orders": Q_ABOVE_AVG_ORDERS_SQL,

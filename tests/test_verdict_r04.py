@@ -49,6 +49,7 @@ SORTLESS_QUERIES = [
     # round-4 additions with corpus-proportional outputs: born sortless
     "doc_quality_classifier",
     "doc_vocab_coverage",
+    "q_top_orders_per_customer",
 ]
 
 
