@@ -832,6 +832,131 @@ def q_rollup_pricing(sf_dir: str):
             .sort(["l_returnflag", "l_linestatus"]))
 
 
+def q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE re-expression: all four grouping levels (flag x
+    status, flag, status, grand total) derived from the SAME finest-grain
+    merged partial inside one final task — the corpus collapses exactly
+    once regardless of how many cube levels exist (2^n levels cost 2^n
+    tiny group_bys over a bounded table, never 2^n corpus passes)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": pc.cast(b["l_quantity"], pa.int64()),
+        })
+
+    fine = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag", "l_linestatus"], {"sum_qty": "qty"},
+        final_partitions=1)
+
+    def cube(b: pa.Table) -> pa.Table:
+        cols = ["l_returnflag", "l_linestatus", "sum_qty"]
+        if b.num_rows == 0:
+            return b.select(cols)
+        out = [b.select(cols)]
+        n_all = pa.array(["ALL"], type=pa.string())
+        for keep in (["l_returnflag"], ["l_linestatus"]):
+            g = (b.group_by(keep).aggregate([("sum_qty", "sum")])
+                 .rename_columns(keep + ["sum_qty"]))
+            marker = pa.array(["ALL"] * g.num_rows, type=pa.string())
+            missing = "l_linestatus" if keep == ["l_returnflag"] else "l_returnflag"
+            g = g.append_column(missing, marker)
+            out.append(g.select(cols))
+        out.append(pa.table({
+            "l_returnflag": n_all, "l_linestatus": n_all,
+            "sum_qty": pa.array([pc.sum(b["sum_qty"]).as_py()], pa.int64()),
+        }))
+        return pa.concat_tables(out)
+
+    return (fine.map_batches(cube, batch_format="pyarrow", batch_size=None)
+            .sort(["l_returnflag", "l_linestatus"]))
+
+
+Q_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_moving_avg_orders(sf_dir: str, *, num_partitions: int | None = None):
+    """(o_custkey, o_orderkey, ma3_cents) — frame-based window: per
+    customer, the moving average of the current + 2 preceding orders by
+    date (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), integer floor-division
+    so both engines agree exactly.
+
+    One customer-keyed exchange; per partition one lexsort + a cumsum
+    difference gives every frame sum without a per-row loop.
+    """
+    import numpy as np
+
+    from ..stages.join import auto_join_partitions
+    from ..stages.shuffle import hash_partition
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet")
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_orderdate",
+                             "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"],
+            "date_us": b["o_orderdate"].cast(pa.int64()) if not isinstance(
+                b["o_orderdate"], pa.ChunkedArray)
+            else b["o_orderdate"].combine_chunks().cast(pa.int64()),
+            "price_cents": _cents(b["o_totalprice"]),
+        })
+
+    def ma(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "ma3_cents": pa.array([], pa.int64())})
+        c = np.asarray(b["o_custkey"], dtype=np.int64)
+        k = np.asarray(b["o_orderkey"], dtype=np.int64)
+        d = np.asarray(b["date_us"], dtype=np.int64)
+        p = np.asarray(b["price_cents"], dtype=np.int64)
+        order = np.lexsort((k, d, c))
+        cs, ks, ps = c[order], k[order], p[order]
+        starts = np.ones(len(cs), dtype=bool)
+        starts[1:] = cs[1:] != cs[:-1]
+        seg_start = np.nonzero(starts)[0]
+        pos = np.arange(len(cs)) - seg_start[np.cumsum(starts) - 1]
+        cum = np.cumsum(ps)
+        # exclusive prefix at frame start, segment-clamped to 3 rows
+        frame_len = np.minimum(pos + 1, 3)
+        frame_start = np.arange(len(cs)) - frame_len + 1
+        base = np.where(frame_start > 0, cum[np.maximum(frame_start - 1, 0)], 0)
+        frame_sum = cum - base
+        return pa.table({
+            "o_custkey": pa.array(cs), "o_orderkey": pa.array(ks),
+            "ma3_cents": pa.array(frame_sum // frame_len),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return hash_partition(rows, ["o_custkey"], num_partitions).map_batches(
+        ma, batch_format="pyarrow", batch_size=None)
+
+
+Q_MOVING_AVG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER w // COUNT(*) OVER w AS BIGINT) AS ma3_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 Q_ROLLUP_PRICING_SQL = """
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
        COALESCE(l_linestatus, 'ALL') AS l_linestatus,
@@ -929,6 +1054,8 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "q_cube_pricing": q_cube_pricing,
+    "q_moving_avg_orders": q_moving_avg_orders,
     "q_intersect_except": q_intersect_except,
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_full_outer_join": q_full_outer_join,
@@ -952,6 +1079,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_cube_pricing": Q_CUBE_SQL,
+    "q_moving_avg_orders": Q_MOVING_AVG_SQL,
     "q_intersect_except": Q_INTERSECT_EXCEPT_SQL,
     "q_top_orders_per_customer": Q_TOP_ORDERS_PER_CUSTOMER_SQL,
     "q_full_outer_join": Q_FULL_OUTER_JOIN_SQL,

@@ -50,6 +50,7 @@ SORTLESS_QUERIES = [
     "doc_quality_classifier",
     "doc_vocab_coverage",
     "q_top_orders_per_customer",
+    "q_moving_avg_orders",
 ]
 
 
