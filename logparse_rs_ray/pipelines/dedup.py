@@ -90,6 +90,80 @@ def dedup_exact_hash(sf_dir: str):
     return out.select_columns(["keeper_doc_id", "n_copies"])
 
 
+# --- priority-rule exact dedup ----------------------------------------------
+
+_PRI_SHIFT = 40  # packed keep-key = source_rank << 40 | doc_id
+
+
+def dedup_exact_priority(sf_dir: str, *, mode: str = "auto",
+                         num_partitions: int = 16):
+    """(keeper_doc_id, keeper_source, n_copies) — exact dedup where the
+    SURVIVOR is chosen by source priority (lower ``srcN`` index wins, then
+    smallest doc_id), the cross-source crawl-preference rule (e.g. keep
+    the curated-source copy over the common-crawl copy).
+
+    Same shuffle-light machinery as ``exact_dedup_by_hash`` — the keep
+    rule rides the merge as ONE packed int64 ``(rank << 40) | doc_id``
+    min-merged alongside the content hash, so an arbitrary lexicographic
+    keep rule costs nothing extra at scale."""
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = fnv1a64_arrow(b["text"].combine_chunks()
+                          if isinstance(b["text"], pa.ChunkedArray) else b["text"])
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        rank = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(b["source"], 3, 32), pa.int64()),
+            dtype=np.int64)
+        if ids.size and (ids.max() >= (1 << _PRI_SHIFT) or ids.min() < 0
+                         or rank.max() >= (1 << (62 - _PRI_SHIFT))):
+            raise ValueError("dedup_exact_priority: doc_id/rank outside the "
+                             "packed keep-key domain")
+        t = pa.table({
+            "text_hash": pa.array(h.astype(np.int64)),
+            "keep_key": pa.array((rank << _PRI_SHIFT) | ids),
+        })
+        g = t.group_by(["text_hash"]).aggregate(
+            [("keep_key", "min"), ([], "count_all")])
+        return g.rename_columns(["text_hash", "keep_key", "n"])
+
+    partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    specs = [("keep_key", "min"), ("n", "sum")]
+    if mode == "shuffle":
+        merged = hash_merge(partial, ["text_hash"], specs,
+                            num_partitions=num_partitions)
+    else:
+        merged = tree_merge(partial, ["text_hash"], specs, fanin=8)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        kk = np.asarray(b["keep_key"], dtype=np.int64)
+        rank = kk >> _PRI_SHIFT
+        ids = kk & ((1 << _PRI_SHIFT) - 1)
+        src = pa.array(["src" + str(r) for r in rank.tolist()],
+                       type=pa.string())
+        return pa.table({"keeper_doc_id": pa.array(ids),
+                         "keeper_source": src,
+                         "n_copies": b["n"].cast(pa.int64())})
+
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+DEDUP_EXACT_PRIORITY_SQL = """
+SELECT keeper_doc_id, keeper_source, n_copies FROM (
+  SELECT doc_id AS keeper_doc_id, source AS keeper_source,
+         COUNT(*) OVER (PARTITION BY text) AS n_copies,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY CAST(substr(source, 4) AS BIGINT),
+                                     doc_id) AS rn
+  FROM documents)
+WHERE rn = 1
+ORDER BY keeper_doc_id
+"""
+
+
 DEDUP_EXACT_HASH_SQL = """
 SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
 FROM documents
@@ -1380,6 +1454,7 @@ def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,
 
 
 QUERIES = {
+    "dedup_exact_priority": dedup_exact_priority,
     "doc_semantic_pairs": doc_semantic_pairs,
     "doc_semantic_survivors": doc_semantic_survivors,
     "dedup_exact_hash": dedup_exact_hash,
@@ -1394,6 +1469,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_exact_priority": DEDUP_EXACT_PRIORITY_SQL,
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "embed_neardup_cosine": EMBED_NEARDUP_SQL,
     "embed_neardup_clusters": NEARDUP_CLUSTERS_SQL,

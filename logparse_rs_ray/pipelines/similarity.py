@@ -503,7 +503,52 @@ def doc_embed_hashvec(sf_dir: str):
                           batch_size=None, concurrency=auto_pool_size())
 
 
+# --- int8 embedding quantization (ANN memory lever) -------------------------
+
+QUANT_SCALE_FP = 1_000_000_000  # scale stored as integer nano-units
+
+
+def embed_quantize(sf_dir: str):
+    """(vec_id, scale_x1e9, codes) — symmetric per-vector int8 quantization
+    of the embedding column (the 4x memory lever every billion-vector ANN
+    index uses before IVF/LSH even starts).  ``scale = max|x| / 127``;
+    ``codes[i] = round(x[i] / scale)`` in [-127, 127]; reconstruction
+    error is bounded by scale/2 per component (pytest-pinned, with
+    determinism and a zero-vector edge).  Embarrassingly parallel, zero
+    shuffle, no trailing sort; rows-only (float->int8 rounding is not
+    worth re-expressing in SQL).
+    """
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        mat = _list_matrix(b["embedding"]).astype(np.float64)
+        if mat.size == 0:
+            return pa.table({
+                "vec_id": b["vec_id"],
+                "scale_x1e9": pa.array([], type=pa.int64()),
+                "codes": pa.array([], type=pa.list_(pa.int8())),
+            })
+        amax = np.abs(mat).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        codes = np.clip(np.round(mat / scale[:, None]), -127, 127).astype(np.int8)
+        flat = pa.array(codes.ravel(), type=pa.int8())
+        lst = pa.FixedSizeListArray.from_arrays(flat, mat.shape[1]).cast(
+            pa.list_(pa.int8()))
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "scale_x1e9": pa.array(
+                np.round(scale * QUANT_SCALE_FP).astype(np.int64)),
+            "codes": lst,
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow", batch_size=None)
+
+
 QUERIES = {
+    "embed_quantize": embed_quantize,
     "doc_embed_hashvec": doc_embed_hashvec,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_ivf_topk": ann_ivf_topk,

@@ -87,6 +87,27 @@ class TestRound4Ops:
         assert out["keep"].to_pylist()[1] == 1  # stopword-rich doc passes
 
     @pytest.mark.usefixtures("ray_session")
+    def test_priority_dedup_numeric_rank_beats_doc_id(self, tmp_path):
+        """src2 beats src10 (numeric rank, not lexicographic) even when the
+        src10 copy has the smaller doc_id; singletons keep themselves."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import dedup_exact_priority
+
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["dup text", "dup text", "dup text", "unique"],
+            "source": ["src10", "src2", "src5", "src7"],
+        })
+        pq.write_table(tbl, tmp_path / "documents.parquet")
+        out = (dedup_exact_priority(str(tmp_path)).to_pandas()
+               .sort_values("keeper_doc_id").reset_index(drop=True))
+        assert out.keeper_doc_id.tolist() == [2, 4]
+        assert out.keeper_source.tolist() == ["src2", "src7"]
+        assert out.n_copies.tolist() == [3, 1]
+
+    @pytest.mark.usefixtures("ray_session")
     def test_sliding_windows_cover_each_event_twice(self):
         import pyarrow.parquet as pq
 
@@ -99,6 +120,45 @@ class TestRound4Ops:
         n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
         assert out.n_events.sum() == SLIDE_PER_WINDOW * n_events
         assert (out.ws_us % 1_800_000_000 == 0).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_embed_quantize_error_bound_and_determinism(self):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.similarity import (
+            QUANT_SCALE_FP,
+            embed_quantize,
+        )
+
+        out = embed_quantize(SF).to_pandas().sort_values("vec_id")
+        emb = (pq.read_table(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+               .to_pandas().sort_values("vec_id"))
+        X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        scales = out.scale_x1e9.to_numpy() / QUANT_SCALE_FP
+        codes = np.stack(out.codes.to_numpy()).astype(np.float64)
+        assert np.abs(codes).max() <= 127
+        # reconstruction error bounded by scale/2 per component
+        err = np.abs(codes * scales[:, None] - X)
+        assert (err <= scales[:, None] / 2 + 1e-12).all()
+        again = embed_quantize(SF).to_pandas().sort_values("vec_id")
+        assert (np.stack(again.codes.to_numpy()) == codes).all()
+
+    def test_embed_quantize_zero_vector(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.similarity import embed_quantize
+
+        t = pa.table({
+            "vec_id": pa.array([0], type=pa.int64()),
+            "embedding": pa.array([[0.0] * 8], type=pa.list_(pa.float32())),
+            "label": pa.array([0], type=pa.int32()),
+        })
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        out = embed_quantize(str(tmp_path)).to_pandas()
+        assert out.codes.iloc[0].tolist() == [0] * 8  # no 0/0, scale=1
 
     @pytest.mark.usefixtures("ray_session")
     def test_vocab_coverage_bounds_and_threshold(self):
