@@ -206,6 +206,25 @@ class TestKmeansCombinerHop:
             embed_kmeans(SF, m_step="nope")
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestFlagshipEmptyCorpus:
+    def test_zero_row_input_produces_empty_report(self, tmp_path):
+        """A 0-row corpus flows through parse -> enrich -> route -> write ->
+        consolidation without tripping any vectorized kernel or the bucket
+        merge (the resumable-run edge after all partitions are filtered)."""
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import run_flagship
+        from logparse_rs_ray.webtext import generate_webtext_table
+
+        rep = run_flagship(rd.from_arrow(generate_webtext_table(0, seed=1)),
+                           str(tmp_path / "out"),
+                           generated_at="2025-01-01T00:00:00Z")
+        assert rep["total_logs"] == 0
+        assert rep["errors"] == 0
+        assert rep["by_log_type"] == []
+
+
 class TestReportTopkPushdown:
     """VERDICT r03 item 3: the driver-side report collect is bounded by
     dims x k — heavy key-proportional dims are pruned per block."""
