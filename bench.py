@@ -69,6 +69,11 @@ BENCH_QUERIES = [
     "q_orders_running_total",
     "log_funnel",
     "q_full_outer_join",
+    # round-4 additions (appended — the prior list stays comparable across
+    # rounds)
+    "doc_quality_classifier",
+    "q_moving_avg_orders",
+    "dedup_exact_priority",
 ]
 
 

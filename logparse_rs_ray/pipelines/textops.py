@@ -1274,7 +1274,9 @@ class QualityClassifier:
     def __call__(self, b: pa.Table) -> pa.Table:
         from ..functions.hashing import segment_sum
 
-        text = b["text"]
+        # null text scores like an empty doc (the test corpus is null-free,
+        # but a real crawl isn't; an unguarded null wraps the int64 cast)
+        text = pc.fill_null(b["text"], "")
         ntok = np.asarray(pc.count_substring_regex(text, r"\S+"), dtype=np.int64)
         nonspace = np.asarray(pc.count_substring_regex(text, r"\S"), dtype=np.int64)
         mean100 = np.where(ntok > 0, nonspace * 100 // np.maximum(ntok, 1), 0)

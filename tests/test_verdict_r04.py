@@ -82,6 +82,13 @@ class TestRound4Ops:
             "doc_id": pa.array([1, 2], type=pa.int64()),
             "text": pa.array(["", "the and of a to in is " * 10]),
         }))
+        # null text scores exactly like an empty doc (real crawls have nulls)
+        nulls = clf(pa.table({
+            "doc_id": pa.array([9], type=pa.int64()),
+            "text": pa.array([None], type=pa.string()),
+        }))
+        assert nulls["score"].to_pylist() == [out["score"].to_pylist()[0]]
+        assert nulls["keep"].to_pylist() == [0]
         assert out["score"].to_pylist()[0] == -QualityClassifier.TARGET_MEAN100 // QualityClassifier.DIV
         assert out["keep"].to_pylist()[0] == 0
         assert out["keep"].to_pylist()[1] == 1  # stopword-rich doc passes
