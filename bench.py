@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "doc_quality_classifier",
     "q_moving_avg_orders",
     "dedup_exact_priority",
+    "dedup_simhash_survivors",
+    "ann_topk_int8",
 ]
 
 

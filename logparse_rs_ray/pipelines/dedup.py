@@ -1046,6 +1046,37 @@ def dedup_minhash_survivors(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                                 num_partitions=num_partitions)
 
 
+def dedup_simhash_survivors(sf_dir: str, *, max_hamming: int = 3,
+                            num_partitions: int = 16,
+                            broadcast_max_drop: int = 5_000_000):
+    """(doc_id, source) — the TEXT corpus after SimHash near-dup removal:
+    completes the keep-one survivor trio next to ``dedup_minhash_survivors``
+    (lexical Jaccard) and ``doc_semantic_survivors`` (embedding cosine).
+
+    Banded 64-bit SimHash pairs (Hamming <= ``max_hamming``, pigeonhole
+    over 4x16-bit chunks) -> connected components through the shared
+    size-gated regime (driver union-find below 100k pairs, distributed
+    min-label propagation above) -> min-doc_id representative survives via
+    the shared broadcast/co-located anti-join.  The corpus text never
+    shuffles: signatures ride the bucket exchange as compact int64 rows,
+    the drop set is dup-rate-∝, and the survivors pass reads only the two
+    output columns.
+    """
+    pairs = simhash_pairs(sf_dir, max_hamming=max_hamming,
+                          num_partitions=num_partitions)
+    pairs = pairs.map_batches(
+        lambda b: pa.table({"vec_a": b["doc_a"], "vec_b": b["doc_b"]}),
+        batch_format="pyarrow", batch_size=None)
+    clusters = neardup_clusters(sf_dir, num_partitions=num_partitions,
+                                pairs_ds=pairs)
+    drop = clusters.filter(pc.less(clusters["cluster_id"], clusters["vec_id"]))
+    drop = pa.table({"doc_id": drop["vec_id"]})
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return _anti_join_survivors(corpus, drop, "doc_id", "source", pa.string(),
+                                broadcast_max_drop=broadcast_max_drop,
+                                num_partitions=num_partitions)
+
+
 # --- incremental dedup against a prior corpus snapshot ----------------------
 
 def dedup_incremental(sf_dir: str, *, mode: str = "auto",
@@ -1465,6 +1496,7 @@ QUERIES = {
     "embed_dedup_survivors": embed_dedup_survivors,
     "doc_passage_dedup": doc_passage_dedup,
     "dedup_minhash_survivors": dedup_minhash_survivors,
+    "dedup_simhash_survivors": dedup_simhash_survivors,
     "dedup_incremental": dedup_incremental,
 }
 

@@ -285,3 +285,96 @@ class TestMultimodalStubs:
         assert (a["frame_hashes"].map(len) == 4).all()
         for did in list(a.index[:20]):
             assert list(a.loc[did, "frame_hashes"]) == list(b.loc[did, "frame_hashes"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhashSurvivors:
+    @staticmethod
+    def _oracle_survivors(max_hamming: int = 3) -> set[int]:
+        """Brute-force SimHash near-dup components over the tiny corpus:
+        all-pairs Hamming, union-find, keep the min doc_id per component."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ids = np.asarray(t["doc_id"].to_pylist())
+        sig = np.asarray(simhash_signatures(t["text"].combine_chunks()),
+                         dtype=np.uint64)
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n = len(ids)
+        for i in range(n):
+            d = np.asarray(hamming_distance_u64(
+                np.full(n - i - 1, sig[i], dtype=np.uint64), sig[i + 1:]))
+            for j in np.nonzero(d <= max_hamming)[0]:
+                a, b = find(int(ids[i])), find(int(ids[i + 1 + j]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+        keep = {int(i) for i in ids if find(int(i)) == int(i)}
+        return keep
+
+    def test_matches_bruteforce_components(self):
+        from logparse_rs_ray.pipelines.dedup import dedup_simhash_survivors
+
+        got = set(dedup_simhash_survivors(SF).to_pandas()["doc_id"])
+        assert got == self._oracle_survivors()
+
+    def test_forced_colocated_regime_equal(self):
+        from logparse_rs_ray.pipelines.dedup import dedup_simhash_survivors
+
+        bcast = set(dedup_simhash_survivors(SF).to_pandas()["doc_id"])
+        coloc = set(dedup_simhash_survivors(
+            SF, broadcast_max_drop=0).to_pandas()["doc_id"])
+        assert bcast == coloc
+
+    def test_source_payload_rides_along(self):
+        from logparse_rs_ray.pipelines.dedup import dedup_simhash_survivors
+        import pyarrow.parquet as pq
+
+        out = dedup_simhash_survivors(SF).to_pandas()
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "source"]).to_pandas()
+        want = t.set_index("doc_id")["source"]
+        for _, r in out.head(50).iterrows():
+            assert r["source"] == want[r["doc_id"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnInt8:
+    def test_recall_and_score_error_vs_exact(self):
+        from logparse_rs_ray.pipelines.similarity import (
+            ann_topk_cosine, ann_topk_int8)
+
+        exact = ann_topk_cosine(SF).to_pandas()
+        quant = ann_topk_int8(SF).to_pandas()
+        e = exact.groupby("query_id")["vec_id"].apply(set)
+        q = quant.groupby("query_id")["vec_id"].apply(set)
+        recall = sum(len(e[k] & q[k]) for k in e.index) / sum(
+            len(e[k]) for k in e.index)
+        assert recall >= 0.9
+        # score error bound: int8 symmetric quantization of unit vectors
+        # keeps cosine within ~2 * dim * (scale/2)^2-ish; empirically < 0.02
+        merged = quant.merge(
+            exact, on=["query_id", "vec_id"], suffixes=("_q", "_e"))
+        err = (merged["score_x1e6"] / 1e6 - merged["cos_pct"] / 1000.0).abs()
+        assert float(err.max()) < 0.02
+
+    def test_deterministic(self):
+        from logparse_rs_ray.pipelines.similarity import ann_topk_int8
+
+        a = ann_topk_int8(SF).to_pandas()
+        b = ann_topk_int8(SF).to_pandas()
+        assert a.equals(b)
+
+    def test_bounded_shape(self):
+        from logparse_rs_ray.pipelines.similarity import (
+            N_QUERIES, TOP_K, ann_topk_int8)
+
+        out = ann_topk_int8(SF).to_pandas()
+        assert len(out) == N_QUERIES * TOP_K
+        assert out["score_x1e6"].dtype == np.int64

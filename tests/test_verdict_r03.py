@@ -787,7 +787,7 @@ class TestQueryRegistry:
             "doc_cms_heavy_terms", "log_event_user_hll",
             "log_value_quantiles_by_type", "doc_embed_hashvec",
             "doc_semantic_pairs", "doc_semantic_survivors",
-            "embed_quantize",
+            "embed_quantize", "dedup_simhash_survivors", "ann_topk_int8",
         }, rows_only
 
 
