@@ -455,6 +455,69 @@ ORDER BY o_custkey, rn
 """
 
 
+def q_ntile_orders(sf_dir: str, *, k: int = 4,
+                   num_partitions: int | None = None):
+    """(o_custkey, o_orderkey, price_cents, tile) — NTILE(``k``) buckets of
+    each customer's orders by price (the quantile-bucket window shape, e.g.
+    price-band assignment).  Same plan as ``q_top_orders_per_customer``:
+    ONE customer-keyed exchange, per-partition lexsort + segment rank; the
+    tile follows SQL NTILE semantics (the first ``n % k`` tiles get
+    ``n//k + 1`` rows).  Corpus-proportional output — no trailing sort.
+    """
+    import numpy as np
+
+    from ..stages.join import auto_join_partitions
+    from ..stages.shuffle import hash_partition
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet")
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "o_orderkey": b["o_orderkey"],
+                         "price_cents": _cents(b["o_totalprice"])})
+
+    def ntile(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "price_cents": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        c = np.asarray(b["o_custkey"], dtype=np.int64)
+        kk = np.asarray(b["o_orderkey"], dtype=np.int64)
+        p = np.asarray(b["price_cents"], dtype=np.int64)
+        order = np.lexsort((kk, -p, c))  # per customer: price desc, key asc
+        cs = c[order]
+        starts = np.ones(len(cs), dtype=bool)
+        starts[1:] = cs[1:] != cs[:-1]
+        seg_id = np.cumsum(starts) - 1
+        seg_start = np.nonzero(starts)[0]
+        r = np.arange(len(cs)) - seg_start[seg_id]        # 0-based rank
+        n = np.diff(np.append(seg_start, len(cs)))[seg_id]  # group size
+        sz, big = n // k, n % k
+        thresh = big * (sz + 1)
+        tile = np.where(r < thresh, r // (sz + 1),
+                        big + (r - thresh) // np.maximum(sz, 1)) + 1
+        out = b.take(pa.array(order, type=pa.int64()))
+        return out.append_column("tile", pa.array(tile.astype(np.int64)))
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return hash_partition(rows, ["o_custkey"], num_partitions).map_batches(
+        ntile, batch_format="pyarrow", batch_size=None)
+
+
+Q_NTILE_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS tile
+FROM orders
+"""
+
+
 # --- grouped filter (HAVING) ------------------------------------------------
 
 def q_having_active_customers(sf_dir: str):
@@ -1058,6 +1121,7 @@ QUERIES = {
     "q_moving_avg_orders": q_moving_avg_orders,
     "q_intersect_except": q_intersect_except,
     "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_ntile_orders": q_ntile_orders,
     "q_full_outer_join": q_full_outer_join,
     "q_rollup_pricing": q_rollup_pricing,
     "q_above_avg_orders": q_above_avg_orders,
@@ -1083,6 +1147,7 @@ ORACLE_SQL = {
     "q_moving_avg_orders": Q_MOVING_AVG_SQL,
     "q_intersect_except": Q_INTERSECT_EXCEPT_SQL,
     "q_top_orders_per_customer": Q_TOP_ORDERS_PER_CUSTOMER_SQL,
+    "q_ntile_orders": Q_NTILE_ORDERS_SQL,
     "q_full_outer_join": Q_FULL_OUTER_JOIN_SQL,
     "q_rollup_pricing": Q_ROLLUP_PRICING_SQL,
     "q_above_avg_orders": Q_ABOVE_AVG_ORDERS_SQL,

@@ -1462,6 +1462,129 @@ ORDER BY d.doc_id
 """
 
 
+# --- byte-bigram LM quality score (the CCNet/Gopher perplexity-filter
+# shape: train a cheap LM on a corpus sample, score every doc, filter on
+# bits-per-byte) -------------------------------------------------------------
+
+LM_SAMPLE_MOD = 10      # train on ~1/10 of docs (deterministic id hash)
+_LM_KNUTH = 2654435761  # Fibonacci-hash multiplier for the sample pick
+
+
+def _byte_pairs(b: pa.Table):
+    """Vectorized per-doc byte-bigram extraction for a pyarrow batch.
+
+    Returns ``(pair_ids, poff)``: all within-doc byte pairs of the batch
+    in document order (``pair_ids[k] = byte_i * 256 + byte_{i+1}``), plus
+    per-doc segment offsets into that array (``poff`` has len(docs)+1
+    entries; empty/1-byte docs get empty segments).  Zero-copy off the
+    Arrow buffers; cross-doc boundary pairs are dropped by construction.
+    """
+    arr = b["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(pc.cast(arr, pa.binary()), b"")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0]:off[-1]]
+    off = off - off[0]
+    npairs = np.maximum(np.diff(off) - 1, 0)
+    poff = np.concatenate([[0], np.cumsum(npairs)])
+    if len(data) < 2:
+        return np.empty(0, dtype=np.int64), poff
+    pairs = data[:-1].astype(np.int64) * 256 + data[1:]
+    valid = np.ones(len(data) - 1, dtype=bool)
+    ends = off[1:-1]                       # boundary between doc j and j+1
+    ends = ends[(ends > 0) & (ends <= len(valid))]
+    valid[ends - 1] = False                # pair straddling the boundary
+    # empty docs in the middle also invalidate the PREVIOUS position once —
+    # already covered: a zero-length doc contributes no in-range positions
+    # and its boundary equals its neighbor's, masking the same slot.
+    return pairs[valid], poff
+
+
+def doc_lm_score(sf_dir: str, *, sample_mod: int = LM_SAMPLE_MOD,
+                 fanin: int = 8):
+    """(doc_id, n_pairs, bits_x1000) — byte-bigram language-model score per
+    document: mean ``-log2 P(next byte | byte)`` under an add-one-smoothed
+    bigram model trained on a deterministic ~1/``sample_mod`` sample of the
+    corpus itself.  This is the CCNet/Gopher "perplexity filter" shape with
+    the KenLM swapped for a 64 KiB byte-bigram table: gibberish/binary spew
+    scores high bits-per-byte, fluent text scores low, and the filter
+    thresholds on it.
+
+    Scale shape: pass 1 emits a (bigram_id, cnt) partial per block — the
+    key set is bounded at 65,536 regardless of corpus size, so the
+    combiner tree (``tree_merge``) applies; the merged model (<= 0.5 MiB)
+    broadcasts via ``ray.put`` and pass 2 scores every doc with two
+    gathers + one ``segment_sum``.  No corpus-sized shuffle, text never
+    leaves its block, output is corpus-∝ and sortless.  Per-doc sums use
+    ``segment_sum`` (not a batch cumsum) so the float reduction order is
+    per-document — results are independent of block coalescing.
+
+    Rows-only (log2 arithmetic is not reasonably SQL-expressible): pytest
+    pins exact integer equality against a serial Python oracle plus the
+    fluent-text-beats-noise ordering property.
+    """
+    import ray
+
+    from ..functions.hashing import segment_sum
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sample_counts(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        pick = ((ids * _LM_KNUTH) % (1 << 32)) % sample_mod == 0
+        sub = b.filter(pa.array(pick))
+        if sub.num_rows == 0:
+            return pa.table({"bigram_id": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        pairs, _ = _byte_pairs(sub)
+        cnt = np.bincount(pairs, minlength=65536).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bigram_id": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz])})
+
+    partial = ds.map_batches(sample_counts, batch_format="pyarrow",
+                             batch_size=None)
+    merged = tree_merge(partial, ["bigram_id"], [("cnt", "sum")], fanin=fanin)
+    batches = list(merged.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+    cnt = np.zeros(65536, dtype=np.int64)
+    if batches:
+        t = pa.concat_tables([pa.Table.from_batches([x]) if
+                              isinstance(x, pa.RecordBatch) else x
+                              for x in batches])
+        cnt[np.asarray(t["bigram_id"], dtype=np.int64)] = \
+            np.asarray(t["cnt"], dtype=np.int64)
+    row_tot = cnt.reshape(256, 256).sum(axis=1)
+    logp = np.log2((cnt + 1.0) / np.repeat(row_tot + 256.0, 256))
+    logp_ref = ray.put(logp)
+
+    def score(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        table = ray.get(logp_ref)
+        pairs, poff = _byte_pairs(b)
+        lp = table[pairs] if len(pairs) else np.empty(0, dtype=np.float64)
+        sums = segment_sum(lp, poff)
+        n = np.diff(poff)
+        bits = np.where(n > 0, -sums / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_pairs": pa.array(n.astype(np.int64)),
+            "bits_x1000": pa.array(np.floor(bits * 1000).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_quality_classifier": doc_quality_classifier,
@@ -1483,6 +1606,7 @@ QUERIES = {
     "doc_tfidf_top": doc_tfidf_top,
     "doc_mix_sources": doc_mix_sources,
     "doc_length_outliers": doc_length_outliers,
+    "doc_lm_score": doc_lm_score,
 }
 
 ORACLE_SQL = {
@@ -1504,6 +1628,6 @@ ORACLE_SQL = {
     "doc_tfidf_top": DOC_TFIDF_TOP_SQL,
     "doc_mix_sources": DOC_MIX_SOURCES_SQL,
     "doc_length_outliers": DOC_LENGTH_OUTLIERS_SQL,
-    # doc_fingerprint: rows-only (FNV not SQL-expressible); pytest verifies
-    # it against a serial Python oracle.
+    # doc_fingerprint, doc_lm_score: rows-only (FNV / log2 arithmetic not
+    # SQL-expressible); pytest verifies both against serial Python oracles.
 }

@@ -656,3 +656,78 @@ class TestSemanticClustersRegimes:
                                   small_graph_max_pairs=1)
         assert fast.num_rows > 1          # regime actually exercised
         assert fast.sort_by("vec_id").equals(forced.sort_by("vec_id"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLmScore:
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _oracle():
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.textops import LM_SAMPLE_MOD, _LM_KNUTH
+
+        t = pq.read_table(f"{TestLmScore.SF}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+        cnt = np.zeros(65536, dtype=np.int64)
+        for _, r in t.iterrows():
+            if (int(r["doc_id"]) * _LM_KNUTH) % (1 << 32) % LM_SAMPLE_MOD == 0:
+                bs = r["text"].encode("utf-8")
+                for i in range(len(bs) - 1):
+                    cnt[bs[i] * 256 + bs[i + 1]] += 1
+        row_tot = cnt.reshape(256, 256).sum(axis=1)
+        logp = np.log2((cnt + 1.0) / np.repeat(row_tot + 256.0, 256))
+        want = {}
+        for _, r in t.iterrows():
+            bs = r["text"].encode("utf-8")
+            n = max(len(bs) - 1, 0)
+            bits = (-sum(logp[bs[i] * 256 + bs[i + 1]] for i in range(n)) / n
+                    if n else 0.0)
+            want[int(r["doc_id"])] = (n, int(np.floor(bits * 1000)))
+        return want
+
+    def test_matches_serial_oracle_exactly(self):
+        from logparse_rs_ray.pipelines.textops import doc_lm_score
+
+        out = doc_lm_score(self.SF).to_pandas()
+        want = self._oracle()
+        assert len(out) == len(want)
+        for _, r in out.iterrows():
+            assert (r["n_pairs"], r["bits_x1000"]) == want[r["doc_id"]], \
+                r["doc_id"]
+
+    def test_fluent_text_beats_noise(self):
+        # the whole point of the filter: text drawn from the corpus
+        # distribution must score fewer bits/byte than uniform byte noise
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray
+
+        from logparse_rs_ray.pipelines.textops import doc_lm_score
+
+        rng = np.random.default_rng(7)
+        noise = "".join(chr(c) for c in rng.integers(33, 127, size=4000))
+        fluent = pq.read_table(
+            f"{self.SF}/documents.parquet",
+            columns=["text"])["text"][1].as_py()
+        import os
+        import shutil
+        tmp = "/tmp/lm_score_probe"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array([fluent, noise]),
+        }), f"{tmp}/documents.parquet")
+        out = doc_lm_score(tmp).to_pandas().set_index("doc_id")
+        assert out.loc[0, "bits_x1000"] < out.loc[1, "bits_x1000"]
+
+    def test_sortless_plan(self):
+        from logparse_rs_ray.pipelines.textops import doc_lm_score
+
+        out = doc_lm_score(self.SF)
+        out.count()  # execute so stats() carries the real plan
+        assert "Sort" not in out.stats()

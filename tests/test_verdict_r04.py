@@ -51,6 +51,10 @@ SORTLESS_QUERIES = [
     "doc_vocab_coverage",
     "q_top_orders_per_customer",
     "q_moving_avg_orders",
+    "q_ntile_orders",
+    "doc_lm_score",
+    # survivor anti-joins (minhash/simhash/semantic) return a pa.Table in
+    # the broadcast regime — covered by their own two-regime pytests
 ]
 
 
