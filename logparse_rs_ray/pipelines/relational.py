@@ -518,6 +518,167 @@ FROM orders
 """
 
 
+# --- exact grouped quantile over an unbounded domain (iterative
+# histogram refinement / distributed selection) ------------------------------
+
+def q_median_price_by_priority(sf_dir: str, *, q: float = 0.5,
+                               nbins: int = 4096, max_passes: int = 8,
+                               fanin: int = 8):
+    """(o_orderpriority, median_cents) — EXACT ``quantile_disc(q)`` of order
+    price per priority via iterative histogram refinement (the distributed
+    selection algorithm): pass 0 collects per-group (count, min, max); each
+    refinement pass histograms the still-in-range values into ``nbins``
+    buckets per group, the driver narrows every group's [lo, hi] to the
+    bucket holding its target rank, and the loop ends when each range
+    collapses to one value.
+
+    This is the third quantile shape next to ``doc_len_quantiles`` (exact,
+    needs a small discrete domain — shuffle volume O(distinct values)) and
+    ``log_value_quantiles`` (DDSketch, approximate): EXACT over an
+    UNBOUNDED integer domain, at the price of O(log_nbins(domain)) corpus
+    scans (2 passes for cent prices, <= 6 for a full 64-bit domain).
+    Driver state is groups x nbins counts per pass; nothing corpus-sized
+    ever moves — each pass is block-local partials through the combiner
+    tree.  Quantile rule matches DuckDB ``quantile_disc``: the k-th
+    smallest with k = ceil(n*q).  Bounded output (one row per priority).
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+
+    def load():
+        return read_table(sf_dir, "orders",
+                          columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"prio": b["o_orderpriority"],
+                         "cents": _cents(b["o_totalprice"])})
+
+    def stats(b: pa.Table) -> pa.Table:
+        g = prep(b).group_by(["prio"]).aggregate(
+            [("cents", "count"), ("cents", "min"), ("cents", "max")])
+        return g.rename_columns(["prio", "cnt", "vmin", "vmax"])
+
+    base = pa.concat_tables(list(tree_merge(
+        load().map_batches(stats, batch_format="pyarrow", batch_size=None),
+        ["prio"], [("cnt", "sum"), ("vmin", "min"), ("vmax", "max")],
+        fanin=fanin).iter_batches(batch_format="pyarrow", batch_size=None)))
+    prios = base["prio"].to_pylist()
+    n = np.asarray(base["cnt"], dtype=np.int64)
+    lo = np.asarray(base["vmin"], dtype=np.int64).copy()
+    hi = np.asarray(base["vmax"], dtype=np.int64).copy()
+    k = np.maximum(np.ceil(q * n).astype(np.int64), 1)  # 1-based in-range rank
+
+    for _ in range(max_passes):
+        live = lo < hi
+        if not live.any():
+            break
+        binw = np.where(live, -(-(hi - lo + 1) // nbins), 1)
+        prio_arr = pa.array([str(p) for p in prios], type=pa.string())
+        lo_c, hi_c, binw_c, live_c = (lo.copy(), hi.copy(), binw.copy(),
+                                      live.copy())
+
+        def hist(b: pa.Table, *, prio_arr=prio_arr, lo_c=lo_c, hi_c=hi_c,
+                 binw_c=binw_c, live_c=live_c) -> pa.Table:
+            t = prep(b)
+            gi = np.asarray(
+                pc.fill_null(pc.index_in(t["prio"], value_set=prio_arr), -1),
+                dtype=np.int64)
+            v = np.asarray(t["cents"], dtype=np.int64)
+            m = gi >= 0
+            m &= live_c[gi] & (v >= lo_c[gi]) & (v <= hi_c[gi])
+            gi, v = gi[m], v[m]
+            packed = gi * nbins + (v - lo_c[gi]) // binw_c[gi]
+            ub, cnt = np.unique(packed, return_counts=True)
+            return pa.table({"gkey": pa.array(ub.astype(np.int64)),
+                             "cnt": pa.array(cnt.astype(np.int64))})
+
+        hb = pa.concat_tables(list(tree_merge(
+            load().map_batches(hist, batch_format="pyarrow", batch_size=None),
+            ["gkey"], [("cnt", "sum")],
+            fanin=fanin).iter_batches(batch_format="pyarrow",
+                                      batch_size=None)))
+        gkey = np.asarray(hb["gkey"], dtype=np.int64)
+        cnt = np.asarray(hb["cnt"], dtype=np.int64)
+        order = np.argsort(gkey)
+        gkey, cnt = gkey[order], cnt[order]
+        gi_all, bins_all = gkey // nbins, gkey % nbins
+        for g in np.unique(gi_all):          # bounded: one hop per group
+            m = gi_all == g
+            cum = np.cumsum(cnt[m])
+            j = int(np.searchsorted(cum, k[g]))
+            b_sel = int(bins_all[m][j])
+            k[g] -= int(cum[j - 1]) if j else 0
+            new_lo = lo[g] + b_sel * binw[g]
+            hi[g] = min(hi[g], new_lo + binw[g] - 1)
+            lo[g] = new_lo
+    assert (lo == hi).all(), "histogram refinement did not converge"
+    return pa.table({
+        "o_orderpriority": pa.array([str(p) for p in prios],
+                                    type=pa.string()),
+        "median_cents": pa.array(lo.astype(np.int64)),
+    }).sort_by("o_orderpriority")            # bounded output — sort is fine
+
+
+Q_MEDIAN_PRICE_SQL = """
+SELECT o_orderpriority,
+       CAST(quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+            AS BIGINT) AS median_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- UNPIVOT (wide -> long, the inverse of q_pivot_lang_source) -------------
+
+UNPIVOT_MEASURES = [("quantity", "l_quantity"),
+                    ("extendedprice", "l_extendedprice"),
+                    ("discount", "l_discount"),
+                    ("tax", "l_tax")]
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """(l_orderkey, l_linenumber, measure, value_x100) — UNPIVOT of the four
+    lineitem measure columns into long form (one output row per input row
+    per measure).  Embarrassingly parallel: each block expands 4x in place
+    via broadcasted-take label columns — zero shuffle, corpus-proportional
+    output, sortless.  Values in integer hundredths (``round(x*100)``) so
+    both engines compare exactly.
+    """
+    import numpy as np
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber"] +
+                            [c for _, c in UNPIVOT_MEASURES])
+
+    def unpivot(b: pa.Table) -> pa.Table:
+        zeros = pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        parts = []
+        for name, col in UNPIVOT_MEASURES:
+            parts.append(pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+                "measure": pa.array([name], type=pa.string()).take(zeros),
+                "value_x100": _cents(b[col]),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(unpivot, batch_format="pyarrow", batch_size=None)
+
+
+Q_UNPIVOT_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, m.measure,
+       CAST(ROUND(CASE m.measure
+                  WHEN 'quantity'      THEN l_quantity
+                  WHEN 'extendedprice' THEN l_extendedprice
+                  WHEN 'discount'      THEN l_discount
+                  ELSE l_tax END * 100) AS BIGINT) AS value_x100
+FROM lineitem
+CROSS JOIN (VALUES ('quantity'), ('extendedprice'), ('discount'), ('tax'))
+           AS m(measure)
+"""
+
+
 # --- grouped filter (HAVING) ------------------------------------------------
 
 def q_having_active_customers(sf_dir: str):
@@ -1122,6 +1283,8 @@ QUERIES = {
     "q_intersect_except": q_intersect_except,
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_ntile_orders": q_ntile_orders,
+    "q_median_price_by_priority": q_median_price_by_priority,
+    "q_unpivot_lineitem": q_unpivot_lineitem,
     "q_full_outer_join": q_full_outer_join,
     "q_rollup_pricing": q_rollup_pricing,
     "q_above_avg_orders": q_above_avg_orders,
@@ -1148,6 +1311,8 @@ ORACLE_SQL = {
     "q_intersect_except": Q_INTERSECT_EXCEPT_SQL,
     "q_top_orders_per_customer": Q_TOP_ORDERS_PER_CUSTOMER_SQL,
     "q_ntile_orders": Q_NTILE_ORDERS_SQL,
+    "q_median_price_by_priority": Q_MEDIAN_PRICE_SQL,
+    "q_unpivot_lineitem": Q_UNPIVOT_SQL,
     "q_full_outer_join": Q_FULL_OUTER_JOIN_SQL,
     "q_rollup_pricing": Q_ROLLUP_PRICING_SQL,
     "q_above_avg_orders": Q_ABOVE_AVG_ORDERS_SQL,

@@ -731,3 +731,86 @@ class TestLmScore:
         out = doc_lm_score(self.SF)
         out.count()  # execute so stats() carries the real plan
         assert "Sort" not in out.stats()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMedianRefinement:
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _pandas_rule(q):
+        # quantile_disc: k-th smallest with k = ceil(n*q), per group
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{TestMedianRefinement.SF}/orders.parquet",
+                          columns=["o_orderpriority", "o_totalprice"]
+                          ).to_pandas()
+        t["cents"] = np.round(t["o_totalprice"] * 100).astype(np.int64)
+        want = {}
+        for prio, g in t.groupby("o_orderpriority"):
+            v = np.sort(g["cents"].to_numpy())
+            want[prio] = int(v[max(int(np.ceil(q * len(v))), 1) - 1])
+        return want
+
+    def test_matches_pandas_rule(self):
+        from logparse_rs_ray.pipelines.relational import (
+            q_median_price_by_priority)
+
+        out = q_median_price_by_priority(self.SF).to_pandas()
+        want = self._pandas_rule(0.5)
+        got = dict(zip(out["o_orderpriority"], out["median_cents"]))
+        assert got == want
+
+    def test_forced_multipass_equals_default(self):
+        # nbins=4 forces ~13 passes over the cents domain — every driver
+        # narrowing step is exercised, the answer must not move
+        from logparse_rs_ray.pipelines.relational import (
+            q_median_price_by_priority)
+
+        slow = q_median_price_by_priority(self.SF, nbins=4, max_passes=16)
+        fast = q_median_price_by_priority(self.SF)
+        assert slow.equals(fast)
+
+    def test_other_quantile(self):
+        from logparse_rs_ray.pipelines.relational import (
+            q_median_price_by_priority)
+
+        out = q_median_price_by_priority(self.SF, q=0.9).to_pandas()
+        want = self._pandas_rule(0.9)
+        got = dict(zip(out["o_orderpriority"], out["median_cents"]))
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnpivot:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_melt(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.relational import (
+            UNPIVOT_MEASURES, q_unpivot_lineitem)
+
+        out = q_unpivot_lineitem(self.SF).to_pandas()
+        raw = pq.read_table(
+            f"{self.SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber"] +
+                    [c for _, c in UNPIVOT_MEASURES]).to_pandas()
+        assert len(out) == 4 * len(raw)
+        melted = raw.melt(id_vars=["l_orderkey", "l_linenumber"],
+                          var_name="col", value_name="val")
+        melted["measure"] = melted["col"].str.removeprefix("l_")
+        melted["value_x100"] = np.round(
+            melted["val"] * 100).astype(np.int64)
+        melted["l_linenumber"] = melted["l_linenumber"].astype(np.int64)
+        key = ["l_orderkey", "l_linenumber", "measure", "value_x100"]
+        a = out[key].sort_values(key).reset_index(drop=True)
+        b = melted[key].sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_sortless_plan(self):
+        from logparse_rs_ray.pipelines.relational import q_unpivot_lineitem
+
+        out = q_unpivot_lineitem(self.SF)
+        out.count()
+        assert "Sort" not in out.stats()

@@ -53,6 +53,7 @@ SORTLESS_QUERIES = [
     "q_moving_avg_orders",
     "q_ntile_orders",
     "doc_lm_score",
+    "q_unpivot_lineitem",
     # survivor anti-joins (minhash/simhash/semantic) return a pa.Table in
     # the broadcast regime — covered by their own two-regime pytests
 ]
