@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     ndp.add_argument("--input", required=True)
     ndp.add_argument("--output", required=True)
     ndp.add_argument("--schema")
+    ndp.add_argument("--format", choices=["parquet", "text"],
+                     default="parquet",
+                     help="input layout: parquet table with a text column, "
+                          "or raw log files/dirs (one line per record — "
+                          "the reference's parse_file_to_ndjson input)")
     ndp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
     curp = sub.add_parser(
@@ -121,7 +126,13 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.ndjson import write_ndjson_sinks
 
             schema = _load_schema(args.schema)
-            parsed = parse_webtext(rd.read_parquet(args.input), schema)
+            if args.format == "text":
+                from .sources import read_log_lines
+
+                src = read_log_lines(args.input)
+            else:
+                src = rd.read_parquet(args.input)
+            parsed = parse_webtext(src, schema)
             write_ndjson_sinks(parsed, args.output, schema)
             print(json.dumps({"status": "ok", "output": args.output}))
         elif args.cmd == "curate":

@@ -5,7 +5,8 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ["read_table", "read_ndjson", "write_json_report"]
+__all__ = ["read_table", "read_ndjson", "read_log_lines",
+           "write_json_report"]
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs):
@@ -27,6 +28,25 @@ def write_json_report(report: dict, path: str) -> None:
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(report, fh, indent=2, sort_keys=True)
     os.replace(tmp, path)
+
+
+def read_log_lines(paths, **kwargs):
+    """Distributed raw log-file source: one row per line, column ``text``
+    — the shape ``WebtextParser`` / ``run_flagship`` consume, so pointing
+    the engine at raw syslog files on disk (the reference's primary input
+    mode: pan_dynamic_parser.py ``main()`` / ``parse_file_to_ndjson`` read
+    log files line-by-line) is one call.  Ray's text datasource lists
+    files in parallel, splits by file, and streams blocks with
+    backpressure — a directory of large logs never funnels through the
+    driver.  Empty lines are dropped by default (``drop_empty_lines``
+    passes through via ``kwargs``); non-UTF8 bytes surface as the usual
+    parser dead-letter rows downstream, not a read failure, when
+    ``encoding`` kwargs allow (default utf-8 with replacement is NOT
+    applied — pass ``encoding`` explicitly for Latin-1 logs).
+    """
+    import ray.data as rd
+
+    return rd.read_text(paths, **kwargs)
 
 
 def read_ndjson(path, column_types: dict | None = None, **kwargs):

@@ -173,3 +173,70 @@ class TestNdjsonRoundtrip:
         assert len(back) == len(written) > 0
         assert set(back.hash64) == set(written)
         assert {"parsed", "raw_excerpt", "hash64"} <= set(back.columns)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRawLogSource:
+    def test_raw_files_equal_parquet_path(self, tmp_path):
+        """read_log_lines over raw .log files parses to the SAME records as
+        the parquet path — the reference's primary input mode (point the
+        engine at log files on disk)."""
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.flagship import parse_webtext
+        from logparse_rs_ray.sources import read_log_lines
+
+        table = generate_webtext_table(600, seed=7)
+        lines = table["text"].to_pylist()
+        # shard the corpus across several raw files (parallel read path)
+        logdir = tmp_path / "rawlogs"
+        logdir.mkdir()
+        for i in range(4):
+            with open(logdir / f"part-{i}.log", "w", encoding="utf-8") as fh:
+                fh.write("\n".join(lines[i::4]) + "\n")
+
+        schema = pan_schema()
+        via_files = parse_webtext(read_log_lines(str(logdir)), schema)
+        via_table = parse_webtext(rd.from_arrow(table), schema)
+
+        def hashes(ds):
+            import pyarrow.compute as pc
+
+            out = []
+            for b in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+                clean = b.filter(pc.equal(b["_error"], ""))
+                out.extend(clean["hash64"].to_pylist())
+            return sorted(out)
+
+        a, b = hashes(via_files), hashes(via_table)
+        assert len(a) > 0 and a == b
+
+    def test_cli_ndjson_text_format(self, tmp_path):
+        """`cli ndjson --format text` over a raw log file writes the same
+        envelope set as the parquet input path."""
+        from logparse_rs_ray.pipelines.flagship import parse_webtext
+        from logparse_rs_ray.pipelines.ndjson import write_ndjson_sinks
+        from logparse_rs_ray.sources import read_log_lines
+
+        table = generate_webtext_table(200, seed=11)
+        raw = tmp_path / "one.log"
+        raw.write_text("\n".join(table["text"].to_pylist()) + "\n",
+                       encoding="utf-8")
+        schema = pan_schema()
+        out = str(tmp_path / "nd_text")
+        # same composition the CLI's --format text branch runs (the CLI
+        # itself owns ray.init, so tests drive the library composition)
+        write_ndjson_sinks(parse_webtext(read_log_lines(str(raw)), schema),
+                           out, schema)
+        got = set()
+        for f in glob.glob(f"{out}/**/*.json", recursive=True):
+            for line in open(f):
+                got.add(json.loads(line)["hash64"])
+        want = set()
+        for text in table["text"].to_pylist():
+            payload = extract_csv(text)
+            fields = split_csv(payload)
+            if len(fields) > TYPE_INDEX and fields[TYPE_INDEX] in schema.type_to_fields:
+                want.add(fnv1a64(payload))
+        assert got == want
