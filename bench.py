@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "dedup_exact_priority",
     "dedup_simhash_survivors",
     "ann_topk_int8",
+    "doc_lm_score",
+    "q_median_price_by_priority",
 ]
 
 

@@ -1484,7 +1484,83 @@ def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,
                                 num_partitions=num_partitions)
 
 
+def dedup_minhash_keep_best(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
+                            num_partitions: int = 8,
+                            broadcast_max_drop: int = 5_000_000):
+    """(doc_id, source) — fuzzy dedup keeping the HIGHEST-QUALITY member of
+    each near-dup cluster instead of the min-id one: the curation-grade
+    keep rule (when near-dups differ — truncation, boilerplate damage —
+    keep the best copy, not an arbitrary one).  Quality = the integer
+    ``n_tokens`` facet of ``doc_quality`` (the longest fluent copy wins);
+    ties break to the smaller doc_id, so the output is deterministic and
+    equals ``dedup_minhash_survivors`` whenever all cluster members tie.
+
+    Scale shape: same verified-pair graph + clustering as
+    ``dedup_minhash_survivors``; the quality lookup is ONE extra corpus
+    pass that scores ONLY cluster members (membership broadcasts via
+    ``ray.put``, dup-rate-∝) and emits packed ``score * 2^32 + (2^32-1 -
+    doc_id)`` rows — argmax-by-max, the same packed-rule trick as
+    ``dedup_exact_priority`` — so the winner per cluster falls out of one
+    max over dup-∝ rows.  Corpus text never shuffles.
+    """
+    import ray
+
+    pairs = verified_pairs_ngram(sf_dir, threshold=threshold, k=k,
+                                 num_partitions=num_partitions)
+    pairs = pairs.rename_columns(["vec_a", "vec_b", "jaccard_pct"])
+    clusters = _union_find_clusters(pairs)
+    members = np.asarray(clusters["vec_id"], dtype=np.int64)   # sorted
+    clust = np.asarray(clusters["cluster_id"], dtype=np.int64)
+    assert (members < (1 << 32)).all(), "doc_id must fit 32 bits for packing"
+    member_ref = ray.put((members, clust))
+
+    corpus = read_table(sf_dir, "documents",
+                        columns=["doc_id", "text", "source"])
+
+    def score_members(b: pa.Table) -> pa.Table:
+        mem, cl = ray.get(member_ref)
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        pos = np.searchsorted(mem, ids)
+        pos = np.minimum(pos, len(mem) - 1) if len(mem) else pos
+        hit = (mem[pos] == ids) if len(mem) else np.zeros(len(ids), bool)
+        sub = b.filter(pa.array(hit))
+        if sub.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], type=pa.int64()),
+                             "packed": pa.array([], type=pa.int64())})
+        ntok = np.asarray(
+            pc.fill_null(pc.count_substring_regex(sub["text"], r"\S+"), 0),
+            dtype=np.int64)
+        sid = np.asarray(sub["doc_id"], dtype=np.int64)
+        packed = ntok * (1 << 32) + ((1 << 32) - 1 - sid)
+        return pa.table({"cluster_id": pa.array(cl[pos[hit]]),
+                         "packed": pa.array(packed)})
+
+    scored = pa.concat_tables(list(
+        corpus.map_batches(score_members, batch_format="pyarrow",
+                           batch_size=None)
+              .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"cluster_id": pa.array([], type=pa.int64()),
+                   "packed": pa.array([], type=pa.int64())})])
+    if scored.num_rows:
+        best = scored.group_by(["cluster_id"]).aggregate([("packed", "max")])
+        winners = ((1 << 32) - 1 -
+                   (np.asarray(best["packed_max"], dtype=np.int64) %
+                    (1 << 32)))
+        drop_ids = np.setdiff1d(members, winners)
+    else:
+        drop_ids = members
+    drop = pa.table({"doc_id": pa.array(drop_ids.astype(np.int64))})
+    # fresh column-pruned read for the survivors pass — the text column
+    # must not ride the anti-join
+    out_corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return _anti_join_survivors(out_corpus, drop, "doc_id", "source",
+                                pa.string(),
+                                broadcast_max_drop=broadcast_max_drop,
+                                num_partitions=num_partitions)
+
+
 QUERIES = {
+    "dedup_minhash_keep_best": dedup_minhash_keep_best,
     "dedup_exact_priority": dedup_exact_priority,
     "doc_semantic_pairs": doc_semantic_pairs,
     "doc_semantic_survivors": doc_semantic_survivors,
@@ -1508,6 +1584,7 @@ ORACLE_SQL = {
     "embed_dedup_survivors": EMBED_DEDUP_SURVIVORS_SQL,
     "doc_passage_dedup": DOC_PASSAGE_DEDUP_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
-    # minhash/simhash: probabilistic sketches, not SQL-expressible; pytest
-    # verifies them against brute-force oracles on tiny corpora instead.
+    # minhash/simhash (incl. dedup_minhash_keep_best): probabilistic
+    # sketches, not SQL-expressible; pytest verifies them against
+    # brute-force oracles on tiny corpora instead.
 }

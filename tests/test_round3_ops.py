@@ -814,3 +814,77 @@ class TestUnpivot:
         out = q_unpivot_lineitem(self.SF)
         out.count()
         assert "Sort" not in out.stats()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKeepBest:
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _mk_corpus(tmpdir):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        os.makedirs(tmpdir)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest before dusk "
+                "falls softly over the quiet sleeping valley tonight ") * 3
+        docs = {
+            10: base,                                  # cluster A, short
+            11: base.replace("forest", "woods", 1),    # cluster A, short
+            12: base + "plus an extra tail of several additional tokens "
+                       "making this copy clearly the longest one",  # A, BEST
+            20: "completely different unrelated text about ships " * 8,
+            21: "completely different unrelated text about ships " * 8,
+            30: "a lone singleton document with its own unique words here",
+            31: "another independent solitary text sharing no shingles",
+        }
+        pq.write_table(pa.table({
+            "doc_id": pa.array(sorted(docs), type=pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)]),
+            "source": pa.array([f"src{i % 3}" for i in sorted(docs)]),
+        }), f"{tmpdir}/documents.parquet")
+        return docs
+
+    def test_longest_wins_ties_to_min_id(self):
+        from logparse_rs_ray.pipelines.dedup import (
+            dedup_minhash_keep_best, dedup_minhash_survivors)
+
+        tmp = "/tmp/keep_best_probe"
+        self._mk_corpus(tmp)
+        best = sorted(dedup_minhash_keep_best(tmp).to_pandas()["doc_id"])
+        keep1 = sorted(dedup_minhash_survivors(tmp).to_pandas()["doc_id"])
+        # cluster A {10,11,12}: longest (12) survives under keep-best,
+        # min id (10) under keep-one; tie cluster {20,21} -> 20 both ways
+        assert best == [12, 20, 30, 31]
+        assert keep1 == [10, 20, 30, 31]
+        assert len(best) == len(keep1)  # same dedup cardinality
+
+    def test_serial_replay_on_real_corpus(self):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import (
+            _union_find_clusters, dedup_minhash_keep_best,
+            verified_pairs_ngram)
+
+        out = sorted(dedup_minhash_keep_best(self.SF).to_pandas()["doc_id"])
+
+        pairs = verified_pairs_ngram(self.SF).rename_columns(
+            ["vec_a", "vec_b", "jaccard_pct"])
+        clusters = _union_find_clusters(pairs).to_pandas()
+        docs = pq.read_table(f"{self.SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        ntok = {int(r["doc_id"]): len(re.findall(r"\S+", r["text"]))
+                for _, r in docs.iterrows()}
+        drop = set()
+        for _, grp in clusters.groupby("cluster_id"):
+            ids = [int(x) for x in grp["vec_id"]]
+            winner = max(ids, key=lambda i: (ntok[i], -i))
+            drop.update(set(ids) - {winner})
+        want = sorted(set(docs["doc_id"].astype(int)) - drop)
+        assert out == want
