@@ -79,15 +79,26 @@ def fnv1a64_arrow(arr: pa.Array | pa.ChunkedArray, prefix: bytes = b"") -> np.nd
     offsets, data = _buffers(arr)
     starts = offsets[:-1]
     lengths = offsets[1:] - starts
-    h = np.full(n, h0, dtype=_U64)
     max_len = int(lengths.max()) if n else 0
+    if max_len == 0:
+        return np.full(n, h0, dtype=_U64)
+    # FNV is strictly sequential per value, so the vectorization axis is
+    # ACROSS rows, one byte position per step.  Sorting rows by length
+    # descending makes the rows still active at position p exactly the
+    # prefix [:active[p]] of the sorted order — slice views replace the
+    # per-position boolean mask + fancy scatter of the naive loop (~3x).
+    order = np.argsort(-lengths, kind="stable")
+    starts_s = starts[order]
+    counts = np.bincount(lengths[order], minlength=max_len + 1)
+    active = n - np.cumsum(counts)  # active[p] = #rows with length > p
+    h_s = np.full(n, h0, dtype=_U64)
     with np.errstate(over="ignore"):
         for pos in range(max_len):
-            mask = lengths > pos
-            if not mask.any():
+            k = int(active[pos])
+            if k == 0:
                 break
-            idx = starts[mask] + pos
-            hv = h[mask]
-            hv = (hv ^ data[idx].astype(_U64)) * _PRIME64
-            h[mask] = hv
+            hv = h_s[:k]
+            np.multiply(hv ^ data[starts_s[:k] + pos], _PRIME64, out=hv)
+    h = np.empty(n, dtype=_U64)
+    h[order] = h_s
     return h

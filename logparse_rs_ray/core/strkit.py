@@ -30,6 +30,11 @@ def utf8_safe_truncate(arr: pa.Array | pa.ChunkedArray, max_bytes: int) -> pa.Ar
     lens = offsets[1:] - starts
     cut = np.minimum(lens, max_bytes)
     long_rows = np.nonzero(lens > max_bytes)[0]
+    if not len(long_rows):
+        # nothing to cut — zero-copy pass-through (the common case: short
+        # log lines under a 256-byte excerpt cap); the cast only widens
+        # offsets / validates UTF-8, exactly like the rebuild path's cast
+        return arr.cast(pa.large_string())
     if len(long_rows):
         # a cut is mid-char iff the byte AT the cut is a continuation byte
         # (0b10xxxxxx); back off until the cut lands on a char start
