@@ -1484,6 +1484,129 @@ def doc_semantic_survivors(sf_dir: str, *, threshold: float = 0.95,
                                 num_partitions=num_partitions)
 
 
+# --- sampled substring-fingerprint overlap (partial containment) ------------
+
+FP_BASE = np.uint64(0x100000001B3)   # polynomial rolling-hash base
+FP_K = 16                            # fingerprinted substring length (bytes)
+FP_P = 8                             # content-defined selection: h % p == 0
+
+
+def _doc_fingerprints(b: pa.Table, *, k: int, p: int):
+    """Per-doc sampled substring fingerprints for a pyarrow batch.
+
+    Rolling ``k``-byte polynomial hash over each doc's bytes; a position is
+    SELECTED iff ``hash % p == 0`` — the LBFS/rsync content-defined rule
+    (Muthitacharoen et al. 2001; the sampled-fingerprint idea behind MOSS
+    winnowing, Schleimer et al. 2003) — so the same substring selects the
+    same fingerprints wherever it appears, independent of position, doc or
+    block composition.  Returns (doc_idx:int64, fp:int64) with per-doc
+    duplicate fingerprints removed.  Docs shorter than ``k`` bytes emit
+    nothing.  Fully vectorized off the Arrow buffers: the hash is k
+    shifted multiply-adds over the whole concatenated buffer; cross-doc
+    windows are masked out.
+    """
+    arr = b["text"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(pc.cast(arr, pa.binary()), b"")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0]:off[-1]]
+    off = off - off[0]
+    n_win = len(data) - k + 1
+    if n_win <= 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    h = np.zeros(n_win, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            np.multiply(h, FP_BASE, out=h)
+            h += data[j:n_win + j]
+    # window start s belongs to doc d iff off[d] <= s <= off[d+1]-k
+    nh = np.maximum(np.diff(off) - k + 1, 0)
+    delta = np.zeros(n_win + 1, dtype=np.int64)
+    starts = off[:-1][nh > 0]
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, starts + nh[nh > 0], -1)
+    valid = np.cumsum(delta[:-1]) > 0
+    sel = valid & (h % np.uint64(p) == 0)
+    pos = np.nonzero(sel)[0]
+    doc_idx = np.searchsorted(off[1:], pos, side="right")
+    fp = h[pos].view(np.int64)
+    # per-doc dedup of repeated fingerprints
+    order = np.lexsort((fp, doc_idx))
+    doc_idx, fp = doc_idx[order], fp[order]
+    first = np.ones(len(fp), dtype=bool)
+    first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (fp[1:] != fp[:-1])
+    return doc_idx[first], fp[first]
+
+
+def doc_overlap_pairs(sf_dir: str, *, k: int = FP_K, p: int = FP_P,
+                      min_shared: int = 3, mode: str = "auto",
+                      num_partitions: int = 16, max_bucket: int = 256,
+                      agg_mode: str | None = None):
+    """(doc_a, doc_b, n_shared) — document pairs sharing >= ``min_shared``
+    sampled substring fingerprints: the PARTIAL-OVERLAP / containment
+    detector (quotation, excerpting, one doc embedding a slice of another)
+    that whole-doc MinHash misses — Jaccard over full shingle sets is tiny
+    when a short doc is contained in a long one, but the shared substring
+    still selects the same fingerprints in both.
+
+    Scale shape: fingerprinting is one vectorized corpus pass emitting
+    compact (fp, doc_id) rows (expected density ``(len-k+1)/p`` per doc —
+    text never shuffles); the bucket exchange reuses ``_bucket_pairs``'s
+    size-gated tree/shuffle regimes; fingerprints shared by more than
+    ``max_bucket`` docs are STOP-FINGERPRINTS (boilerplate) and are
+    dropped, never exploded quadratically (the MOSS practice); per-pair
+    shared counts merge through the combiner tree.  Rows-only (rolling
+    hash not SQL-expressible): pytest pins exact equality against a
+    serial Python replica plus containment / unrelated-doc properties.
+    """
+    from ..stages.aggregate import grouped_agg
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        doc_idx, fp = _doc_fingerprints(b, k=k, p=p)
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        return pa.table({"fp": pa.array(fp),
+                         "doc_id": pa.array(ids[doc_idx])})
+
+    exploded = ds.map_batches(fp_rows, batch_format="pyarrow",
+                              batch_size=None)
+
+    def pair_fn(ids: np.ndarray, *, empty: bool = False,
+                star: bool = False) -> pa.Table:
+        if empty or star or len(ids) < 2:
+            # star == over-cap bucket == stop-fingerprint: dropped entirely
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "n_shared": pa.array([], type=pa.int64())})
+        ids = np.sort(np.asarray(ids, dtype=np.int64))
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b]),
+                         "n_shared": pa.array(np.ones(len(a), np.int64))})
+
+    cand = _bucket_pairs(exploded, ["fp"], ["doc_id"], pair_fn,
+                         mode=mode, num_partitions=num_partitions,
+                         max_bucket=max_bucket)
+    counted = grouped_agg(cand, ["doc_a", "doc_b"],
+                          {"n_shared": "n_shared"},
+                          mode=agg_mode or mode,
+                          final_partitions=num_partitions)
+
+    def keep(bt: pa.Table) -> pa.Table:
+        return bt.filter(pc.greater_equal(bt["n_shared"], min_shared))
+
+    return counted.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
 def dedup_minhash_keep_best(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                             num_partitions: int = 8,
                             broadcast_max_drop: int = 5_000_000):
@@ -1561,6 +1684,7 @@ def dedup_minhash_keep_best(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 
 QUERIES = {
     "dedup_minhash_keep_best": dedup_minhash_keep_best,
+    "doc_overlap_pairs": doc_overlap_pairs,
     "dedup_exact_priority": dedup_exact_priority,
     "doc_semantic_pairs": doc_semantic_pairs,
     "doc_semantic_survivors": doc_semantic_survivors,

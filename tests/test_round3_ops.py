@@ -888,3 +888,117 @@ class TestKeepBest:
             drop.update(set(ids) - {winner})
         want = sorted(set(docs["doc_id"].astype(int)) - drop)
         assert out == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOverlapPairs:
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _serial_fps(text: str, k: int, p: int) -> set:
+        import numpy as np
+
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        if len(data) < k:
+            return set()
+        h = np.zeros(len(data) - k + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = h * np.uint64(0x100000001B3) + data[j:len(data) - k + 1 + j]
+        return set(int(x) for x in h[h % np.uint64(p) == 0].view(np.int64))
+
+    @classmethod
+    def _serial_pairs(cls, docs: dict, *, k=16, p=8, min_shared=3,
+                      max_bucket=256) -> dict:
+        from collections import Counter, defaultdict
+
+        fps = {i: cls._serial_fps(t, k, p) for i, t in docs.items()}
+        by_fp = defaultdict(list)
+        for i, s in fps.items():
+            for f in s:
+                by_fp[f].append(i)
+        shared = Counter()
+        for f, ids in by_fp.items():
+            if 2 <= len(ids) <= max_bucket:   # over-cap = stop-fingerprint
+                ids = sorted(ids)
+                for x in range(len(ids)):
+                    for y in range(x + 1, len(ids)):
+                        shared[(ids[x], ids[y])] += 1
+        return {pr: c for pr, c in shared.items() if c >= min_shared}
+
+    def test_matches_serial_replica_on_real_corpus(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_overlap_pairs
+
+        out = doc_overlap_pairs(self.SF).to_pandas()
+        docs = dict(zip(
+            *(c.to_pylist() for c in pq.read_table(
+                f"{self.SF}/documents.parquet",
+                columns=["doc_id", "text"]).columns)))
+        want = self._serial_pairs(docs)
+        got = {(int(r["doc_a"]), int(r["doc_b"])): int(r["n_shared"])
+               for _, r in out.iterrows()}
+        assert got == want
+        assert len(got) > 0  # the corpus has near-dups; shared fps exist
+
+    def test_containment_detected_unrelated_not(self):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_overlap_pairs
+
+        rng = np.random.default_rng(5)
+
+        def rand_text(n):
+            return "".join(chr(c) for c in rng.integers(97, 123, size=n))
+
+        big = rand_text(3000)
+        contained = rand_text(200) + big[1000:1600] + rand_text(200)
+        unrelated = rand_text(1500)
+        tmp = "/tmp/overlap_probe"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([big, contained, unrelated]),
+        }), f"{tmp}/documents.parquet")
+        out = doc_overlap_pairs(tmp, min_shared=2).to_pandas()
+        pairs = {(int(r["doc_a"]), int(r["doc_b"])) for _, r in out.iterrows()}
+        assert (1, 2) in pairs      # the 600-byte shared slice is seen
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_stop_fingerprint_cap(self):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_overlap_pairs
+
+        # 6 docs all sharing one boilerplate slab; max_bucket=4 makes its
+        # fingerprints stop-fps -> no pairs survive
+        slab = "shared boilerplate text that appears everywhere " * 10
+        tmp = "/tmp/overlap_stopfp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": pa.array([f"doc {i} intro. " + slab for i in range(6)]),
+        }), f"{tmp}/documents.parquet")
+        dropped = doc_overlap_pairs(tmp, max_bucket=4, min_shared=2)
+        kept = doc_overlap_pairs(tmp, max_bucket=256, min_shared=2)
+        assert dropped.count() == 0
+        assert kept.count() == 15   # all C(6,2) pairs share the slab
+
+    def test_block_composition_independence(self):
+        from logparse_rs_ray.pipelines.dedup import doc_overlap_pairs
+
+        a = doc_overlap_pairs(self.SF).to_pandas()
+        b = doc_overlap_pairs(self.SF, num_partitions=3,
+                              mode="shuffle").to_pandas()
+        key = ["doc_a", "doc_b", "n_shared"]
+        assert a[key].sort_values(key).reset_index(drop=True).equals(
+            b[key].sort_values(key).reset_index(drop=True))

@@ -788,7 +788,7 @@ class TestQueryRegistry:
             "log_value_quantiles_by_type", "doc_embed_hashvec",
             "doc_semantic_pairs", "doc_semantic_survivors",
             "embed_quantize", "dedup_simhash_survivors", "ann_topk_int8",
-            "doc_lm_score", "dedup_minhash_keep_best",
+            "doc_lm_score", "dedup_minhash_keep_best", "doc_overlap_pairs",
         }, rows_only
 
 
