@@ -1491,19 +1491,14 @@ FP_K = 16                            # fingerprinted substring length (bytes)
 FP_P = 8                             # content-defined selection: h % p == 0
 
 
-def _doc_fingerprints(b: pa.Table, *, k: int, p: int):
-    """Per-doc sampled substring fingerprints for a pyarrow batch.
-
-    Rolling ``k``-byte polynomial hash over each doc's bytes; a position is
-    SELECTED iff ``hash % p == 0`` — the LBFS/rsync content-defined rule
-    (Muthitacharoen et al. 2001; the sampled-fingerprint idea behind MOSS
-    winnowing, Schleimer et al. 2003) — so the same substring selects the
-    same fingerprints wherever it appears, independent of position, doc or
-    block composition.  Returns (doc_idx:int64, fp:int64) with per-doc
-    duplicate fingerprints removed.  Docs shorter than ``k`` bytes emit
-    nothing.  Fully vectorized off the Arrow buffers: the hash is k
-    shifted multiply-adds over the whole concatenated buffer; cross-doc
-    windows are masked out.
+def _rolling_kgram(b: pa.Table, *, k: int, p: int):
+    """Shared core: per-batch rolling ``k``-byte polynomial hash + LBFS
+    content-defined selection (``hash % p == 0``) over the concatenated
+    doc bytes.  Returns ``(off, data, pos, doc_idx, h)``: doc byte offsets,
+    the packed byte buffer, the SELECTED global window-start positions,
+    their doc indices, and the full hash array.  Cross-doc windows are
+    masked; docs shorter than ``k`` select nothing.  Fully vectorized (k
+    multiply-adds over the whole buffer).
     """
     arr = b["text"]
     if isinstance(arr, pa.ChunkedArray):
@@ -1517,7 +1512,8 @@ def _doc_fingerprints(b: pa.Table, *, k: int, p: int):
     off = off - off[0]
     n_win = len(data) - k + 1
     if n_win <= 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        e = np.empty(0, dtype=np.int64)
+        return off, data, e, e, np.empty(0, dtype=np.uint64)
     h = np.zeros(n_win, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):
@@ -1533,6 +1529,24 @@ def _doc_fingerprints(b: pa.Table, *, k: int, p: int):
     sel = valid & (h % np.uint64(p) == 0)
     pos = np.nonzero(sel)[0]
     doc_idx = np.searchsorted(off[1:], pos, side="right")
+    return off, data, pos, doc_idx, h
+
+
+def _doc_fingerprints(b: pa.Table, *, k: int, p: int):
+    """Per-doc sampled substring fingerprints for a pyarrow batch.
+
+    Rolling ``k``-byte polynomial hash over each doc's bytes; a position is
+    SELECTED iff ``hash % p == 0`` — the LBFS/rsync content-defined rule
+    (Muthitacharoen et al. 2001; the sampled-fingerprint idea behind MOSS
+    winnowing, Schleimer et al. 2003) — so the same substring selects the
+    same fingerprints wherever it appears, independent of position, doc or
+    block composition.  Returns (doc_idx:int64, fp:int64) with per-doc
+    duplicate fingerprints removed.  Docs shorter than ``k`` bytes emit
+    nothing.
+    """
+    _off, _data, pos, doc_idx, h = _rolling_kgram(b, k=k, p=p)
+    if len(pos) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     fp = h[pos].view(np.int64)
     # per-doc dedup of repeated fingerprints
     order = np.lexsort((fp, doc_idx))
@@ -1605,6 +1619,110 @@ def doc_overlap_pairs(sf_dir: str, *, k: int = FP_K, p: int = FP_P,
         return bt.filter(pc.greater_equal(bt["n_shared"], min_shared))
 
     return counted.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+CDC_P = 64   # expected content-defined chunk size (bytes)
+
+
+def doc_cdc_chunk_dedup(sf_dir: str, *, k: int = FP_K, p: int = CDC_P,
+                        min_chunk: int = FP_K,
+                        mode: str = "auto", num_partitions: int = 16):
+    """(doc_id, n_dup_chunks, n_chunks) — content-defined-chunking dedup
+    census: each doc splits at positions where the rolling ``k``-byte hash
+    satisfies ``h % p == 0`` (boundaries move WITH the content — the
+    rsync/LBFS/casync chunking rule), each chunk is FNV-hashed, and a
+    chunk instance counts as dup if the same chunk bytes occur anywhere
+    else in the corpus.  The insertion-robust sibling of
+    ``doc_passage_dedup``: a 10-byte insertion shifts every fixed word
+    window after it, but content-defined boundaries re-synchronize within
+    ~p bytes, so shared runs keep deduplicating.
+
+    Chunk rule (pinned for the serial oracle): a selected position is KEPT
+    iff it lies >= ``min_chunk`` bytes after the previous RAW selection in
+    the doc (or the doc start) — the standard CDC minimum-size clamp,
+    phrased against raw selections so it stays stateless/vectorizable;
+    without it adjacent selections make 1-byte chunks that collide
+    trivially.  Chunk starts = {0} ∪ {kept positions}, ends = next start
+    or doc end; docs shorter than ``k`` bytes are one whole chunk; empty
+    docs have zero chunks (absent from the census).
+
+    Scale shape: one vectorized corpus pass emits compact (chunk_hash,
+    doc_id) rows (text never shuffles); ONE hash exchange co-locates
+    equal chunk hashes so dup marking is block-local; the per-doc census
+    merges through the size-gated tree/shuffle aggregate.  Output is
+    corpus-∝ and sortless.  Rows-only (rolling hash not SQL-expressible).
+    """
+    from ..stages.aggregate import grouped_agg
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        from ..core.strkit import _gather_varlen
+
+        tune_worker_threads()
+        off, data, pos, pdoc, _h = _rolling_kgram(b, k=k, p=p)
+        if len(pos):
+            # min-chunk clamp vs the previous RAW selection (or doc start)
+            base = np.where(
+                np.concatenate([[False], pdoc[1:] == pdoc[:-1]]),
+                np.concatenate([[0], pos[:-1]]), off[pdoc])
+            kmask = (pos - base) >= min_chunk
+            pos, pdoc = pos[kmask], pdoc[kmask]
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        doclen = np.diff(off)
+        # candidate chunk starts: doc start (docs with bytes) + selections
+        d0 = np.nonzero(doclen > 0)[0]
+        all_doc = np.concatenate([d0, pdoc])
+        all_start = np.concatenate([off[:-1][d0], pos])
+        order = np.lexsort((all_start, all_doc))
+        all_doc, all_start = all_doc[order], all_start[order]
+        keep = np.ones(len(all_doc), dtype=bool)   # drop start==0 dup
+        keep[1:] = (all_doc[1:] != all_doc[:-1]) | \
+                   (all_start[1:] != all_start[:-1])
+        all_doc, all_start = all_doc[keep], all_start[keep]
+        ends = np.empty(len(all_start), dtype=np.int64)
+        if len(all_start):
+            ends[:-1] = np.where(all_doc[1:] == all_doc[:-1],
+                                 all_start[1:], off[all_doc[:-1] + 1])
+            ends[-1] = off[all_doc[-1] + 1]
+        out_off, out_data = _gather_varlen(data, all_start, ends - all_start)
+        chunks = pa.Array.from_buffers(
+            pa.large_binary(), len(all_start),
+            [None, pa.py_buffer(out_off.tobytes()),
+             pa.py_buffer(out_data.tobytes())])
+        return pa.table({
+            "chunk_hash": pa.array(
+                fnv1a64_arrow(chunks).view(np.int64)),
+            "doc_id": pa.array(ids[all_doc]),
+        })
+
+    rows = ds.map_batches(chunk_rows, batch_format="pyarrow",
+                          batch_size=None)
+    part = hash_partition(rows, ["chunk_hash"], num_partitions)
+
+    def mark(bt: pa.Table) -> pa.Table:
+        if bt.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "dup": pa.array([], type=pa.int64())})
+        hsh = np.asarray(bt["chunk_hash"], dtype=np.int64)
+        order = np.argsort(hsh, kind="stable")
+        hs = hsh[order]
+        starts = np.ones(len(hs), dtype=bool)
+        starts[1:] = hs[1:] != hs[:-1]
+        seg = np.cumsum(starts) - 1
+        cnt = np.bincount(seg)
+        dup = (cnt[seg] >= 2).astype(np.int64)
+        ids = np.asarray(bt["doc_id"], dtype=np.int64)[order]
+        return pa.table({"doc_id": pa.array(ids), "dup": pa.array(dup)})
+
+    marked = part.map_batches(mark, batch_format="pyarrow", batch_size=None)
+    return grouped_agg(marked, ["doc_id"], {"n_dup_chunks": "dup"},
+                       count_name="n_chunks", mode=mode,
+                       final_partitions=num_partitions)
 
 
 def dedup_minhash_keep_best(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
@@ -1685,6 +1803,7 @@ def dedup_minhash_keep_best(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 QUERIES = {
     "dedup_minhash_keep_best": dedup_minhash_keep_best,
     "doc_overlap_pairs": doc_overlap_pairs,
+    "doc_cdc_chunk_dedup": doc_cdc_chunk_dedup,
     "dedup_exact_priority": dedup_exact_priority,
     "doc_semantic_pairs": doc_semantic_pairs,
     "doc_semantic_survivors": doc_semantic_survivors,

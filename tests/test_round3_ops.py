@@ -1002,3 +1002,112 @@ class TestOverlapPairs:
         key = ["doc_a", "doc_b", "n_shared"]
         assert a[key].sort_values(key).reset_index(drop=True).equals(
             b[key].sort_values(key).reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCdcChunkDedup:
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _serial_chunks(text: str, k=16, p=64, min_chunk=16) -> list:
+        """Pinned chunk rule: starts = {0} + selections kept by the
+        min-chunk clamp (>= min_chunk after the previous RAW selection or
+        the doc start)."""
+        data = text.encode("utf-8")
+        if not data:
+            return []
+        starts = [0]
+        if len(data) >= k:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            hs = np.zeros(len(arr) - k + 1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(k):
+                    hs = hs * np.uint64(0x100000001B3) + arr[j:len(arr) - k + 1 + j]
+            raw = [int(x) for x in np.nonzero(hs % np.uint64(p) == 0)[0]]
+            prev = 0
+            for j in raw:
+                if j - prev >= min_chunk and j != 0:
+                    starts.append(j)
+                prev = j
+        ss = sorted(set(starts))
+        return [data[a:b] for a, b in zip(ss, ss[1:] + [len(data)])]
+
+    @classmethod
+    def _serial_census(cls, docs: dict) -> dict:
+        from collections import Counter
+
+        chunks = {i: cls._serial_chunks(t) for i, t in docs.items()}
+        counts = Counter(c for cs in chunks.values() for c in cs)
+        return {i: (sum(counts[c] >= 2 for c in cs), len(cs))
+                for i, cs in chunks.items() if cs}
+
+    def test_matches_serial_replica(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_cdc_chunk_dedup
+
+        out = doc_cdc_chunk_dedup(self.SF).to_pandas()
+        docs = dict(zip(*(c.to_pylist() for c in pq.read_table(
+            f"{self.SF}/documents.parquet",
+            columns=["doc_id", "text"]).columns)))
+        want = self._serial_census(docs)
+        got = {int(r["doc_id"]): (int(r["n_dup_chunks"]), int(r["n_chunks"]))
+               for _, r in out.iterrows()}
+        assert got == want
+        assert any(d > 0 for d, _ in got.values())  # corpus has shared runs
+
+    def test_insertion_robustness(self):
+        """A mid-doc insertion must leave MOST chunks shared — the whole
+        point of content-defined over fixed-offset chunking."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_cdc_chunk_dedup
+
+        rng = np.random.default_rng(9)
+        base = "".join(chr(c) for c in rng.integers(97, 123, size=6000))
+        edited = base[:3000] + "INSERTED TEN" + base[3000:]
+        tmp = "/tmp/cdc_probe"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([base, edited]),
+        }), f"{tmp}/documents.parquet")
+        out = doc_cdc_chunk_dedup(tmp).to_pandas().set_index("doc_id")
+        frac = out.loc[1, "n_dup_chunks"] / out.loc[1, "n_chunks"]
+        assert frac > 0.6, dict(out["n_dup_chunks"])
+        # unrelated control: fresh random text shares nothing
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array([base,
+                              "".join(chr(c) for c in
+                                      rng.integers(97, 123, size=6000))]),
+        }), f"{tmp}/documents.parquet")
+        out2 = doc_cdc_chunk_dedup(tmp).to_pandas()
+        # unrelated docs share (near) nothing — tolerate rare sub-min-size
+        # tail-chunk collisions
+        assert (out2["n_dup_chunks"] / out2["n_chunks"]).max() < 0.05
+
+    def test_edges(self):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_cdc_chunk_dedup
+
+        tmp = "/tmp/cdc_edge"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["tiny", "", None, "tiny"]),
+        }), f"{tmp}/documents.parquet")
+        out = doc_cdc_chunk_dedup(tmp).to_pandas().set_index("doc_id")
+        # empty/null docs absent; sub-k docs are one whole chunk; the two
+        # identical tiny docs deduplicate against each other
+        assert sorted(out.index) == [1, 4]
+        assert (out["n_chunks"] == 1).all() and (out["n_dup_chunks"] == 1).all()
