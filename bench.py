@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "ann_topk_int8",
     "doc_lm_score",
     "q_median_price_by_priority",
+    "doc_cdc_chunk_dedup",
 ]
 
 
