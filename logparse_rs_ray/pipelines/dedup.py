@@ -1621,6 +1621,95 @@ def doc_overlap_pairs(sf_dir: str, *, k: int = FP_K, p: int = FP_P,
     return counted.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
+def doc_overlap_survivors(sf_dir: str, *, k: int = FP_K, p: int = FP_P,
+                          min_shared: int = 3, containment_pct: int = 80,
+                          mode: str = "auto", num_partitions: int = 16,
+                          max_bucket: int = 256,
+                          broadcast_max_drop: int = 5_000_000):
+    """(doc_id, source) — the corpus after CONTAINMENT dedup: a doc whose
+    sampled-fingerprint set is >= ``containment_pct``% covered by a pair
+    partner's (shared fingerprints >= that fraction of ITS OWN count) is
+    dropped in favor of the partner with MORE fingerprints — removing
+    quoted / excerpted / truncated subset copies that whole-doc MinHash
+    never pairs (their full-set Jaccard vanishes).  The fourth survivor
+    rule next to min-id (MinHash/SimHash/semantic) and keep-best-quality.
+
+    Drop rule per pair (a, b) with fingerprint counts c_a, c_b and
+    ``n_shared`` s: the smaller-count side x (ties: the LARGER doc_id)
+    is dropped iff ``s * 100 >= containment_pct * c_x``.  Integer
+    arithmetic only; deterministic.
+
+    Scale shape: the pair graph is dup-rate-∝ (from ``doc_overlap_pairs``,
+    stop-fingerprints capped); fingerprint counts are fetched by ONE
+    corpus pass filtered to pair members (membership broadcasts via
+    ``ray.put`` — the ``dedup_minhash_keep_best`` pattern), so nothing
+    corpus-sized reaches the driver; survivors ride the shared
+    broadcast/co-located anti-join and corpus text never shuffles.
+    """
+    import ray
+
+    pairs_ds = doc_overlap_pairs(sf_dir, k=k, p=p, min_shared=min_shared,
+                                 mode=mode, num_partitions=num_partitions,
+                                 max_bucket=max_bucket)
+    pairs = pa.concat_tables(list(
+        pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"doc_a": pa.array([], type=pa.int64()),
+                   "doc_b": pa.array([], type=pa.int64()),
+                   "n_shared": pa.array([], type=pa.int64())})])
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    if pairs.num_rows == 0:
+        drop = pa.table({"doc_id": pa.array([], type=pa.int64())})
+        return _anti_join_survivors(corpus, drop, "doc_id", "source",
+                                    pa.string(),
+                                    broadcast_max_drop=broadcast_max_drop,
+                                    num_partitions=num_partitions)
+    a = np.asarray(pairs["doc_a"], dtype=np.int64)
+    bb = np.asarray(pairs["doc_b"], dtype=np.int64)
+    s = np.asarray(pairs["n_shared"], dtype=np.int64)
+    members = np.unique(np.concatenate([a, bb]))
+    member_ref = ray.put(members)
+
+    text_ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp_counts(bt: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        mem = ray.get(member_ref)
+        ids = np.asarray(bt["doc_id"], dtype=np.int64)
+        pos = np.searchsorted(mem, ids)
+        pos = np.minimum(pos, len(mem) - 1)
+        sub = bt.filter(pa.array(mem[pos] == ids))
+        if sub.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_fps": pa.array([], type=pa.int64())})
+        doc_idx, _fp = _doc_fingerprints(sub, k=k, p=p)
+        cnt = np.bincount(doc_idx, minlength=sub.num_rows)
+        return pa.table({"doc_id": sub["doc_id"],
+                         "n_fps": pa.array(cnt.astype(np.int64))})
+
+    census = pa.concat_tables(list(
+        text_ds.map_batches(fp_counts, batch_format="pyarrow",
+                            batch_size=None)
+               .iter_batches(batch_format="pyarrow", batch_size=None)))
+    cid = np.asarray(census["doc_id"], dtype=np.int64)
+    cn = np.asarray(census["n_fps"], dtype=np.int64)
+    lookup = np.zeros(len(members), dtype=np.int64)
+    lookup[np.searchsorted(members, cid)] = cn
+    c_a = lookup[np.searchsorted(members, a)]
+    c_b = lookup[np.searchsorted(members, bb)]
+    # contained side x: fewer fingerprints; ties -> the larger doc_id
+    a_is_small = (c_a < c_b) | ((c_a == c_b) & (a > bb))
+    x_id = np.where(a_is_small, a, bb)
+    c_x = np.where(a_is_small, c_a, c_b)
+    dropped = x_id[s * 100 >= containment_pct * c_x]
+    drop = pa.table({"doc_id": pa.array(np.unique(dropped))})
+    return _anti_join_survivors(corpus, drop, "doc_id", "source",
+                                pa.string(),
+                                broadcast_max_drop=broadcast_max_drop,
+                                num_partitions=num_partitions)
+
+
 CDC_P = 64   # expected content-defined chunk size (bytes)
 
 
@@ -1803,6 +1892,7 @@ def dedup_minhash_keep_best(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
 QUERIES = {
     "dedup_minhash_keep_best": dedup_minhash_keep_best,
     "doc_overlap_pairs": doc_overlap_pairs,
+    "doc_overlap_survivors": doc_overlap_survivors,
     "doc_cdc_chunk_dedup": doc_cdc_chunk_dedup,
     "dedup_exact_priority": dedup_exact_priority,
     "doc_semantic_pairs": doc_semantic_pairs,

@@ -1111,3 +1111,86 @@ class TestCdcChunkDedup:
         # identical tiny docs deduplicate against each other
         assert sorted(out.index) == [1, 4]
         assert (out["n_chunks"] == 1).all() and (out["n_dup_chunks"] == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOverlapSurvivors:
+    SF = "/root/testdata/sf0.001"
+
+    def test_contained_doc_dropped_partial_overlap_kept(self):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_overlap_survivors
+
+        rng = np.random.default_rng(13)
+
+        def rand_text(n):
+            return "".join(chr(c) for c in rng.integers(97, 123, size=n))
+
+        big = rand_text(4000)
+        subset = big[500:2500]                 # fully contained excerpt
+        half_a = rand_text(1500) + big[3000:3600]  # partial overlap with big
+        unrelated = rand_text(2000)
+        tmp = "/tmp/overlap_surv_probe"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([big, subset, half_a, unrelated]),
+            "source": pa.array(["s"] * 4),
+        }), f"{tmp}/documents.parquet")
+        out = doc_overlap_survivors(tmp, min_shared=2)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        kept = sorted(df["doc_id"])
+        # subset (2) is >=80% contained in big -> dropped; the partial
+        # overlapper (3) shares only ~25% of its own fingerprints -> kept
+        assert kept == [1, 3, 4]
+
+    def test_serial_replica_on_real_corpus(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_overlap_survivors
+
+        out = doc_overlap_survivors(self.SF)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        got = sorted(int(x) for x in df["doc_id"])
+
+        docs = dict(zip(*(c.to_pylist() for c in pq.read_table(
+            f"{self.SF}/documents.parquet",
+            columns=["doc_id", "text"]).columns)))
+        fps = {i: TestOverlapPairs._serial_fps(t, 16, 8)
+               for i, t in docs.items()}
+        pairs = TestOverlapPairs._serial_pairs(docs)
+        drop = set()
+        for (x, y), s in pairs.items():
+            cx, cy = len(fps[x]), len(fps[y])
+            small = x if (cx < cy or (cx == cy and x > y)) else y
+            if s * 100 >= 80 * (len(fps[small])):
+                drop.add(small)
+        want = sorted(set(docs) - drop)
+        assert got == want
+        assert len(drop) > 0   # the corpus has contained near-dups
+
+    def test_no_pairs_keeps_everything(self):
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.dedup import doc_overlap_survivors
+
+        tmp = "/tmp/overlap_surv_nodup"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["alpha beta gamma words",
+                              "entirely different text content"]),
+            "source": pa.array(["a", "b"]),
+        }), f"{tmp}/documents.parquet")
+        out = doc_overlap_survivors(tmp)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert sorted(df["doc_id"]) == [1, 2]

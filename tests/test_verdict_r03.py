@@ -789,7 +789,7 @@ class TestQueryRegistry:
             "doc_semantic_pairs", "doc_semantic_survivors",
             "embed_quantize", "dedup_simhash_survivors", "ann_topk_int8",
             "doc_lm_score", "dedup_minhash_keep_best", "doc_overlap_pairs",
-            "doc_cdc_chunk_dedup",
+            "doc_cdc_chunk_dedup", "doc_overlap_survivors",
         }, rows_only
 
 
