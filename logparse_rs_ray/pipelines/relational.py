@@ -521,30 +521,42 @@ FROM orders
 # --- exact grouped quantile over an unbounded domain (iterative
 # histogram refinement / distributed selection) ------------------------------
 
-def q_median_price_by_priority(sf_dir: str, *, q: float = 0.5,
+MEDIAN_QS = (0.25, 0.5, 0.9)
+
+
+def _q_col(q: float) -> str:
+    return "median_cents" if q == 0.5 else f"p{int(q * 100)}_cents"
+
+
+def q_median_price_by_priority(sf_dir: str, *, qs=MEDIAN_QS,
                                nbins: int = 4096, max_passes: int = 8,
                                fanin: int = 8):
-    """(o_orderpriority, median_cents) — EXACT ``quantile_disc(q)`` of order
-    price per priority via iterative histogram refinement (the distributed
-    selection algorithm): pass 0 collects per-group (count, min, max); each
+    """(o_orderpriority, p25_cents, median_cents, p90_cents) — EXACT
+    grouped ``quantile_disc`` of order price via iterative histogram
+    refinement (the distributed selection algorithm), ALL quantiles
+    simultaneously: pass 0 collects per-group (count, min, max); each
     refinement pass histograms the still-in-range values into ``nbins``
-    buckets per group, the driver narrows every group's [lo, hi] to the
-    bucket holding its target rank, and the loop ends when each range
-    collapses to one value.
+    buckets per (group, quantile) unit, the driver narrows every unit's
+    [lo, hi] to the bucket holding its target rank, and the loop ends
+    when each range collapses to one value.
 
     This is the third quantile shape next to ``doc_len_quantiles`` (exact,
     needs a small discrete domain — shuffle volume O(distinct values)) and
     ``log_value_quantiles`` (DDSketch, approximate): EXACT over an
     UNBOUNDED integer domain, at the price of O(log_nbins(domain)) corpus
-    scans (2 passes for cent prices, <= 6 for a full 64-bit domain).
-    Driver state is groups x nbins counts per pass; nothing corpus-sized
-    ever moves — each pass is block-local partials through the combiner
+    scans (2-3 passes for cent prices, <= 6 for a full 64-bit domain) —
+    the quantiles SHARE each read pass (one pass histograms every live
+    unit), so p25/p50/p90 cost the same scans as the median alone.
+    Driver state is groups x quantiles x nbins counts per pass; nothing
+    corpus-sized ever moves — per-block partials through the combiner
     tree.  Quantile rule matches DuckDB ``quantile_disc``: the k-th
     smallest with k = ceil(n*q).  Bounded output (one row per priority).
     """
     import numpy as np
 
     from ..stages.aggregate import tree_merge
+
+    nq = len(qs)
 
     def load():
         return read_table(sf_dir, "orders",
@@ -565,9 +577,12 @@ def q_median_price_by_priority(sf_dir: str, *, q: float = 0.5,
         fanin=fanin).iter_batches(batch_format="pyarrow", batch_size=None)))
     prios = base["prio"].to_pylist()
     n = np.asarray(base["cnt"], dtype=np.int64)
-    lo = np.asarray(base["vmin"], dtype=np.int64).copy()
-    hi = np.asarray(base["vmax"], dtype=np.int64).copy()
-    k = np.maximum(np.ceil(q * n).astype(np.int64), 1)  # 1-based in-range rank
+    # unit u = g * nq + qi: independent (lo, hi, k) per group x quantile
+    lo = np.repeat(np.asarray(base["vmin"], dtype=np.int64), nq)
+    hi = np.repeat(np.asarray(base["vmax"], dtype=np.int64), nq)
+    k = np.maximum(np.ceil(np.repeat(n, nq) *
+                           np.tile(np.asarray(qs), len(prios)))
+                   .astype(np.int64), 1)
 
     for _ in range(max_passes):
         live = lo < hi
@@ -585,13 +600,20 @@ def q_median_price_by_priority(sf_dir: str, *, q: float = 0.5,
                 pc.fill_null(pc.index_in(t["prio"], value_set=prio_arr), -1),
                 dtype=np.int64)
             v = np.asarray(t["cents"], dtype=np.int64)
-            m = gi >= 0
-            m &= live_c[gi] & (v >= lo_c[gi]) & (v <= hi_c[gi])
-            gi, v = gi[m], v[m]
-            packed = gi * nbins + (v - lo_c[gi]) // binw_c[gi]
-            ub, cnt = np.unique(packed, return_counts=True)
-            return pa.table({"gkey": pa.array(ub.astype(np.int64)),
-                             "cnt": pa.array(cnt.astype(np.int64))})
+            ok = gi >= 0
+            gi, v = gi[ok], v[ok]
+            keys, cnts = [], []
+            for qi in range(nq):             # nq tiny — rows vectorized
+                u = gi * nq + qi
+                m = live_c[u] & (v >= lo_c[u]) & (v <= hi_c[u])
+                um, vm = u[m], v[m]
+                packed = um * nbins + (vm - lo_c[um]) // binw_c[um]
+                ub, cnt = np.unique(packed, return_counts=True)
+                keys.append(ub)
+                cnts.append(cnt)
+            return pa.table({
+                "gkey": pa.array(np.concatenate(keys).astype(np.int64)),
+                "cnt": pa.array(np.concatenate(cnts).astype(np.int64))})
 
         hb = pa.concat_tables(list(tree_merge(
             load().map_batches(hist, batch_format="pyarrow", batch_size=None),
@@ -602,28 +624,34 @@ def q_median_price_by_priority(sf_dir: str, *, q: float = 0.5,
         cnt = np.asarray(hb["cnt"], dtype=np.int64)
         order = np.argsort(gkey)
         gkey, cnt = gkey[order], cnt[order]
-        gi_all, bins_all = gkey // nbins, gkey % nbins
-        for g in np.unique(gi_all):          # bounded: one hop per group
-            m = gi_all == g
+        u_all, bins_all = gkey // nbins, gkey % nbins
+        for u in np.unique(u_all):           # bounded: groups x quantiles
+            m = u_all == u
             cum = np.cumsum(cnt[m])
-            j = int(np.searchsorted(cum, k[g]))
+            j = int(np.searchsorted(cum, k[u]))
             b_sel = int(bins_all[m][j])
-            k[g] -= int(cum[j - 1]) if j else 0
-            new_lo = lo[g] + b_sel * binw[g]
-            hi[g] = min(hi[g], new_lo + binw[g] - 1)
-            lo[g] = new_lo
+            k[u] -= int(cum[j - 1]) if j else 0
+            new_lo = lo[u] + b_sel * binw[u]
+            hi[u] = min(hi[u], new_lo + binw[u] - 1)
+            lo[u] = new_lo
     assert (lo == hi).all(), "histogram refinement did not converge"
+    res = lo.reshape(len(prios), nq)
     return pa.table({
         "o_orderpriority": pa.array([str(p) for p in prios],
                                     type=pa.string()),
-        "median_cents": pa.array(lo.astype(np.int64)),
+        **{_q_col(q): pa.array(res[:, qi].astype(np.int64))
+           for qi, q in enumerate(qs)},
     }).sort_by("o_orderpriority")            # bounded output — sort is fine
 
 
 Q_MEDIAN_PRICE_SQL = """
 SELECT o_orderpriority,
+       CAST(quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25)
+            AS BIGINT) AS p25_cents,
        CAST(quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
-            AS BIGINT) AS median_cents
+            AS BIGINT) AS median_cents,
+       CAST(quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)
+            AS BIGINT) AS p90_cents
 FROM orders
 GROUP BY o_orderpriority
 """

@@ -752,14 +752,15 @@ class TestMedianRefinement:
             want[prio] = int(v[max(int(np.ceil(q * len(v))), 1) - 1])
         return want
 
-    def test_matches_pandas_rule(self):
+    def test_matches_pandas_rule_all_quantiles(self):
         from logparse_rs_ray.pipelines.relational import (
-            q_median_price_by_priority)
+            MEDIAN_QS, _q_col, q_median_price_by_priority)
 
         out = q_median_price_by_priority(self.SF).to_pandas()
-        want = self._pandas_rule(0.5)
-        got = dict(zip(out["o_orderpriority"], out["median_cents"]))
-        assert got == want
+        for q in MEDIAN_QS:
+            want = self._pandas_rule(q)
+            got = dict(zip(out["o_orderpriority"], out[_q_col(q)]))
+            assert got == want, q
 
     def test_forced_multipass_equals_default(self):
         # nbins=4 forces ~13 passes over the cents domain — every driver
@@ -771,13 +772,13 @@ class TestMedianRefinement:
         fast = q_median_price_by_priority(self.SF)
         assert slow.equals(fast)
 
-    def test_other_quantile(self):
+    def test_single_quantile_variant(self):
         from logparse_rs_ray.pipelines.relational import (
             q_median_price_by_priority)
 
-        out = q_median_price_by_priority(self.SF, q=0.9).to_pandas()
-        want = self._pandas_rule(0.9)
-        got = dict(zip(out["o_orderpriority"], out["median_cents"]))
+        out = q_median_price_by_priority(self.SF, qs=(0.99,)).to_pandas()
+        want = self._pandas_rule(0.99)
+        got = dict(zip(out["o_orderpriority"], out["p99_cents"]))
         assert got == want
 
 
