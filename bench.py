@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "q_median_price_by_priority",
     "doc_cdc_chunk_dedup",
+    "doc_inverted_index",
+    "doc_bigram_phrases",
 ]
 
 

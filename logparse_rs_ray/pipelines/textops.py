@@ -1585,6 +1585,228 @@ def doc_lm_score(sf_dir: str, *, sample_mod: int = LM_SAMPLE_MOD,
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+# --- inverted index (posting-list build) ------------------------------------
+
+def _flat_tokens(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Lower-cased whitespace tokens of ``b['text']`` as a flat object array
+    plus the doc index of each token, empties removed (the shared tokenizer
+    rule of ``doc_term_df`` / the SQL twin ``string_split_regex(lower(text),
+    '\\s+') ... <> ''``)."""
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(object)
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    off = off - off[0]
+    doc_of = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+    nonempty = flat != ""
+    return flat[nonempty], doc_of[nonempty]
+
+
+def doc_inverted_index(sf_dir: str, *, cap: int = 16,
+                       num_partitions: int = 8):
+    """(term, df, postings) — search-index build over the corpus: document
+    frequency per term plus the first ``cap`` posting doc_ids (ascending,
+    comma-joined) — the retrieval-index shape of a training-data pipeline
+    (dedup against an index, contamination lookups, hard-negative mining).
+
+    Scale shape: per-block distinct (term, doc_id) pairs (block-local
+    distinct IS global distinct — a document never straddles blocks), ONE
+    hash exchange by term co-locates each posting list, then one lexsort +
+    zero-copy LargeListArray ``binary_join`` per partition emits every
+    capped list with no per-term Python.  Text never shuffles; posting rows
+    are compact (term, doc_id) ints.  Output is vocabulary-∝ and sortless
+    (the gate compares order-insensitively).
+    """
+    from ..stages.shuffle import hash_partition
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        flat, doc_of = _flat_tokens(b)
+        ids = np.asarray(b["doc_id"], dtype=np.int64)[doc_of]
+        order = np.lexsort((ids, flat))
+        f, d = flat[order], ids[order]
+        keep = np.ones(len(f), dtype=bool)
+        if len(f) > 1:
+            keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        return pa.table({"term": pa.array(f[keep], type=pa.string()),
+                         "doc_id": pa.array(d[keep])})
+
+    pairs = ds.map_batches(block_pairs, batch_format="pyarrow",
+                           batch_size=None)
+
+    def postings_kernel(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "postings": pa.array([], type=pa.string())})
+        term = np.asarray(b["term"].to_pylist(), dtype=object)
+        d = np.asarray(b["doc_id"], dtype=np.int64)
+        order = np.lexsort((d, term))
+        t, d = term[order], d[order]
+        seg = np.concatenate(([True], t[1:] != t[:-1]))
+        starts = np.nonzero(seg)[0]
+        counts = np.diff(np.append(starts, len(t)))
+        rank = np.arange(len(t), dtype=np.int64) - np.repeat(starts, counts)
+        kept = d[rank < cap]
+        kept_counts = np.minimum(counts, cap)
+        offsets = pa.array(np.append(0, np.cumsum(kept_counts)))
+        strs = pc.cast(pa.array(kept), pa.string())
+        lst = pa.LargeListArray.from_arrays(offsets, strs)
+        return pa.table({
+            "term": pa.array(t[starts], type=pa.string()),
+            "df": pa.array(counts.astype(np.int64)),
+            "postings": pc.cast(pc.binary_join(lst, ","), pa.string()),
+        })
+
+    return hash_partition(pairs, ["term"], num_partitions).map_batches(
+        postings_kernel, batch_format="pyarrow", batch_size=None)
+
+
+DOC_INVERTED_INDEX_SQL = """
+WITH pairs AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           UNNEST(list_distinct(string_split_regex(lower(text), '\\s+'))) AS term
+    FROM documents)
+  WHERE term <> ''
+),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+  FROM pairs
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CASE WHEN rk <= 16 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM r GROUP BY term
+"""
+
+
+# --- quality-weighted deterministic sampling ---------------------------------
+
+def doc_weighted_sample(sf_dir: str, *, salt: int = 12345):
+    """Kept rows of a per-doc WEIGHTED deterministic sample: each doc
+    survives with probability proportional to a quality proxy
+    (``permille = min(900, 100 + n_chars)``), decided by a salted Knuth
+    hash of its id — the quality-proportional downsampling step of a
+    training-data mixture (upweight long/high-quality docs without RNG
+    state).  Differs from ``doc_mix_sources`` (fixed per-SOURCE rates):
+    here the rate is a per-ROW function of a computed signal.
+
+    Scale shape: embarrassingly parallel, zero shuffle, one corpus pass;
+    membership is a pure function of (doc_id, n_chars), so downstream
+    stages can re-derive it for free.  Arithmetic stays in [0, 2^64) and
+    mirrors the SQL twin exactly (ids fold mod 2^32 before the multiply).
+    """
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+    mask32 = np.uint64((1 << 32) - 1)
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (((ids + np.uint64(salt)) & mask32)
+                 * np.uint64(SHUFFLE_KNUTH)) & mask32
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        n_chars = np.asarray(b["n_chars"], dtype=np.int64)
+        permille = np.minimum(900, 100 + n_chars)
+        keep = bucket < permille
+        t = b.filter(pa.array(keep))
+        return t.append_column("permille", pa.array(permille[keep]))
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=None)
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       LEAST(900, 100 + n_chars) AS permille
+FROM documents
+WHERE (CAST((doc_id + 12345) % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})
+      % 4294967296 % 1000 < LEAST(900, 100 + n_chars)
+"""
+
+
+# --- bigram phrase statistics (tokenizer / vocab design) ---------------------
+
+def doc_bigram_phrases(sf_dir: str, *, top_n: int = 50,
+                       num_partitions: int = 8):
+    """Top-``top_n`` adjacent word pairs by corpus count — the phrase /
+    merge-candidate statistics of tokenizer training (the first BPE merge
+    step lifted to word granularity).  Ties break lexicographically.
+
+    Scale shape: pairs are formed block-locally from the same flat token
+    array the tokenizer rule already produces (documents never straddle
+    blocks, so no cross-block pair is lost); block-local pre-aggregation
+    shrinks the exchange to distinct (bigram, cnt) partials; the pair
+    vocabulary is corpus-∝ so the merge is the hash shuffle; final top-N
+    follows the ``doc_term_df`` plan (per-partition local top-N on complete
+    key groups -> one tiny block) — no AllToAll Sort touches the
+    corpus-sized pair table.
+    """
+    from ..stages.shuffle import hash_merge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        flat, doc_of = _flat_tokens(b)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        adj = doc_of[1:] == doc_of[:-1]
+        big = flat[:-1][adj] + " " + flat[1:][adj]
+        t = pa.table({"bigram": pa.array(big, type=pa.string())})
+        g = t.group_by(["bigram"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bigram", "cnt"])
+
+    partial = ds.map_batches(block_pairs, batch_format="pyarrow",
+                             batch_size=None)
+    merged = hash_merge(partial, ["bigram"], [("cnt", "sum")],
+                        num_partitions=num_partitions)
+
+    def local_topn(b: pa.Table) -> pa.Table:
+        if b.num_rows <= top_n:
+            return b
+        cnt = np.asarray(b["cnt"], dtype=np.int64)
+        big = np.asarray(b["bigram"].to_pylist(), dtype=object)
+        order = np.lexsort((big, -cnt))[:top_n]
+        return b.take(pa.array(order))
+
+    cand = merged.map_batches(local_topn, batch_format="pyarrow",
+                              batch_size=None)
+    return cand.repartition(1).map_batches(local_topn,
+                                           batch_format="pyarrow",
+                                           batch_size=None)
+
+
+DOC_BIGRAM_PHRASES_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT l[i] || ' ' || l[i+1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(l)-1)) AS u(i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 50
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_quality_classifier": doc_quality_classifier,
@@ -1607,6 +1829,9 @@ QUERIES = {
     "doc_mix_sources": doc_mix_sources,
     "doc_length_outliers": doc_length_outliers,
     "doc_lm_score": doc_lm_score,
+    "doc_inverted_index": doc_inverted_index,
+    "doc_weighted_sample": doc_weighted_sample,
+    "doc_bigram_phrases": doc_bigram_phrases,
 }
 
 ORACLE_SQL = {
@@ -1628,6 +1853,9 @@ ORACLE_SQL = {
     "doc_tfidf_top": DOC_TFIDF_TOP_SQL,
     "doc_mix_sources": DOC_MIX_SOURCES_SQL,
     "doc_length_outliers": DOC_LENGTH_OUTLIERS_SQL,
+    "doc_inverted_index": DOC_INVERTED_INDEX_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
+    "doc_bigram_phrases": DOC_BIGRAM_PHRASES_SQL,
     # doc_fingerprint, doc_lm_score: rows-only (FNV / log2 arithmetic not
     # SQL-expressible); pytest verifies both against serial Python oracles.
 }

@@ -1,0 +1,159 @@
+"""Round-4 continuation operators: inverted-index build, quality-weighted
+deterministic sampling, bigram phrase statistics.
+
+Each test pins the operator against a serial Python oracle on an engineered
+corpus (the DuckDB oracle runs in the gate replica; these cover the edges
+the gate's generated corpus may not hit: posting-list caps, rate clamps,
+whitespace-run tokenization)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts, n_chars=None, sources=None):
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(sources or ["src1"] * n),
+        "n_chars": pa.array(n_chars or [len(x) for x in texts],
+                            type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split() if t]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInvertedIndex:
+    def test_matches_serial_index_and_caps_postings(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_inverted_index
+
+        # 'hot' appears in 20 docs (> cap=16); 'rare' in one; multi-space
+        # and repeated-within-doc tokens exercise the distinct rule
+        texts = [f"hot  doc{i} filler" for i in range(20)]
+        texts.append("rare rare rare")
+        sf = _write_docs(tmp_path, texts)
+        out = doc_inverted_index(sf).to_pandas().set_index("term")
+
+        serial: dict[str, set[int]] = {}
+        for i, tx in enumerate(texts):
+            for tok in set(_tokens(tx)):
+                serial.setdefault(tok, set()).add(i)
+        assert set(out.index) == set(serial)
+        for term, docs in serial.items():
+            assert out.loc[term, "df"] == len(docs)
+            want = ",".join(str(d) for d in sorted(docs)[:16])
+            assert out.loc[term, "postings"] == want
+        # the capped hot term still reports its FULL document frequency
+        assert out.loc["hot", "df"] == 20
+        assert out.loc["hot", "postings"].count(",") == 15
+
+    def test_sf_runs_and_df_agrees_with_term_df(self):
+        from logparse_rs_ray.pipelines.textops import (doc_inverted_index,
+                                                       doc_term_df)
+
+        idx = doc_inverted_index(SF).to_pandas().set_index("term")
+        top = doc_term_df(SF).to_pandas()
+        # the index must agree with the independent df plan on its top terms
+        for _, r in top.iterrows():
+            assert idx.loc[r["term"], "df"] == r["df"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeightedSample:
+    def test_membership_matches_serial_rule(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import (SHUFFLE_KNUTH,
+                                                       doc_weighted_sample)
+
+        # n_chars spanning below/above the clamp; ids past 2^32 exercise the
+        # fold
+        n = 500
+        ids = list(range(n - 2)) + [2**33 + 7, 2**40 + 1]
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(["x"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["src1"] * n),
+            "n_chars": pa.array([(7 * i) % 1200 for i in range(n)],
+                                type=pa.int64()),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = doc_weighted_sample(str(tmp_path)).to_pandas()
+
+        kept = set()
+        permille_of = {}
+        for i, d in enumerate(ids):
+            n_chars = (7 * i) % 1200
+            permille = min(900, 100 + n_chars)
+            h = (((d + 12345) % 2**32) * SHUFFLE_KNUTH) % 2**32 % 1000
+            permille_of[d] = permille
+            if h < permille:
+                kept.add(d)
+        assert set(out.doc_id) == kept
+        for _, r in out.iterrows():
+            assert r["permille"] == permille_of[r["doc_id"]]
+        # rates clamp at 900 so even the longest docs can be dropped
+        assert out.permille.max() <= 900
+
+    def test_deterministic_and_rate_proportional(self):
+        from logparse_rs_ray.pipelines.textops import doc_weighted_sample
+
+        a = doc_weighted_sample(SF).to_pandas().sort_values("doc_id")
+        b = doc_weighted_sample(SF).to_pandas().sort_values("doc_id")
+        assert list(a.doc_id) == list(b.doc_id)
+        # long docs must be kept at a visibly higher rate than short ones
+        # (47..558 chars -> 147..658 permille at sf0.001)
+        assert 0.1 < len(a) / 500 < 0.95
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBigramPhrases:
+    def test_matches_serial_counter(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_bigram_phrases
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat  ran",          # double space: still adjacent
+            " leading space the cat",
+            "single",
+            "",
+            "the cat the cat the cat",
+        ]
+        sf = _write_docs(tmp_path, texts)
+        out = doc_bigram_phrases(sf).to_pandas()
+
+        c: Counter = Counter()
+        for tx in texts:
+            toks = _tokens(tx)
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        want = dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+        got = dict(zip(out.bigram, out.cnt))
+        assert got == want
+
+    def test_topk_tiebreak_is_lexicographic(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_bigram_phrases
+
+        # 60 distinct bigrams all with count 1: top-50 must be the 50
+        # lexicographically smallest (matching ORDER BY cnt DESC, bigram)
+        texts = [f"w{i:02d} z" for i in range(60)]
+        sf = _write_docs(tmp_path, texts)
+        out = doc_bigram_phrases(sf).to_pandas()
+        assert len(out) == 50
+        assert sorted(out.bigram) == [f"w{i:02d} z" for i in range(50)]
