@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "doc_cdc_chunk_dedup",
     "doc_inverted_index",
     "doc_bigram_phrases",
+    "doc_source_overlap",
+    "embed_pca_top",
 ]
 
 

@@ -618,6 +618,101 @@ def ann_topk_int8(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES):
         batch_size=None).sort(["query_id", "vec_id"])
 
 
+# --- distributed PCA (power iteration over integer-exact Gram partials) ------
+
+PCA_SCALE_BITS = 20  # fixed-point quantization for order-free integer sums
+
+
+def pca_gram_partial(b: pa.Table, scale_bits: int = PCA_SCALE_BITS) -> pa.Table:
+    """One block's (idx, val) Gram/mean/count partial.  Embeddings are
+    quantized to ``2^scale_bits`` fixed point so every partial is INTEGER —
+    int64 sums are associative/commutative, making the merged statistics
+    independent of block composition and merge order (bit-exact distributed
+    == serial; the float alternative drifts with the combiner tree's
+    nondeterministic reduce order).  Headroom: |v| <= 1 quantizes to
+    ~2^20, products to ~2^40, so ~2^23 rows fit per PARTIAL before int64
+    pressure — beyond that, raise the tree fanin or drop a scale bit.
+    Module-level so tests can drive block-composition independence directly.
+    """
+    X = _list_matrix(b["embedding"], dtype=np.float64)
+    if X.size == 0:
+        return pa.table({"idx": pa.array([], type=pa.int64()),
+                         "val": pa.array([], type=pa.int64())})
+    d = X.shape[1]
+    Q = np.round(X * float(1 << scale_bits)).astype(np.int64)
+    G = Q.T @ Q                      # (d, d) int64 — exact
+    s = Q.sum(axis=0)                # (d,) int64 — exact
+    vals = np.concatenate([G.ravel(), s, [np.int64(len(Q))]])
+    return pa.table({"idx": pa.array(np.arange(len(vals), dtype=np.int64)),
+                     "val": pa.array(vals)})
+
+
+def embed_pca_top(sf_dir: str, *, k: int = 4, iters: int = 200,
+                  scale_bits: int = PCA_SCALE_BITS):
+    """(component, dim, loading_x1e6, eigenvalue_x1e9) — top-``k`` principal
+    components of the embedding corpus (the whitening / dimensionality-
+    reduction / drift-monitoring statistic of an embedding pipeline).
+
+    Scale shape: the corpus collapses in ONE pass to a (d² + d + 1)-row
+    integer partial per block (Gram matrix, sum vector, count) merged
+    through the combiner tree — nothing corpus-sized ever moves, and the
+    integer fixed-point sums make the merge order-free (bit-exact
+    reproducibility).  The d×d eigenproblem then runs driver-side: power
+    iteration with deflation, deterministic init, sign fixed by the
+    largest-|loading| coordinate.  d=64 here; the plan holds to d ~ 2048
+    (d² rows = 4M int64 = 32 MB partials) before the Gram itself needs
+    blocking.
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partial = ds.map_batches(pca_gram_partial, batch_format="pyarrow",
+                             batch_size=None)
+    merged = tree_merge(partial, ["idx"], [("val", "sum")], fanin=8)
+    t = merged.to_pandas().sort_values("idx")  # bounded: d² + d + 1 rows
+    vals = t["val"].to_numpy()
+    n_stats = len(vals)
+    # d from d² + d + 1 = n_stats
+    d = int((-1 + np.sqrt(4 * n_stats - 3)) / 2)
+    assert d * d + d + 1 == n_stats, "partial layout mismatch"
+    scale = float(1 << scale_bits)
+    G = vals[:d * d].reshape(d, d).astype(np.float64) / (scale * scale)
+    s = vals[d * d:d * d + d].astype(np.float64) / scale
+    n = float(vals[-1])
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+
+    comps, eigs = [], []
+    for _ in range(k):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            w = C @ v
+            nw = np.linalg.norm(w)
+            if nw == 0.0:
+                break
+            v = w / nw
+        lam = float(v @ C @ v)
+        # deterministic sign: the largest-|loading| coordinate is positive
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append(v)
+        eigs.append(lam)
+        C = C - lam * np.outer(v, v)  # deflate
+
+    import pandas as pd
+
+    rows = {
+        "component": np.repeat(np.arange(k, dtype=np.int64), d),
+        "dim": np.tile(np.arange(d, dtype=np.int64), k),
+        "loading_x1e6": np.concatenate(
+            [np.round(v * 1e6).astype(np.int64) for v in comps]),
+        "eigenvalue_x1e9": np.repeat(
+            np.round(np.asarray(eigs) * 1e9).astype(np.int64), d),
+    }
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
     "doc_embed_hashvec": doc_embed_hashvec,
@@ -627,10 +722,14 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "embed_cluster_assign": embed_cluster_assign,
     "embed_kmeans": embed_kmeans,
+    "embed_pca_top": embed_pca_top,
 }
 
 ORACLE_SQL = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "embed_cluster_assign": EMBED_CLUSTER_ASSIGN_SQL,
     # ann_ivf_topk: approximate -> rows-only; pytest asserts recall vs exact.
+    # embed_pca_top: iterative eigensolve -> rows-only; pytest pins the
+    # components against numpy.linalg.eigh on the exact same quantized
+    # covariance (cosine >= 0.9999, eigenvalue rel-err <= 1e-6).
 }

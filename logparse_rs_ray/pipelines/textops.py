@@ -1807,6 +1807,118 @@ LIMIT 50
 """
 
 
+# --- cross-source overlap audit ----------------------------------------------
+
+def doc_source_overlap(sf_dir: str, *, k: int = 4,
+                       num_partitions: int = 8):
+    """(source_a, source_b, n_shared) — corpus-mixture overlap audit: for
+    every source pair, how many distinct ``k``-token document PREFIXES they
+    share (boilerplate / syndication leakage between feeds; the signal that
+    tells a mixture designer two "independent" sources are not).
+
+    Scale shape: per-block DISTINCT (prefix, source) rows — the dedup
+    before the exchange is what bounds hot prefixes: a prefix contributes
+    at most sources² pairs no matter how many documents carry it.  ONE
+    hash exchange by prefix co-locates each prefix's source set; pair
+    expansion is the vectorized repeat/arange combination kernel (no
+    per-prefix Python); the census collapses to a bounded sources² key set
+    through the combiner tree.
+    """
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_partition
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def block_prefix(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"pfx": pa.array([], type=pa.string()),
+                             "source": pa.array([], type=pa.string())})
+        flat, doc_of = _flat_tokens(b)
+        # first-k tokens per doc, space-joined (docs with < k tokens use
+        # what they have; zero-token docs get '' — the SQL twin agrees)
+        n_docs = b.num_rows
+        counts = np.bincount(doc_of, minlength=n_docs)
+        starts = np.cumsum(counts) - counts
+        rank = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, counts)
+        kept = flat[rank < k]
+        kept_counts = np.minimum(counts, k)
+        offsets = pa.array(np.append(0, np.cumsum(kept_counts)))
+        lst = pa.LargeListArray.from_arrays(
+            offsets, pa.array(kept, type=pa.string()))
+        pfx = pc.cast(pc.binary_join(lst, " "), pa.string())
+        t = pa.table({"pfx": pfx, "source": b["source"]})
+        # block-local distinct (prefix, source)
+        return t.group_by(["pfx", "source"]).aggregate([]).select(
+            ["pfx", "source"])
+
+    pairs = ds.map_batches(block_prefix, batch_format="pyarrow",
+                           batch_size=None)
+
+    def pair_census(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        empty = pa.table({"source_a": pa.array([], type=pa.string()),
+                          "source_b": pa.array([], type=pa.string()),
+                          "n_shared": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        pfx = np.asarray(b["pfx"].to_pylist(), dtype=object)
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        order = np.lexsort((src, pfx))
+        p, s = pfx[order], src[order]
+        # distinct (pfx, source) across blocks
+        keep = np.ones(len(p), dtype=bool)
+        if len(p) > 1:
+            keep[1:] = (p[1:] != p[:-1]) | (s[1:] != s[:-1])
+        p, s = p[keep], s[keep]
+        seg = np.concatenate(([True], p[1:] != p[:-1]))
+        seg_starts = np.nonzero(seg)[0]
+        seg_counts = np.diff(np.append(seg_starts, len(p)))
+        rank = (np.arange(len(p), dtype=np.int64)
+                - np.repeat(seg_starts, seg_counts))
+        # each row pairs with the rows after it in its segment: the
+        # repeat/arange combination kernel (sources are sorted ascending
+        # within a segment, so source_a < source_b by construction)
+        kfollow = np.repeat(seg_counts, seg_counts) - 1 - rank
+        total = int(kfollow.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(len(p), dtype=np.int64), kfollow)
+        excl = np.cumsum(kfollow) - kfollow
+        j = np.arange(total, dtype=np.int64) - np.repeat(excl, kfollow) + 1
+        right = left + j
+        t = pa.table({"source_a": pa.array(s[left], type=pa.string()),
+                      "source_b": pa.array(s[right], type=pa.string())})
+        g = t.group_by(["source_a", "source_b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source_a", "source_b", "n_shared"])
+
+    partial = hash_partition(pairs, ["pfx"], num_partitions).map_batches(
+        pair_census, batch_format="pyarrow", batch_size=None)
+    # bounded sources² key set -> combiner tree; sort is fine on a census
+    return tree_merge(partial, ["source_a", "source_b"],
+                      [("n_shared", "sum")]).sort(["source_a", "source_b"])
+
+
+DOC_SOURCE_OVERLAP_SQL = """
+WITH t AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+             1, 4), ' ') AS pfx
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM t a JOIN t b ON a.pfx = b.pfx AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_quality_classifier": doc_quality_classifier,
@@ -1832,6 +1944,7 @@ QUERIES = {
     "doc_inverted_index": doc_inverted_index,
     "doc_weighted_sample": doc_weighted_sample,
     "doc_bigram_phrases": doc_bigram_phrases,
+    "doc_source_overlap": doc_source_overlap,
 }
 
 ORACLE_SQL = {
@@ -1856,6 +1969,7 @@ ORACLE_SQL = {
     "doc_inverted_index": DOC_INVERTED_INDEX_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_bigram_phrases": DOC_BIGRAM_PHRASES_SQL,
+    "doc_source_overlap": DOC_SOURCE_OVERLAP_SQL,
     # doc_fingerprint, doc_lm_score: rows-only (FNV / log2 arithmetic not
     # SQL-expressible); pytest verifies both against serial Python oracles.
 }

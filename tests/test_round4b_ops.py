@@ -157,3 +157,115 @@ class TestBigramPhrases:
         out = doc_bigram_phrases(sf).to_pandas()
         assert len(out) == 50
         assert sorted(out.bigram) == [f"w{i:02d} z" for i in range(50)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceOverlap:
+    def test_matches_serial_pair_census(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_source_overlap
+
+        texts = [
+            ("breaking news today here extra words", "feedA"),
+            ("breaking news today here different tail", "feedB"),
+            ("breaking news today here", "feedC"),
+            ("breaking news today here", "feedC"),   # same src: 1 distinct
+            ("totally different start of text", "feedA"),
+            ("totally different start of text", "feedB"),
+            ("short one", "feedA"),
+            ("short one", "feedB"),
+            ("", "feedA"),
+            ("", "feedB"),
+        ]
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array([x[0] for x in texts]),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array([x[1] for x in texts]),
+            "n_chars": pa.array([len(x[0]) for x in texts], type=pa.int64()),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = doc_source_overlap(str(tmp_path)).to_pandas()
+
+        from itertools import combinations
+        serial: Counter = Counter()
+        by_src: dict[str, set] = {}
+        for tx, src in texts:
+            pfx = " ".join(_tokens(tx)[:4])
+            by_src.setdefault(src, set()).add(pfx)
+        for a, b in combinations(sorted(by_src), 2):
+            n = len(by_src[a] & by_src[b])
+            if n:
+                serial[(a, b)] = n
+        got = {(r.source_a, r.source_b): r.n_shared
+               for r in out.itertuples()}
+        assert got == dict(serial)
+        # feedA-feedB share 4 distinct prefixes ('breaking news today
+        # here', 'totally different start of', 'short one', ''); feedC's
+        # duplicate doc contributes its prefix ONCE
+        assert got[("feedA", "feedB")] == 4
+        assert got[("feedA", "feedC")] == 1
+
+    def test_sf_bounded_and_symmetric_free(self):
+        from logparse_rs_ray.pipelines.textops import doc_source_overlap
+
+        out = doc_source_overlap(SF).to_pandas()
+        # strictly ordered pairs only, never a self-pair or both polarities
+        assert (out.source_a < out.source_b).all()
+        assert (out.n_shared >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPcaTop:
+    def test_matches_numpy_eigh_on_quantized_covariance(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.similarity import (PCA_SCALE_BITS,
+                                                          embed_pca_top)
+
+        out = embed_pca_top(SF, k=4)
+        emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+        X = np.asarray(emb["embedding"].combine_chunks().flatten(),
+                       dtype=np.float64).reshape(len(emb), -1)
+        Q = np.round(X * float(1 << PCA_SCALE_BITS))
+        Qf = Q / float(1 << PCA_SCALE_BITS)
+        mu = Qf.mean(axis=0)
+        C = (Qf.T @ Qf) / len(Qf) - np.outer(mu, mu)
+        w, V = np.linalg.eigh(C)
+        w, V = w[::-1], V[:, ::-1]
+        d = X.shape[1]
+        for comp in range(4):
+            got = out[out.component == comp].sort_values("dim")
+            v = got.loading_x1e6.to_numpy() / 1e6
+            cos = abs(v @ V[:, comp]) / np.linalg.norm(v)
+            assert cos >= 0.9999, (comp, cos)
+            lam = got.eigenvalue_x1e9.iloc[0] / 1e9
+            # power iteration converges geometrically in the eigengap;
+            # 1e-5 relative is far below any consumer's noise floor
+            assert abs(lam - w[comp]) <= 1e-5 * max(w[comp], 1e-9)
+            assert len(got) == d
+        # eigenvalues come out descending
+        eigs = out.groupby("component").eigenvalue_x1e9.first()
+        assert list(eigs) == sorted(eigs, reverse=True)
+
+    def test_gram_partial_is_block_composition_independent(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.similarity import pca_gram_partial
+
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        whole = pca_gram_partial(t).to_pandas().set_index("idx").val
+        # any split of the corpus sums to the identical integer statistics
+        for cut in (1, 137, 250, 499):
+            a = pca_gram_partial(t.slice(0, cut)).to_pandas().set_index("idx").val
+            b = pca_gram_partial(t.slice(cut)).to_pandas().set_index("idx").val
+            assert ((a + b) == whole).all()
+
+    def test_determinism(self):
+        from logparse_rs_ray.pipelines.similarity import embed_pca_top
+
+        a = embed_pca_top(SF, k=2)
+        b = embed_pca_top(SF, k=2)
+        pd.testing.assert_frame_equal(a, b)

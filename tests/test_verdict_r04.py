@@ -54,6 +54,8 @@ SORTLESS_QUERIES = [
     "q_ntile_orders",
     "doc_lm_score",
     "q_unpivot_lineitem",
+    "doc_inverted_index",
+    "doc_weighted_sample",
     # survivor anti-joins (minhash/simhash/semantic) return a pa.Table in
     # the broadcast regime — covered by their own two-regime pytests
 ]
