@@ -647,22 +647,10 @@ def pca_gram_partial(b: pa.Table, scale_bits: int = PCA_SCALE_BITS) -> pa.Table:
                      "val": pa.array(vals)})
 
 
-def embed_pca_top(sf_dir: str, *, k: int = 4, iters: int = 200,
-                  scale_bits: int = PCA_SCALE_BITS):
-    """(component, dim, loading_x1e6, eigenvalue_x1e9) — top-``k`` principal
-    components of the embedding corpus (the whitening / dimensionality-
-    reduction / drift-monitoring statistic of an embedding pipeline).
-
-    Scale shape: the corpus collapses in ONE pass to a (d² + d + 1)-row
-    integer partial per block (Gram matrix, sum vector, count) merged
-    through the combiner tree — nothing corpus-sized ever moves, and the
-    integer fixed-point sums make the merge order-free (bit-exact
-    reproducibility).  The d×d eigenproblem then runs driver-side: power
-    iteration with deflation, deterministic init, sign fixed by the
-    largest-|loading| coordinate.  d=64 here; the plan holds to d ~ 2048
-    (d² rows = 4M int64 = 32 MB partials) before the Gram itself needs
-    blocking.
-    """
+def _pca_stats(sf_dir: str, k: int, iters: int,
+               scale_bits: int) -> tuple[list, np.ndarray, list]:
+    """Shared one-pass statistics + driver eigensolve: returns (components,
+    mean, eigenvalues).  See ``embed_pca_top`` for the scale shape."""
     from ..stages.aggregate import tree_merge
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -699,6 +687,27 @@ def embed_pca_top(sf_dir: str, *, k: int = 4, iters: int = 200,
         comps.append(v)
         eigs.append(lam)
         C = C - lam * np.outer(v, v)  # deflate
+    return comps, mu, eigs
+
+
+def embed_pca_top(sf_dir: str, *, k: int = 4, iters: int = 200,
+                  scale_bits: int = PCA_SCALE_BITS):
+    """(component, dim, loading_x1e6, eigenvalue_x1e9) — top-``k`` principal
+    components of the embedding corpus (the whitening / dimensionality-
+    reduction / drift-monitoring statistic of an embedding pipeline).
+
+    Scale shape: the corpus collapses in ONE pass to a (d² + d + 1)-row
+    integer partial per block (Gram matrix, sum vector, count) merged
+    through the combiner tree — nothing corpus-sized ever moves, and the
+    integer fixed-point sums make the merge order-free (bit-exact
+    reproducibility).  The d×d eigenproblem then runs driver-side: power
+    iteration with deflation, deterministic init, sign fixed by the
+    largest-|loading| coordinate.  d=64 here; the plan holds to d ~ 2048
+    (d² rows = 4M int64 = 32 MB partials) before the Gram itself needs
+    blocking.
+    """
+    comps, _mu, eigs = _pca_stats(sf_dir, k, iters, scale_bits)
+    d = len(comps[0])
 
     import pandas as pd
 
@@ -713,6 +722,50 @@ def embed_pca_top(sf_dir: str, *, k: int = 4, iters: int = 200,
     return pd.DataFrame(rows)
 
 
+def embed_outliers(sf_dir: str, *, n_components: int = 8, top: int = 50,
+                   iters: int = 200, scale_bits: int = PCA_SCALE_BITS):
+    """(vec_id, residual_x1e9) — the ``top`` most anomalous embeddings by
+    PCA reconstruction error: residual² of each vector after projecting
+    onto the top ``n_components`` principal directions (the embedding-space
+    outlier / corrupted-input / domain-shift detector of a curation
+    pipeline).
+
+    Scale shape: pass 1 is ``embed_pca_top``'s integer Gram collapse;
+    the (k×d components, mean) ride the scoring closure as a broadcast
+    constant; pass 2 scores each block independently (two matmuls per
+    block) and keeps a local top-``top``; candidates (blocks × top rows)
+    collapse to one tiny block for the final pick — the corpus never
+    shuffles and no global sort runs.  Residuals are emitted as 1e-9
+    fixed-point ints so the top-k cut is float-roundoff-proof; ties break
+    to the smaller vec_id.
+    """
+    comps, mu, _eigs = _pca_stats(sf_dir, n_components, iters, scale_bits)
+    V = np.stack(comps)                       # (k, d)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if "residual_x1e9" in b.column_names:     # final-pick reinvocation
+            r = np.asarray(b["residual_x1e9"], dtype=np.int64)
+            ids = np.asarray(b["vec_id"], dtype=np.int64)
+        else:
+            X = _list_matrix(b["embedding"], dtype=np.float64)
+            if X.size == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "residual_x1e9": pa.array([], type=pa.int64())})
+            Xc = X - mu
+            P = Xc @ V.T                          # (n, k) projections
+            res = np.einsum("ij,ij->i", Xc, Xc) - np.einsum("ij,ij->i", P, P)
+            r = np.round(np.maximum(res, 0.0) * 1e9).astype(np.int64)
+            ids = np.asarray(b["vec_id"], dtype=np.int64)
+        order = np.lexsort((ids, -r))[:top]
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "residual_x1e9": pa.array(r[order])})
+
+    cand = ds.map_batches(local_top, batch_format="pyarrow", batch_size=None)
+    return cand.repartition(1).map_batches(local_top, batch_format="pyarrow",
+                                           batch_size=None)
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
     "doc_embed_hashvec": doc_embed_hashvec,
@@ -723,6 +776,7 @@ QUERIES = {
     "embed_cluster_assign": embed_cluster_assign,
     "embed_kmeans": embed_kmeans,
     "embed_pca_top": embed_pca_top,
+    "embed_outliers": embed_outliers,
 }
 
 ORACLE_SQL = {
@@ -731,5 +785,7 @@ ORACLE_SQL = {
     # ann_ivf_topk: approximate -> rows-only; pytest asserts recall vs exact.
     # embed_pca_top: iterative eigensolve -> rows-only; pytest pins the
     # components against numpy.linalg.eigh on the exact same quantized
-    # covariance (cosine >= 0.9999, eigenvalue rel-err <= 1e-6).
+    # covariance (cosine >= 0.9999, eigenvalue rel-err <= 1e-5).
+    # embed_outliers: PCA-residual scoring -> rows-only; pytest pins the
+    # top set against a serial numpy replica on the same components.
 }

@@ -1734,6 +1734,54 @@ WHERE (CAST((doc_id + 12345) % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})
 """
 
 
+# --- deterministic exact-k uniform sample ------------------------------------
+
+def doc_reservoir_sample(sf_dir: str, *, k: int = 100, salt: int = 777):
+    """Exactly ``k`` uniformly-pseudo-random docs — the eval-subset /
+    spot-check draw.  The deterministic answer to reservoir sampling:
+    rank every doc by a salted Knuth hash and keep the ``k`` smallest
+    (ties to doc_id), so the sample is exact-k, reproducible across
+    engines and re-derivable without RNG state.
+
+    Scale shape: per-block local bottom-k (one lexsort over the block),
+    candidates (blocks × k compact rows) collapse to one tiny block for
+    the final pick — the corpus never shuffles and no global sort runs.
+    """
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+    mask32 = np.uint64((1 << 32) - 1)
+
+    def bottom_k(b: pa.Table) -> pa.Table:
+        if "h" in b.column_names:                 # final-pick reinvocation
+            t = b
+            h = np.asarray(b["h"], dtype=np.int64)
+        else:
+            ids = np.asarray(b["doc_id"], dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                h = (((ids + np.uint64(salt)) & mask32)
+                     * np.uint64(SHUFFLE_KNUTH)) & mask32
+            h = h.astype(np.int64)
+            t = b.append_column("h", pa.array(h))
+        if t.num_rows <= k:
+            return t
+        order = np.lexsort((np.asarray(b["doc_id"], dtype=np.int64), h))[:k]
+        return t.take(pa.array(order))
+
+    cand = ds.map_batches(bottom_k, batch_format="pyarrow", batch_size=None)
+    return cand.repartition(1).map_batches(bottom_k, batch_format="pyarrow",
+                                           batch_size=None)
+
+
+DOC_RESERVOIR_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       CAST((CAST((doc_id + 777) % 4294967296 AS HUGEINT) * {SHUFFLE_KNUTH})
+            % 4294967296 AS BIGINT) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+"""
+
+
 # --- bigram phrase statistics (tokenizer / vocab design) ---------------------
 
 def doc_bigram_phrases(sf_dir: str, *, top_n: int = 50,
@@ -1945,6 +1993,7 @@ QUERIES = {
     "doc_weighted_sample": doc_weighted_sample,
     "doc_bigram_phrases": doc_bigram_phrases,
     "doc_source_overlap": doc_source_overlap,
+    "doc_reservoir_sample": doc_reservoir_sample,
 }
 
 ORACLE_SQL = {
@@ -1970,6 +2019,7 @@ ORACLE_SQL = {
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_bigram_phrases": DOC_BIGRAM_PHRASES_SQL,
     "doc_source_overlap": DOC_SOURCE_OVERLAP_SQL,
+    "doc_reservoir_sample": DOC_RESERVOIR_SAMPLE_SQL,
     # doc_fingerprint, doc_lm_score: rows-only (FNV / log2 arithmetic not
     # SQL-expressible); pytest verifies both against serial Python oracles.
 }

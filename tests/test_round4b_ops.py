@@ -269,3 +269,70 @@ class TestPcaTop:
         a = embed_pca_top(SF, k=2)
         b = embed_pca_top(SF, k=2)
         pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReservoirSample:
+    def test_matches_serial_bottom_k(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.textops import (SHUFFLE_KNUTH,
+                                                       doc_reservoir_sample)
+
+        out = doc_reservoir_sample(SF).to_pandas()
+        ids = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist()
+        ranked = sorted(ids, key=lambda d: (
+            ((d + 777) % 2**32 * SHUFFLE_KNUTH) % 2**32, d))
+        assert sorted(out.doc_id) == sorted(ranked[:100])
+        assert len(out) == 100
+        # h column carries the rank key (auditability of the draw)
+        for _, r in out.head(5).iterrows():
+            assert r["h"] == ((r["doc_id"] + 777) % 2**32
+                              * SHUFFLE_KNUTH) % 2**32
+
+    def test_exact_k_even_with_tiny_blocks(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_reservoir_sample
+
+        sf = _write_docs(tmp_path, [f"doc {i}" for i in range(37)])
+        out = doc_reservoir_sample(sf, k=10).to_pandas()
+        assert len(out) == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbedOutliers:
+    def test_matches_serial_residual_replica(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.similarity import (PCA_SCALE_BITS,
+                                                          _pca_stats,
+                                                          embed_outliers)
+
+        out = embed_outliers(SF, n_components=8, top=50).to_pandas()
+        comps, mu, _ = _pca_stats(SF, 8, 200, PCA_SCALE_BITS)
+        V = np.stack(comps)
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        X = np.asarray(t["embedding"].combine_chunks().flatten(),
+                       dtype=np.float64).reshape(len(t), -1)
+        ids = np.asarray(t["vec_id"])
+        Xc = X - mu
+        P = Xc @ V.T
+        res = np.einsum("ij,ij->i", Xc, Xc) - np.einsum("ij,ij->i", P, P)
+        r = np.round(np.maximum(res, 0.0) * 1e9).astype(np.int64)
+        order = np.lexsort((ids, -r))[:50]
+        want = list(zip(ids[order], r[order]))
+        got = list(zip(out.vec_id, out.residual_x1e9))
+        assert got == want
+        # residuals are sorted descending and non-negative
+        assert (out.residual_x1e9 >= 0).all()
+        assert list(out.residual_x1e9) == sorted(out.residual_x1e9,
+                                                 reverse=True)
+
+    def test_more_components_shrink_residuals(self):
+        from logparse_rs_ray.pipelines.similarity import embed_outliers
+
+        r2 = embed_outliers(SF, n_components=2, top=10).to_pandas()
+        r16 = embed_outliers(SF, n_components=16, top=10).to_pandas()
+        # projecting onto a larger subspace can only remove more energy
+        assert r16.residual_x1e9.max() <= r2.residual_x1e9.max()
