@@ -1305,7 +1305,174 @@ ORDER BY user_id
 """
 
 
+# --- TPC-H Q5 shape: fact-fact join chain with dims broadcast ---------------
+
+def q_3way_revenue(sf_dir: str):
+    """(r_name, revenue_x10k, n_lines) — per-region discounted revenue for
+    1995 orders: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (the
+    TPC-H Q5 join chain; reference has no joins — this is the relational
+    capability the engine adds on top of it).
+
+    Scale shape: the two small dims (nation ⋈ region, ≤ 25 rows) join
+    driver-side and ride every customer block as a broadcast; customer
+    collapses to a (c_custkey, r_name) map.  The two FACT joins are
+    hash-partitioned exchanges with size-derived partition counts, and the
+    date predicate on orders is applied BELOW its exchange so only the
+    matching year's orders shuffle.  After the joins each block reduces to
+    bounded (r_name, revenue, count) partials through the combiner tree —
+    nothing corpus-sized funnels through the driver.
+    """
+    from ..stages.join import auto_join_partitions
+
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, dim, "c_nationkey", "n_nationkey",
+                          columns=["r_name"]).select_columns(
+                              ["c_custkey", "r_name"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], _ts(1995, 1, 1)),
+                       pc.less(b["o_orderdate"], _ts(1996, 1, 1)))
+        b = b.filter(keep)
+        return b.select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(prep_orders, batch_format="pyarrow",
+                                batch_size=None)
+    n_oc = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                f"{sf_dir}/customer.parquet")
+    o_region = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         num_partitions=n_oc).select_columns(
+                             ["o_orderkey", "r_name"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(1.0, b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev": _cents(rev, 10000)})
+
+    li = li.map_batches(prep_li, batch_format="pyarrow", batch_size=None)
+    n_ol = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(o_region, li, on="o_orderkey", right_on="l_orderkey",
+                       num_partitions=n_ol)
+    out = grouped_agg(joined, ["r_name"], {"revenue_x10k": "rev"},
+                      count_name="n_lines", final_partitions=1)
+    return out.sort("r_name")
+
+
+Q_3WAY_REVENUE_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_x10k,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# --- ordered string aggregation (LISTAGG) ------------------------------------
+
+STRING_AGG_K = 5
+
+
+def q_string_agg(sf_dir: str):
+    """(o_orderpriority, top_keys) — the ``STRING_AGG`` / LISTAGG surface:
+    per priority, the keys of its 5 highest-value orders joined ','-ordered
+    by rank (ties to the smaller key).
+
+    Scale shape: per-block top-5 per priority (≤ 25 compact rows leave each
+    block), candidates collapse to one tiny block for the final pick; the
+    string build touches only priorities × 5 rows.  The corpus never
+    shuffles and no global sort runs — a LISTAGG over raw corpus-sized
+    groups would be an anti-pattern (unbounded strings), so the operator is
+    deliberately the bounded-top-k form.
+    """
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "price_x100": pa.array([], pa.int64())})
+        if "price_x100" not in b.column_names:
+            b = pa.table({"o_orderpriority": b["o_orderpriority"],
+                          "o_orderkey": b["o_orderkey"],
+                          "price_x100": _cents(b["o_totalprice"])})
+        import numpy as np
+
+        pri = b["o_orderpriority"].combine_chunks().dictionary_encode()
+        codes = np.asarray(pri.indices, dtype=np.int64)
+        key = np.asarray(b["o_orderkey"], dtype=np.int64)
+        price = np.asarray(b["price_x100"], dtype=np.int64)
+        order = np.lexsort((key, -price, codes))
+        c_sorted = codes[order]
+        new_grp = np.concatenate([[True], c_sorted[1:] != c_sorted[:-1]])
+        grp_start = np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(order)), 0))
+        rank = np.arange(len(order)) - grp_start
+        return b.take(pa.array(order[rank < STRING_AGG_K]))
+
+    cand = ds.map_batches(local_top, batch_format="pyarrow", batch_size=None)
+    final = cand.repartition(1).map_batches(local_top, batch_format="pyarrow",
+                                            batch_size=None)
+
+    def build(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # bounded input (priorities x 5): assemble rank-ordered strings
+        pri = b["o_orderpriority"].to_pylist()
+        key = np.asarray(b["o_orderkey"], dtype=np.int64)
+        price = np.asarray(b["price_x100"], dtype=np.int64)
+        order = np.lexsort((key, -price,
+                            np.asarray(pa.array(pri).dictionary_encode()
+                                       .indices, dtype=np.int64)))
+        out: dict[str, list[str]] = {}
+        for i in order:
+            out.setdefault(pri[i], []).append(str(key[i]))
+        pris = sorted(out)
+        return pa.table({"o_orderpriority": pa.array(pris, pa.string()),
+                         "top_keys": pa.array([",".join(out[p]) for p in pris],
+                                              pa.string())})
+
+    return final.map_batches(build, batch_format="pyarrow", batch_size=None)
+
+
+Q_STRING_AGG_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                     DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderpriority,
+       STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_keys
+FROM ranked
+WHERE rn <= {STRING_AGG_K}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "q_3way_revenue": q_3way_revenue,
+    "q_string_agg": q_string_agg,
     "q_cube_pricing": q_cube_pricing,
     "q_moving_avg_orders": q_moving_avg_orders,
     "q_intersect_except": q_intersect_except,
@@ -1334,6 +1501,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_3way_revenue": Q_3WAY_REVENUE_SQL,
+    "q_string_agg": Q_STRING_AGG_SQL,
     "q_cube_pricing": Q_CUBE_SQL,
     "q_moving_avg_orders": Q_MOVING_AVG_SQL,
     "q_intersect_except": Q_INTERSECT_EXCEPT_SQL,

@@ -192,6 +192,49 @@ ORDER BY doc_id
 DOC_LANG_ID_SQL = _lang_id_sql()
 
 
+class _ConfusionCounter(LangIdScorer):
+    """Per-block (label, prediction) census partial — the detector runs
+    exactly as in ``doc_lang_id`` (same actor-pool stage, stopword tables
+    built once per actor), then the block collapses to bounded
+    (lang, pred_lang, n_docs) rows before anything leaves the task."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pred = super().__call__(batch)
+        t = pa.table({"lang": batch["lang"], "pred_lang": pred["pred_lang"],
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["lang", "pred_lang"]).aggregate([("one", "sum")])
+        return g.rename_columns(["lang", "pred_lang", "n_docs"])
+
+
+def doc_langid_confusion(sf_dir: str):
+    """(lang, pred_lang, n_docs) — confusion matrix of the corpus's labeled
+    language vs the stopword detector's prediction (the drift / detector-
+    quality monitor a curation pipeline runs alongside ``doc_lang_id``).
+
+    Scale shape: the census key set is bounded (langs²), so each block's
+    partial rides the combiner tree — the corpus never shuffles and the
+    detector cost is the same single vectorized pass as ``doc_lang_id``.
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    partial = ds.map_batches(_ConfusionCounter, batch_format="pyarrow",
+                             batch_size=None, concurrency=auto_pool_size())
+    merged = tree_merge(partial, ["lang", "pred_lang"], [("n_docs", "sum")],
+                        fanin=8)
+    return merged.sort(["lang", "pred_lang"])
+
+
+DOC_LANGID_CONFUSION_SQL = f"""
+SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+FROM documents d
+JOIN ({_lang_id_sql()}) p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.pred_lang
+ORDER BY d.lang, p.pred_lang
+"""
+
+
 # --- fingerprinting (rows-only: FNV not in SQL) ----------------------------
 
 def doc_fingerprint(sf_dir: str):
@@ -1973,6 +2016,7 @@ QUERIES = {
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_lang_id": doc_lang_id,
+    "doc_langid_confusion": doc_langid_confusion,
     "doc_fingerprint": doc_fingerprint,
     "doc_len_quantiles": doc_len_quantiles,
     "doc_len_rank": doc_len_rank,
@@ -2002,6 +2046,7 @@ ORACLE_SQL = {
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     "doc_bpe_token_stats": DOC_BPE_TOKEN_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
+    "doc_langid_confusion": DOC_LANGID_CONFUSION_SQL,
     "doc_len_quantiles": DOC_LEN_QUANTILES_SQL,
     "doc_len_rank": DOC_LEN_RANK_SQL,
     "doc_term_df": DOC_TERM_DF_SQL,

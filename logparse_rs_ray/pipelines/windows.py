@@ -486,6 +486,124 @@ ORDER BY a.hour
 """
 
 
+ROLLING_WINDOW_DAYS = 7
+
+
+def log_rolling_active_users(sf_dir: str, *, num_partitions: int | None = None,
+                             mode: str = "auto"):
+    """(day_num, dau, wau) — per calendar day: distinct users active that
+    day (DAU) and distinct users active in the trailing 7-day window
+    (WAU) — the classic sliding-window COUNT DISTINCT the Dataset API has
+    no operator for.
+
+    Scale shape: windowed distinct is NOT a sum of daily distincts, so the
+    plan uses interval coverage instead of a window join: per-block
+    distinct (user, day) pairs (compact rows), ONE hash exchange by
+    user_id co-locating each user's active-day set, then per user the
+    sorted days merge into intervals [day, day+6] (gap > 6 starts a new
+    one) and each covered day gets a +1 — a user contributes to WAU(d)
+    exactly once iff it was active in [d-6, d].  The per-day census
+    partials (bounded: calendar-sized) tree-merge; coverage days with no
+    actual event that day are dropped at the end to match the oracle's
+    day domain.  Days travel as epoch-day BIGINTs for cross-engine hash
+    parity.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import (hash_partition, input_size_bytes,
+                                  resolve_mode)
+    from .streaming import auto_shard_count
+
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/events.parquet"))
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    w = ROLLING_WINDOW_DAYS
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(pc.floor_temporal(b["ts"], unit="day"),
+                              pa.date32()), pa.int32())
+        t = pa.table({"user_id": b["user_id"],
+                      "day_num": pc.cast(day, pa.int64())})
+        return t.group_by(["user_id", "day_num"]).aggregate([])
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                           batch_size=None)
+    if mode == "shuffle":
+        pairs = hash_partition(pairs, ["user_id"], num_partitions)
+    else:
+        pairs = pairs.repartition(1)
+
+    def census(b: pa.Table) -> pa.Table:
+        empty = pa.table({"day_num": pa.array([], type=pa.int64()),
+                          "dau": pa.array([], type=pa.int64()),
+                          "wau": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        # complete per-user groups: re-distinct across source blocks
+        g = b.group_by(["user_id", "day_num"]).aggregate([])
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        d = np.asarray(g["day_num"], dtype=np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # merged coverage intervals [start, end]: a new interval opens on a
+        # user change or a gap > w-1 days
+        new_iv = np.concatenate([[True],
+                                 (u[1:] != u[:-1]) | (d[1:] - d[:-1] > w - 1)])
+        starts = d[new_iv]
+        last = np.concatenate([new_iv[1:], [True]])   # run ends (d sorted
+        ends = d[last] + (w - 1)                      # within each run)
+        lengths = ends - starts + 1
+        total = int(lengths.sum())
+        # emit each interval's covered days: repeat(start) + intra-offset
+        base = np.repeat(starts, lengths)
+        off = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths,
+                                           lengths)
+        cov = pa.table({"day_num": pa.array(base + off),
+                        "one": pa.array(np.ones(total, dtype=np.int64))})
+        wau = cov.group_by(["day_num"]).aggregate([("one", "sum")])
+        dau = pa.table({"day_num": pa.array(d),
+                        "one": pa.array(np.ones(len(d), dtype=np.int64))
+                        }).group_by(["day_num"]).aggregate([("one", "sum")])
+        merged = (wau.rename_columns(["day_num", "wau"])
+                  .join(dau.rename_columns(["day_num", "dau"]),
+                        keys=["day_num"], join_type="full outer"))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({"day_num": merged["day_num"],
+                         "dau": pc.coalesce(merged["dau"], zero),
+                         "wau": pc.coalesce(merged["wau"], zero)})
+
+    partial = pairs.map_batches(census, batch_format="pyarrow",
+                                batch_size=None)
+    merged = tree_merge(partial, ["day_num"],
+                        [("dau", "sum"), ("wau", "sum")], fanin=8)
+
+    def present_only(b: pa.Table) -> pa.Table:
+        # coverage extends w-1 days past a user's last event; the oracle's
+        # day domain is days with >= 1 event, i.e. dau > 0
+        return b.filter(pc.greater(b["dau"], 0))
+
+    return merged.map_batches(present_only, batch_format="pyarrow",
+                              batch_size=None).sort("day_num")
+
+
+LOG_ROLLING_ACTIVE_SQL = f"""
+WITH pairs AS (SELECT DISTINCT user_id,
+                      CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                      AS day_num
+               FROM events),
+     days AS (SELECT DISTINCT day_num FROM pairs)
+SELECT d.day_num,
+       (SELECT COUNT(*) FROM pairs p WHERE p.day_num = d.day_num) AS dau,
+       (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        WHERE p.day_num BETWEEN d.day_num - {ROLLING_WINDOW_DAYS - 1}
+                            AND d.day_num) AS wau
+FROM days d
+ORDER BY d.day_num
+"""
+
+
 # contiguous half-open value bands [lo, hi) — the small side of the range join
 VALUE_BANDS = [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
                (3, 200.0, 400.0), (4, 400.0, 1e6)]
@@ -839,6 +957,7 @@ QUERIES = {
     "log_user_paths": log_user_paths,
     "log_interarrival": log_interarrival,
     "log_user_retention": log_user_retention,
+    "log_rolling_active_users": log_rolling_active_users,
     "q_value_band_join": q_value_band_join,
     "log_sessionize": log_sessionize,
     "log_first_event_per_user": log_first_event_per_user,
@@ -855,6 +974,7 @@ ORACLE_SQL = {
     "log_user_paths": LOG_USER_PATHS_SQL,
     "log_interarrival": LOG_INTERARRIVAL_SQL,
     "log_user_retention": LOG_USER_RETENTION_SQL,
+    "log_rolling_active_users": LOG_ROLLING_ACTIVE_SQL,
     "q_value_band_join": Q_VALUE_BAND_JOIN_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,
     "log_first_event_per_user": LOG_FIRST_EVENT_SQL,
