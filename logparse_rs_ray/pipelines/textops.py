@@ -1628,6 +1628,116 @@ def doc_lm_score(sf_dir: str, *, sample_mod: int = LM_SAMPLE_MOD,
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+# --- DSIR-style importance weights (data selection) --------------------------
+
+DSIR_BUCKETS = 16384          # hashed feature space per n-gram order
+DSIR_TARGET_LANG = "en"       # the "target domain" seed set
+
+
+def doc_dsir_weights(sf_dir: str, *, buckets: int = DSIR_BUCKETS,
+                     target_lang: str = DSIR_TARGET_LANG, fanin: int = 8):
+    """(doc_id, n_feats, logw_x1e6) — hashed-n-gram importance weight per
+    document: mean log-likelihood ratio of the doc's unigram+bigram hash
+    features under a target-domain bag model vs the raw-corpus bag model
+    (the DSIR data-selection statistic — docs scoring high look like the
+    target domain and get up-sampled).  Target seed = the corpus's
+    ``lang == target_lang`` slice; both models are add-one-smoothed
+    multinomials over ``2 x buckets`` hashed features.
+
+    Scale shape: pass 1 emits a (bucket, tgt_cnt, raw_cnt) partial per
+    block — the key set is bounded at 2 x ``buckets`` regardless of corpus
+    size, so the combiner tree applies; the merged log-ratio table
+    (~256 KiB) broadcasts via ``ray.put`` and pass 2 scores every doc with
+    one gather + ``segment_sum``.  No corpus-sized shuffle, text never
+    leaves its block, output is corpus-∝ and sortless.  Per-doc float sums
+    reduce in within-doc order only — results are independent of block
+    coalescing.
+
+    Rows-only (FNV feature hashing + log arithmetic are not
+    SQL-expressible): pytest pins exact integer equality against a serial
+    replica and the target-looks-like-target ordering property.
+    """
+    import ray
+
+    from ..functions.hashing import segment_sum, shingle_hashes, tokenize_flat
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def doc_features(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Flat bucket ids (unigrams then bigrams, disjoint ranges) plus
+        per-doc offsets into the combined feature stream."""
+        uni, uoff = tokenize_flat(b["text"])
+        bi, boff = shingle_hashes(b["text"], k=2)
+        ub = (uni % np.uint64(buckets)).astype(np.int64)
+        bb = (bi % np.uint64(buckets)).astype(np.int64) + buckets
+        n_u, n_b = np.diff(uoff), np.diff(boff)
+        off = np.zeros(b.num_rows + 1, dtype=np.int64)
+        np.cumsum(n_u + n_b, out=off[1:])
+        flat = np.empty(int(off[-1]), dtype=np.int64)
+        # interleave per doc: unigram run then bigram run
+        u_dst = np.repeat(off[:-1], n_u) + (np.arange(len(ub))
+                                            - np.repeat(uoff[:-1], n_u))
+        b_dst = np.repeat(off[:-1] + n_u, n_b) + (np.arange(len(bb))
+                                                  - np.repeat(boff[:-1], n_b))
+        flat[u_dst] = ub
+        flat[b_dst] = bb
+        return flat, off
+
+    def counts(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        flat, off = doc_features(b)
+        if len(flat) == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "tgt_cnt": pa.array([], type=pa.int64()),
+                             "raw_cnt": pa.array([], type=pa.int64())})
+        raw = np.bincount(flat, minlength=2 * buckets).astype(np.int64)
+        is_tgt = np.asarray(pc.equal(b["lang"], target_lang)).astype(bool)
+        feat_tgt = np.repeat(is_tgt, np.diff(off))
+        tgt = np.bincount(flat[feat_tgt],
+                          minlength=2 * buckets).astype(np.int64)
+        nz = np.nonzero(raw)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "tgt_cnt": pa.array(tgt[nz]),
+                         "raw_cnt": pa.array(raw[nz])})
+
+    partial = ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(partial, ["bucket"],
+                        [("tgt_cnt", "sum"), ("raw_cnt", "sum")], fanin=fanin)
+    tgt = np.zeros(2 * buckets, dtype=np.int64)
+    raw = np.zeros(2 * buckets, dtype=np.int64)
+    for t in merged.iter_batches(batch_format="pyarrow", batch_size=None):
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        idx = np.asarray(t["bucket"], dtype=np.int64)
+        tgt[idx] += np.asarray(t["tgt_cnt"], dtype=np.int64)
+        raw[idx] += np.asarray(t["raw_cnt"], dtype=np.int64)
+    d = 2.0 * buckets
+    lam = (np.log((tgt + 1.0) / (tgt.sum() + d))
+           - np.log((raw + 1.0) / (raw.sum() + d)))
+    lam_ref = ray.put(lam)
+
+    def score(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        table = ray.get(lam_ref)
+        flat, off = doc_features(b)
+        vals = table[flat] if len(flat) else np.empty(0, dtype=np.float64)
+        sums = segment_sum(vals, off)
+        n = np.diff(off)
+        mean = np.where(n > 0, sums / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_feats": pa.array(n.astype(np.int64)),
+            "logw_x1e6": pa.array(np.floor(mean * 1e6).astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 # --- inverted index (posting-list build) ------------------------------------
 
 def _flat_tokens(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -2038,6 +2148,7 @@ QUERIES = {
     "doc_bigram_phrases": doc_bigram_phrases,
     "doc_source_overlap": doc_source_overlap,
     "doc_reservoir_sample": doc_reservoir_sample,
+    "doc_dsir_weights": doc_dsir_weights,
 }
 
 ORACLE_SQL = {
@@ -2065,6 +2176,7 @@ ORACLE_SQL = {
     "doc_bigram_phrases": DOC_BIGRAM_PHRASES_SQL,
     "doc_source_overlap": DOC_SOURCE_OVERLAP_SQL,
     "doc_reservoir_sample": DOC_RESERVOIR_SAMPLE_SQL,
-    # doc_fingerprint, doc_lm_score: rows-only (FNV / log2 arithmetic not
-    # SQL-expressible); pytest verifies both against serial Python oracles.
+    # doc_fingerprint, doc_lm_score, doc_dsir_weights: rows-only (FNV / log
+    # arithmetic not SQL-expressible); pytest verifies each against a serial
+    # Python oracle.
 }

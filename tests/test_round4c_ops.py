@@ -180,3 +180,97 @@ class TestLangidConfusion:
         assert got_map == dict(want)
         # bounded census, sorted output
         assert list(got.lang) == sorted(got.lang)
+
+
+def _dsir_serial(table: pa.Table, buckets=16384, target_lang="en"):
+    """Serial replica of doc_dsir_weights over one in-memory table."""
+    from logparse_rs_ray.functions.hashing import (segment_sum,
+                                                   shingle_hashes,
+                                                   tokenize_flat)
+
+    uni, uoff = tokenize_flat(table["text"])
+    bi, boff = shingle_hashes(table["text"], k=2)
+    ub = (uni % np.uint64(buckets)).astype(np.int64)
+    bb = (bi % np.uint64(buckets)).astype(np.int64) + buckets
+    n_u, n_b = np.diff(uoff), np.diff(boff)
+    off = np.zeros(table.num_rows + 1, dtype=np.int64)
+    np.cumsum(n_u + n_b, out=off[1:])
+    flat = np.empty(int(off[-1]), dtype=np.int64)
+    u_dst = np.repeat(off[:-1], n_u) + (np.arange(len(ub))
+                                        - np.repeat(uoff[:-1], n_u))
+    b_dst = np.repeat(off[:-1] + n_u, n_b) + (np.arange(len(bb))
+                                              - np.repeat(boff[:-1], n_b))
+    flat[u_dst] = ub
+    flat[b_dst] = bb
+    raw = np.bincount(flat, minlength=2 * buckets).astype(np.int64)
+    is_tgt = np.asarray([l == target_lang for l in
+                         table["lang"].to_pylist()])
+    tgt = np.bincount(flat[np.repeat(is_tgt, np.diff(off))],
+                      minlength=2 * buckets).astype(np.int64)
+    d = 2.0 * buckets
+    lam = (np.log((tgt + 1.0) / (tgt.sum() + d))
+           - np.log((raw + 1.0) / (raw.sum() + d)))
+    sums = segment_sum(lam[flat], off)
+    n = np.diff(off)
+    mean = np.where(n > 0, sums / np.maximum(n, 1), 0.0)
+    return (n.astype(np.int64), np.floor(mean * 1e6).astype(np.int64))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDsirWeights:
+    def test_matches_serial_replica(self):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.textops import doc_dsir_weights
+
+        got = (doc_dsir_weights(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text", "lang"])
+        t = t.take(pa.array(np.argsort(np.asarray(t["doc_id"]))))
+        n, w = _dsir_serial(t)
+        assert list(got.n_feats) == list(n)
+        assert list(got.logw_x1e6) == list(w)
+
+    def test_target_lang_scores_higher(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.textops import doc_dsir_weights
+
+        en = ["the cat and the dog sat with a hat"] * 20
+        fr = ["le chat est dans la maison et le chien"] * 20
+        t = pa.table({
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(en + fr),
+            "lang": pa.array(["en"] * 20 + ["fr"] * 20),
+            "source": pa.array(["s"] * 40),
+            "n_chars": pa.array([len(x) for x in en + fr], type=pa.int64()),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        got = doc_dsir_weights(str(tmp_path)).to_pandas()
+        w_en = got[got.doc_id < 20].logw_x1e6
+        w_fr = got[got.doc_id >= 20].logw_x1e6
+        assert w_en.min() > w_fr.max()
+
+    def test_block_structure_independent(self, tmp_path):
+        # empty docs + odd block sizes: same answer regardless of blocking
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.textops import doc_dsir_weights
+
+        texts = ["alpha beta gamma", "", "the the the", "x", "le la les"]
+        t = pa.table({
+            "doc_id": pa.array(range(5), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en", "fr", "fr", "fr"]),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([len(x) for x in texts], type=pa.int64()),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        got = (doc_dsir_weights(str(tmp_path)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        n, w = _dsir_serial(t)
+        assert list(got.n_feats) == list(n)
+        assert list(got.logw_x1e6) == list(w)
+        # empty doc: zero features, zero weight
+        assert got.loc[1, "n_feats"] >= 1  # bigram sentinel for empty docs

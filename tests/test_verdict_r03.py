@@ -795,7 +795,7 @@ class TestQueryRegistry:
             "embed_quantize", "dedup_simhash_survivors", "ann_topk_int8",
             "doc_lm_score", "dedup_minhash_keep_best", "doc_overlap_pairs",
             "doc_cdc_chunk_dedup", "doc_overlap_survivors",
-            "embed_pca_top", "embed_outliers",
+            "embed_pca_top", "embed_outliers", "doc_dsir_weights",
         }, rows_only
 
 
