@@ -1470,8 +1470,144 @@ ORDER BY o_orderpriority
 """
 
 
+# --- correlated EXISTS / NOT EXISTS ----------------------------------------
+
+def q_exists_urgent_clean(sf_dir: str, *, mode: str = "tree",
+                          final_partitions: int | None = None):
+    """Customers with at least one URGENT-priority order and no
+    'F'-status order — the EXISTS + NOT EXISTS correlated-subquery shape
+    (decorrelated into one grouped flag-aggregation over the fact table).
+
+    Scale shape: one pass over ``orders`` emitting two 0/1 flags, a
+    grouped sum per customer (tree combiner at toy scale, hash shuffle
+    beyond — ``mode``), then a streamed post-filter.  The ``customer``
+    membership semi-join is a broadcast set (dimension table).  Output is
+    per-customer → no trailing sort (the gate is order-insensitive).
+    """
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "is_urgent": pc.cast(pc.equal(b["o_orderpriority"], "1-URGENT"),
+                                 pa.int64()),
+            "is_f": pc.cast(pc.equal(b["o_orderstatus"], "F"), pa.int64()),
+        })
+
+    agg = grouped_agg(ds.map_batches(flags, batch_format="pyarrow",
+                                     batch_size=None),
+                      "o_custkey", {"n_urgent": "is_urgent", "n_f": "is_f"},
+                      mode=mode, final_partitions=final_partitions)
+    cust_keys = _read_small(sf_dir, "customer", ["c_custkey"])["c_custkey"]
+
+    def pick(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(b["n_urgent"], 0), pc.equal(b["n_f"], 0))
+        b = b.filter(keep)
+        b = b.filter(pc.is_in(b["o_custkey"], value_set=cust_keys.combine_chunks()))
+        return pa.table({"c_custkey": b["o_custkey"]})
+
+    return agg.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+Q_EXISTS_URGENT_CLEAN_SQL = """
+SELECT c.c_custkey
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+ORDER BY c.c_custkey
+"""
+
+
+# --- TPC-H Q17 shape: correlated aggregate subquery as a self-join ---------
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """Count + revenue of lineitems whose quantity is below 20% of the
+    per-part average quantity (TPC-H Q17's correlated AVG subquery,
+    decorrelated into a grouped-sum + join against the same fact table).
+
+    The float predicate ``qty < 0.2 * AVG(qty)`` is restated exactly in
+    integers: ``5 * qty * cnt < sum_qty`` (quantities are integral), so
+    both engines evaluate the same arithmetic.  Revenue is integer cents.
+
+    Scale shape: pass 1 is a per-part grouped sum (bounded by the part
+    dimension — ``part`` is a dimension table at every TPC-H scale, so
+    the per-part thresholds broadcast); pass 2 streams lineitem once
+    against the broadcast map.  Output is one row.
+    """
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "qty": pc.cast(b["l_quantity"], pa.int64())})
+
+    per_part = pa.concat_tables(list(grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "l_partkey", {"sum_qty": "qty"}, count_name="cnt",
+    ).iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                   "sum_qty": pa.array([], type=pa.int64()),
+                   "cnt": pa.array([], type=pa.int64())})]).combine_chunks()
+
+    def small_qty(b: pa.Table) -> pa.Table:
+        b = pa.table({"l_partkey": b["l_partkey"],
+                      "qty": pc.cast(b["l_quantity"], pa.int64()),
+                      "price_cents": _cents(b["l_extendedprice"])})
+        return b
+
+    scored = broadcast_join(
+        li.map_batches(small_qty, batch_format="pyarrow", batch_size=None),
+        per_part, "l_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        # 5 * qty * cnt < sum_qty  <=>  qty < 0.2 * avg(qty) exactly
+        lhs = pc.multiply(pc.multiply(b["qty"], pa.scalar(5, pa.int64())),
+                          b["cnt"])
+        b = b.filter(pc.less(lhs, b["sum_qty"]))
+        return pa.table({
+            "n_small": pa.array([b.num_rows], type=pa.int64()),
+            "revenue_cents": pa.array(
+                [pc.sum(b["price_cents"]).as_py() or 0], type=pa.int64()),
+        })
+
+    parts = scored.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_small": pa.array([pc.sum(b["n_small"]).as_py() or 0],
+                                type=pa.int64()),
+            "revenue_cents": pa.array([pc.sum(b["revenue_cents"]).as_py() or 0],
+                                      type=pa.int64()),
+        })
+
+    return parts.repartition(1).map_batches(total, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+Q17_SMALL_QTY_SQL = """
+WITH s AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_small,
+       CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * s.cnt < s.sum_qty
+"""
+
+
 QUERIES = {
     "q_3way_revenue": q_3way_revenue,
+    "q_exists_urgent_clean": q_exists_urgent_clean,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q_string_agg": q_string_agg,
     "q_cube_pricing": q_cube_pricing,
     "q_moving_avg_orders": q_moving_avg_orders,
@@ -1502,6 +1638,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q_3way_revenue": Q_3WAY_REVENUE_SQL,
+    "q_exists_urgent_clean": Q_EXISTS_URGENT_CLEAN_SQL,
+    "q17_small_quantity_revenue": Q17_SMALL_QTY_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
     "q_cube_pricing": Q_CUBE_SQL,
     "q_moving_avg_orders": Q_MOVING_AVG_SQL,

@@ -766,6 +766,59 @@ def embed_outliers(sf_dir: str, *, n_components: int = 8, top: int = 50,
                                            batch_size=None)
 
 
+RANGE_COS_MIN = 0.30  # margin-checked: nearest corpus cosine is 4.5e-4 away
+
+
+def ann_range_search(sf_dir: str, *, threshold: float = RANGE_COS_MIN,
+                     n_queries: int = N_QUERIES):
+    """Cosine range search: every (query, vector) pair with similarity >=
+    ``threshold`` (self-pairs excluded) — the radius-query complement of
+    ``ann_topk_cosine`` (retrieval APIs expose both top-k and range modes).
+
+    (query_id, vec_id, cos_pct) with cos floored to integer 1e-3.
+
+    Scale shape: the query matrix is a broadcast constant riding the task
+    closure; each block does one normalized matmul and emits only its
+    in-range pairs — embarrassingly parallel, no shuffle, no trailing sort
+    (matches stream out per block; the gate compares order-insensitively).
+    At 100 TB the output is threshold-bounded, not corpus-bounded, as long
+    as the radius is chosen selectively (0.30 here keeps ~1e-5 of pairs).
+    """
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "cos_pct": pa.array([], type=pa.int64())})
+
+    def in_range(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        mat = _normalize(_list_matrix(batch["embedding"]))
+        cos = qmat @ mat.T                       # (nq, nb)
+        hit = (cos >= threshold) & (ids[None, :] != qids[:, None])
+        qi, vi = np.nonzero(hit)
+        return pa.table({
+            "query_id": pa.array(qids[qi]),
+            "vec_id": pa.array(ids[vi]),
+            "cos_pct": pa.array(np.floor(cos[qi, vi] * 1000).astype(np.int64)),
+        })
+
+    return ds.map_batches(in_range, batch_format="pyarrow", batch_size=None)
+
+
+ANN_RANGE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES})
+SELECT q.query_id, e.vec_id,
+       CAST(FLOOR(list_cosine_similarity(q.qe, e.embedding) * 1000) AS BIGINT)
+         AS cos_pct
+FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+WHERE list_cosine_similarity(q.qe, e.embedding) >= {RANGE_COS_MIN}
+ORDER BY query_id, vec_id
+"""
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
     "doc_embed_hashvec": doc_embed_hashvec,
@@ -773,6 +826,7 @@ QUERIES = {
     "ann_topk_int8": ann_topk_int8,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_range_search": ann_range_search,
     "embed_cluster_assign": embed_cluster_assign,
     "embed_kmeans": embed_kmeans,
     "embed_pca_top": embed_pca_top,
@@ -781,6 +835,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_topk_cosine": ANN_TOPK_SQL,
+    "ann_range_search": ANN_RANGE_SQL,
     "embed_cluster_assign": EMBED_CLUSTER_ASSIGN_SQL,
     # ann_ivf_topk: approximate -> rows-only; pytest asserts recall vs exact.
     # embed_pca_top: iterative eigensolve -> rows-only; pytest pins the
