@@ -172,6 +172,66 @@ ORDER BY keeper_doc_id
 """
 
 
+# --- normalized exact dedup ---------------------------------------------------
+
+def _normalize_text(col) -> pa.Array:
+    """Canonical text form shared with the SQL oracle: every whitespace run
+    collapses to one space, then lowercase, then strip leading/trailing
+    spaces — ``trim(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')``.
+    Both engines run RE2, so the ``\\s`` class is identical."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    col = pc.replace_substring_regex(col, r"\s+", " ")
+    col = pc.utf8_lower(col)
+    return pc.utf8_trim(col, " ")
+
+
+def dedup_exact_normalized(sf_dir: str, *, mode: str = "auto",
+                           num_partitions: int = 16):
+    """(keeper_doc_id, n_copies) — exact dedup AFTER text canonicalization
+    (whitespace collapse + lowercase + trim): catches re-wrapped, re-cased
+    and re-indented copies that byte-exact dedup (``dedup_exact_hash``)
+    misses — the standard first normalization step of a curation pipeline.
+
+    Scale shape is ``exact_dedup_by_hash`` unchanged: normalization is one
+    extra vectorized Arrow kernel per block before the FNV hash, keys stay
+    8-byte ints through the size-gated tree/shuffle merge, text never
+    shuffles."""
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = fnv1a64_arrow(_normalize_text(b["text"]))
+        t = pa.table({"norm_hash": pa.array(h.astype(np.int64)),
+                      "keeper": b["doc_id"]})
+        g = t.group_by(["norm_hash"]).aggregate(
+            [("keeper", "min"), ([], "count_all")])
+        return g.rename_columns(["norm_hash", "keeper", "n"])
+
+    partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    specs = [("keeper", "min"), ("n", "sum")]
+    if mode == "shuffle":
+        merged = hash_merge(partial, ["norm_hash"], specs,
+                            num_partitions=num_partitions)
+    else:
+        merged = tree_merge(partial, ["norm_hash"], specs, fanin=8)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({"keeper_doc_id": b["keeper"], "n_copies": b["n"]})
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
+
+
+DEDUP_EXACT_NORMALIZED_SQL = """
+SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY trim(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+ORDER BY keeper_doc_id
+"""
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 def _signature_batch_fn(num_perm: int, bands: int, k: int):
@@ -1898,6 +1958,7 @@ QUERIES = {
     "doc_semantic_pairs": doc_semantic_pairs,
     "doc_semantic_survivors": doc_semantic_survivors,
     "dedup_exact_hash": dedup_exact_hash,
+    "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_minhash_pairs": verified_pairs_ngram,
     "dedup_simhash_pairs": simhash_pairs,
     "embed_neardup_cosine": embedding_neardup_pairs,
@@ -1912,6 +1973,7 @@ QUERIES = {
 ORACLE_SQL = {
     "dedup_exact_priority": DEDUP_EXACT_PRIORITY_SQL,
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
+    "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "embed_neardup_cosine": EMBED_NEARDUP_SQL,
     "embed_neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "embed_dedup_survivors": EMBED_DEDUP_SURVIVORS_SQL,

@@ -2120,6 +2120,112 @@ ORDER BY source_a, source_b
 """
 
 
+# --- BPE merge training ------------------------------------------------------
+
+BPE_EOW = "</w>"  # end-of-word marker symbol (Sennrich-style)
+
+
+def _bpe_merge_loop(words, counts, n_merges):
+    """Serial Sennrich merge loop over WORD TYPES: symbols start as
+    characters + the end-of-word marker; each round counts every adjacent
+    symbol position weighted by word frequency (overlaps count, as in the
+    reference algorithm), merges the most frequent pair corpus-wide
+    (ties: lexicographically smallest pair), and rewrites words
+    left-to-right non-overlapping.  Returns [(rank, left, right, count)].
+    """
+    syms = [tuple(w) + (BPE_EOW,) for w in words]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict = {}
+        for s, c in zip(syms, counts):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (left, right), cnt = min(pair_counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, cnt))
+        new = left + right
+        for j, s in enumerate(syms):
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[j] = tuple(out)
+    return merges
+
+
+def doc_bpe_train_merges(sf_dir: str, *, n_merges: int = 12,
+                         max_vocab: int = 65536, num_partitions: int = 8):
+    """(merge_rank, left, right, pair_count) — the first ``n_merges`` BPE
+    merges trained on the corpus: the tokenizer-TRAINING operator
+    (``doc_bigram_phrases`` surfaces word-level merge candidates; this is
+    the real subword algorithm).
+
+    Scale shape is how production tokenizer trainers work: ONE distributed
+    corpus pass collapses text to (word type, count) — the vocabulary is
+    type-∝, not corpus-∝ — via block-local pre-aggregation and a term-keyed
+    hash exchange, capped to the ``max_vocab`` most frequent types (count
+    desc, term asc; the tail carries negligible pair mass) through the
+    disjoint-partition local-top-k plan.  The merge loop then iterates over
+    word TYPES on the driver (the standard Sennrich/HF formulation) — no
+    further corpus pass per merge.  Rows-only gate entry (iterative, not
+    SQL-expressible); pytest pins it against an independent serial replica.
+    """
+    from ..stages.shuffle import hash_merge
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        flat, _ = _flat_tokens(b)
+        t = pa.table({"term": pa.array(flat, type=pa.string())})
+        g = t.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "cnt"])
+
+    partial = ds.map_batches(block_counts, batch_format="pyarrow",
+                             batch_size=None)
+    merged = hash_merge(partial, ["term"], [("cnt", "sum")],
+                        num_partitions=num_partitions)
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if b.num_rows <= max_vocab:
+            return b
+        cnt = np.asarray(b["cnt"], dtype=np.int64)
+        term = np.asarray(b["term"].to_pylist(), dtype=object)
+        order = np.lexsort((term, -cnt))[:max_vocab]
+        return b.take(pa.array(order))
+
+    cand = merged.map_batches(local_top, batch_format="pyarrow",
+                              batch_size=None)
+    vocab = pa.concat_tables(list(
+        cand.repartition(1).map_batches(local_top, batch_format="pyarrow",
+                                        batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"term": pa.array([], type=pa.string()),
+                   "cnt": pa.array([], type=pa.int64())})]).combine_chunks()
+
+    words = vocab["term"].to_pylist()
+    counts = np.asarray(vocab["cnt"], dtype=np.int64).tolist() if vocab.num_rows else []
+    merges = _bpe_merge_loop(words, counts, n_merges)
+
+    import pandas as pd
+
+    return pd.DataFrame({
+        "merge_rank": pd.Series([m[0] for m in merges], dtype="int64"),
+        "left": [m[1] for m in merges],
+        "right": [m[2] for m in merges],
+        "pair_count": pd.Series([m[3] for m in merges], dtype="int64"),
+    })
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_quality_classifier": doc_quality_classifier,
@@ -2149,6 +2255,7 @@ QUERIES = {
     "doc_source_overlap": doc_source_overlap,
     "doc_reservoir_sample": doc_reservoir_sample,
     "doc_dsir_weights": doc_dsir_weights,
+    "doc_bpe_train_merges": doc_bpe_train_merges,
 }
 
 ORACLE_SQL = {
@@ -2178,5 +2285,6 @@ ORACLE_SQL = {
     "doc_reservoir_sample": DOC_RESERVOIR_SAMPLE_SQL,
     # doc_fingerprint, doc_lm_score, doc_dsir_weights: rows-only (FNV / log
     # arithmetic not SQL-expressible); pytest verifies each against a serial
-    # Python oracle.
+    # Python oracle.  doc_bpe_train_merges: rows-only (iterative merge
+    # training); pytest pins it against an independent serial replica.
 }
