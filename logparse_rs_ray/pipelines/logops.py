@@ -763,8 +763,115 @@ def _redact_sql() -> str:
 LOG_REDACT_PII_SQL = _redact_sql()
 
 
+# --- robust outlier census (median / MAD) -----------------------------------
+
+def log_value_mad_outliers(sf_dir: str, *, k: int = 5, nbins: int = 4096,
+                           max_passes: int = 8, fanin: int = 8):
+    """(event_type, n_events, n_outliers, median_x1e6, mad_x1e6) — robust
+    per-type outlier census of the continuous ``value`` column: an event is
+    an outlier when |value - median| > ``k`` x MAD (median absolute
+    deviation), the mean/stddev-free rule that survives the very outliers
+    it hunts.  Values are fixed-point 1e-6 ints so both engines do exact
+    integer selection and comparison.
+
+    Scale shape: two EXACT grouped-median passes through the shared
+    histogram-refinement engine (``exact_grouped_quantiles`` — per-block
+    bounded partials, combiner tree, O(log_nbins(domain)) scans each),
+    medians/MADs broadcast in the closure (bounded: one pair per event
+    type), then ONE census pass.  Nothing corpus-sized ever moves.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import exact_grouped_quantiles
+
+    def load():
+        return read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def _val(b: pa.Table):
+        # half away from zero == DuckDB ROUND (pyarrow default is banker's)
+        return pc.cast(pc.round(pc.multiply(b["value"], 1e6),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def prep_med(b: pa.Table) -> pa.Table:
+        return pa.table({"grp": b["event_type"], "val": _val(b)})
+
+    groups, med = exact_grouped_quantiles(load, prep_med, (0.5,),
+                                          nbins=nbins,
+                                          max_passes=max_passes, fanin=fanin)
+    grp_arr = pa.array([str(g) for g in groups], type=pa.string())
+    med_by_g = med[:, 0]
+
+    def prep_dev(b: pa.Table, *, grp_arr=grp_arr,
+                 med_by_g=med_by_g) -> pa.Table:
+        gi = np.asarray(pc.index_in(b["event_type"], value_set=grp_arr),
+                        dtype=np.int64)
+        dev = np.abs(np.asarray(_val(b), dtype=np.int64) - med_by_g[gi])
+        return pa.table({"grp": b["event_type"], "val": pa.array(dev)})
+
+    groups2, mad = exact_grouped_quantiles(load, prep_dev, (0.5,),
+                                           nbins=nbins,
+                                           max_passes=max_passes,
+                                           fanin=fanin)
+    mad_by_name = dict(zip(groups2, mad[:, 0]))
+    mad_by_g = np.asarray([mad_by_name[g] for g in groups], dtype=np.int64)
+
+    def census(b: pa.Table, *, grp_arr=grp_arr, med_by_g=med_by_g,
+               mad_by_g=mad_by_g) -> pa.Table:
+        gi = np.asarray(pc.index_in(b["event_type"], value_set=grp_arr),
+                        dtype=np.int64)
+        dev = np.abs(np.asarray(_val(b), dtype=np.int64) - med_by_g[gi])
+        out = (dev > k * mad_by_g[gi]).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "is_out": pa.array(out)})
+
+    agg = grouped_agg(load().map_batches(census, batch_format="pyarrow",
+                                         batch_size=None),
+                      "event_type", {"n_outliers": "is_out"},
+                      count_name="n_events", final_partitions=1)
+
+    def attach(b: pa.Table) -> pa.Table:
+        gi = np.asarray(pc.index_in(b["event_type"], value_set=grp_arr),
+                        dtype=np.int64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": b["n_events"],
+            "n_outliers": b["n_outliers"],
+            "median_x1e6": pa.array(med_by_g[gi]),
+            "mad_x1e6": pa.array(mad_by_g[gi]),
+        })
+
+    # bounded output (one row per event type) — sort is fine
+    return agg.map_batches(attach, batch_format="pyarrow",
+                           batch_size=None).sort("event_type")
+
+
+LOG_VALUE_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS val
+  FROM events
+),
+m AS (SELECT event_type, quantile_disc(val, 0.5) AS med
+      FROM v GROUP BY event_type),
+d AS (SELECT v.event_type, ABS(v.val - m.med) AS dev, m.med AS med
+      FROM v JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN d.dev > 5 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(MIN(d.med) AS BIGINT) AS median_x1e6,
+       CAST(MIN(md.mad) AS BIGINT) AS mad_x1e6
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
+    "log_value_mad_outliers": log_value_mad_outliers,
     "log_event_user_hll": log_event_user_hll,
     "log_event_user_distinct": log_event_user_distinct,
     "log_redact_pii": log_redact_pii,
@@ -785,6 +892,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "log_redact_pii": LOG_REDACT_PII_SQL,
+    "log_value_mad_outliers": LOG_VALUE_MAD_SQL,
     "log_event_user_distinct": LOG_EVENT_USER_DISTINCT_SQL,
     "log_parse_props": LOG_PARSE_PROPS_SQL,
     "log_route_counts": LOG_ROUTE_COUNTS_SQL,

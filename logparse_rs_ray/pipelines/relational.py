@@ -552,95 +552,22 @@ def q_median_price_by_priority(sf_dir: str, *, qs=MEDIAN_QS,
     tree.  Quantile rule matches DuckDB ``quantile_disc``: the k-th
     smallest with k = ceil(n*q).  Bounded output (one row per priority).
     """
-    import numpy as np
-
-    from ..stages.aggregate import tree_merge
-
-    nq = len(qs)
+    from ..stages.aggregate import exact_grouped_quantiles
 
     def load():
         return read_table(sf_dir, "orders",
                           columns=["o_orderpriority", "o_totalprice"])
 
     def prep(b: pa.Table) -> pa.Table:
-        return pa.table({"prio": b["o_orderpriority"],
-                         "cents": _cents(b["o_totalprice"])})
+        return pa.table({"grp": b["o_orderpriority"],
+                         "val": _cents(b["o_totalprice"])})
 
-    def stats(b: pa.Table) -> pa.Table:
-        g = prep(b).group_by(["prio"]).aggregate(
-            [("cents", "count"), ("cents", "min"), ("cents", "max")])
-        return g.rename_columns(["prio", "cnt", "vmin", "vmax"])
-
-    base = pa.concat_tables(list(tree_merge(
-        load().map_batches(stats, batch_format="pyarrow", batch_size=None),
-        ["prio"], [("cnt", "sum"), ("vmin", "min"), ("vmax", "max")],
-        fanin=fanin).iter_batches(batch_format="pyarrow", batch_size=None)))
-    prios = base["prio"].to_pylist()
-    n = np.asarray(base["cnt"], dtype=np.int64)
-    # unit u = g * nq + qi: independent (lo, hi, k) per group x quantile
-    lo = np.repeat(np.asarray(base["vmin"], dtype=np.int64), nq)
-    hi = np.repeat(np.asarray(base["vmax"], dtype=np.int64), nq)
-    k = np.maximum(np.ceil(np.repeat(n, nq) *
-                           np.tile(np.asarray(qs), len(prios)))
-                   .astype(np.int64), 1)
-
-    for _ in range(max_passes):
-        live = lo < hi
-        if not live.any():
-            break
-        binw = np.where(live, -(-(hi - lo + 1) // nbins), 1)
-        prio_arr = pa.array([str(p) for p in prios], type=pa.string())
-        lo_c, hi_c, binw_c, live_c = (lo.copy(), hi.copy(), binw.copy(),
-                                      live.copy())
-
-        def hist(b: pa.Table, *, prio_arr=prio_arr, lo_c=lo_c, hi_c=hi_c,
-                 binw_c=binw_c, live_c=live_c) -> pa.Table:
-            t = prep(b)
-            gi = np.asarray(
-                pc.fill_null(pc.index_in(t["prio"], value_set=prio_arr), -1),
-                dtype=np.int64)
-            v = np.asarray(t["cents"], dtype=np.int64)
-            ok = gi >= 0
-            gi, v = gi[ok], v[ok]
-            keys, cnts = [], []
-            for qi in range(nq):             # nq tiny — rows vectorized
-                u = gi * nq + qi
-                m = live_c[u] & (v >= lo_c[u]) & (v <= hi_c[u])
-                um, vm = u[m], v[m]
-                packed = um * nbins + (vm - lo_c[um]) // binw_c[um]
-                ub, cnt = np.unique(packed, return_counts=True)
-                keys.append(ub)
-                cnts.append(cnt)
-            return pa.table({
-                "gkey": pa.array(np.concatenate(keys).astype(np.int64)),
-                "cnt": pa.array(np.concatenate(cnts).astype(np.int64))})
-
-        hb = pa.concat_tables(list(tree_merge(
-            load().map_batches(hist, batch_format="pyarrow", batch_size=None),
-            ["gkey"], [("cnt", "sum")],
-            fanin=fanin).iter_batches(batch_format="pyarrow",
-                                      batch_size=None)))
-        gkey = np.asarray(hb["gkey"], dtype=np.int64)
-        cnt = np.asarray(hb["cnt"], dtype=np.int64)
-        order = np.argsort(gkey)
-        gkey, cnt = gkey[order], cnt[order]
-        u_all, bins_all = gkey // nbins, gkey % nbins
-        for u in np.unique(u_all):           # bounded: groups x quantiles
-            m = u_all == u
-            cum = np.cumsum(cnt[m])
-            j = int(np.searchsorted(cum, k[u]))
-            b_sel = int(bins_all[m][j])
-            k[u] -= int(cum[j - 1]) if j else 0
-            new_lo = lo[u] + b_sel * binw[u]
-            hi[u] = min(hi[u], new_lo + binw[u] - 1)
-            lo[u] = new_lo
-    assert (lo == hi).all(), "histogram refinement did not converge"
-    res = lo.reshape(len(prios), nq)
+    prios, res = exact_grouped_quantiles(load, prep, qs, nbins=nbins,
+                                         max_passes=max_passes, fanin=fanin)
     return pa.table({
         "o_orderpriority": pa.array([str(p) for p in prios],
                                     type=pa.string()),
-        **{_q_col(q): pa.array(res[:, qi].astype(np.int64))
-           for qi, q in enumerate(qs)},
+        **{_q_col(q): pa.array(res[:, qi]) for qi, q in enumerate(qs)},
     }).sort_by("o_orderpriority")            # bounded output — sort is fine
 
 

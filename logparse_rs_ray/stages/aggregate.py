@@ -29,7 +29,104 @@ from __future__ import annotations
 import pyarrow as pa
 
 __all__ = ["count_by", "top_k", "sum_by", "multi_count", "multi_count_fn",
-           "grouped_agg", "tree_merge", "local_topk"]
+           "grouped_agg", "tree_merge", "local_topk",
+           "exact_grouped_quantiles"]
+
+
+def exact_grouped_quantiles(load, prep, qs, *, nbins: int = 4096,
+                            max_passes: int = 8, fanin: int = 8):
+    """EXACT grouped ``quantile_disc`` over an UNBOUNDED integer domain via
+    iterative histogram refinement (distributed selection), all quantiles
+    simultaneously — the generic engine behind
+    ``q_median_price_by_priority`` and ``log_value_mad_outliers``.
+
+    ``load()`` returns a fresh Dataset per pass (the input is scanned
+    O(log_nbins(domain)) times, 2-3 passes for cent-scale domains);
+    ``prep(batch)`` maps each block to exactly two columns:
+    ``grp`` (string group key) and ``val`` (int64).  Returns
+    ``(groups: list[str], res: np.ndarray[groups x qs] int64)`` with the
+    DuckDB ``quantile_disc`` rank rule (k-th smallest, k = ceil(n*q)).
+    Groups with no rows are absent.  Driver state is groups x qs x nbins
+    counts per pass; per-block partials ride the combiner tree — nothing
+    corpus-sized ever moves.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    nq = len(qs)
+
+    def stats(b: pa.Table) -> pa.Table:
+        g = prep(b).group_by(["grp"]).aggregate(
+            [("val", "count"), ("val", "min"), ("val", "max")])
+        return g.rename_columns(["grp", "cnt", "vmin", "vmax"])
+
+    base = pa.concat_tables(list(tree_merge(
+        load().map_batches(stats, batch_format="pyarrow", batch_size=None),
+        ["grp"], [("cnt", "sum"), ("vmin", "min"), ("vmax", "max")],
+        fanin=fanin).iter_batches(batch_format="pyarrow", batch_size=None)))
+    groups = base["grp"].to_pylist()
+    if not groups:
+        return [], np.empty((0, nq), dtype=np.int64)
+    n = np.asarray(base["cnt"], dtype=np.int64)
+    # unit u = g * nq + qi: independent (lo, hi, k) per group x quantile
+    lo = np.repeat(np.asarray(base["vmin"], dtype=np.int64), nq)
+    hi = np.repeat(np.asarray(base["vmax"], dtype=np.int64), nq)
+    k = np.maximum(np.ceil(np.repeat(n, nq) *
+                           np.tile(np.asarray(qs), len(groups)))
+                   .astype(np.int64), 1)
+
+    for _ in range(max_passes):
+        live = lo < hi
+        if not live.any():
+            break
+        binw = np.where(live, -(-(hi - lo + 1) // nbins), 1)
+        grp_arr = pa.array([str(g) for g in groups], type=pa.string())
+        lo_c, hi_c, binw_c, live_c = (lo.copy(), hi.copy(), binw.copy(),
+                                      live.copy())
+
+        def hist(b: pa.Table, *, grp_arr=grp_arr, lo_c=lo_c, hi_c=hi_c,
+                 binw_c=binw_c, live_c=live_c) -> pa.Table:
+            t = prep(b)
+            gi = np.asarray(
+                pc.fill_null(pc.index_in(t["grp"], value_set=grp_arr), -1),
+                dtype=np.int64)
+            v = np.asarray(t["val"], dtype=np.int64)
+            ok = gi >= 0
+            gi, v = gi[ok], v[ok]
+            keys, cnts = [], []
+            for qi in range(nq):             # nq tiny — rows vectorized
+                u = gi * nq + qi
+                m = live_c[u] & (v >= lo_c[u]) & (v <= hi_c[u])
+                um, vm = u[m], v[m]
+                packed = um * nbins + (vm - lo_c[um]) // binw_c[um]
+                ub, cnt = np.unique(packed, return_counts=True)
+                keys.append(ub)
+                cnts.append(cnt)
+            return pa.table({
+                "gkey": pa.array(np.concatenate(keys).astype(np.int64)),
+                "cnt": pa.array(np.concatenate(cnts).astype(np.int64))})
+
+        hb = pa.concat_tables(list(tree_merge(
+            load().map_batches(hist, batch_format="pyarrow", batch_size=None),
+            ["gkey"], [("cnt", "sum")],
+            fanin=fanin).iter_batches(batch_format="pyarrow",
+                                      batch_size=None)))
+        gkey = np.asarray(hb["gkey"], dtype=np.int64)
+        cnt = np.asarray(hb["cnt"], dtype=np.int64)
+        order = np.argsort(gkey)
+        gkey, cnt = gkey[order], cnt[order]
+        u_all, bins_all = gkey // nbins, gkey % nbins
+        for u in np.unique(u_all):           # bounded: groups x quantiles
+            m = u_all == u
+            cum = np.cumsum(cnt[m])
+            j = int(np.searchsorted(cum, k[u]))
+            b_sel = int(bins_all[m][j])
+            k[u] -= int(cum[j - 1]) if j else 0
+            new_lo = lo[u] + b_sel * binw[u]
+            hi[u] = min(hi[u], new_lo + binw[u] - 1)
+            lo[u] = new_lo
+    assert (lo == hi).all(), "histogram refinement did not converge"
+    return groups, lo.reshape(len(groups), nq).astype(np.int64)
 
 
 def tree_merge(partials, keys: list[str], agg_specs: list[tuple[str, str]],

@@ -168,3 +168,63 @@ class TestBpeTrainMerges:
         assert len(got) == 0
         assert list(got.columns) == ["merge_rank", "left", "right",
                                      "pair_count"]
+
+
+# --- log_value_mad_outliers ---------------------------------------------------
+
+def _write_events_values(tmp_path, rows):
+    """rows: list of (event_type, value)."""
+    import datetime
+
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1)] * len(rows),
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), type=pa.int64()),
+        "event_type": pa.array([e for e, _ in rows]),
+        "value": pa.array([float(v) for _, v in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMadOutliers:
+    def test_boundary_and_zero_mad(self, tmp_path):
+        from logparse_rs_ray.pipelines.logops import log_value_mad_outliers
+
+        rows = (
+            # type a: values 1..7 -> median 4 (x1e6), devs {0,1,1,2,2,3,3}
+            # sorted devs [0,1,1,2,2,3,3] -> MAD = 2e6 (k=ceil(7*.5)=4).
+            # With k=1: outlier iff dev > 2e6 -> values 1 and 7 (dev 3e6).
+            [("a", v) for v in (1, 2, 3, 4, 5, 6, 7)]
+            # type b: all equal -> MAD 0; any deviation is an outlier
+            + [("b", 5), ("b", 5), ("b", 5), ("b", 9)]
+            # type c: negative values, boundary dev == k*MAD excluded
+            + [("c", -1), ("c", -2), ("c", -3)]
+        )
+        sf = _write_events_values(tmp_path, rows)
+        got = log_value_mad_outliers(sf, k=1).to_pandas().set_index("event_type")
+        assert got.loc["a", "median_x1e6"] == 4_000_000
+        assert got.loc["a", "mad_x1e6"] == 2_000_000
+        assert got.loc["a", "n_outliers"] == 2
+        assert got.loc["b", "mad_x1e6"] == 0
+        assert got.loc["b", "n_outliers"] == 1
+        # c: median -2e6 (k=ceil(3*.5)=2 -> 2nd smallest = -2e6),
+        # devs {1e6,0,1e6} -> MAD 1e6; k=1 -> dev > 1e6 -> none (both == 1e6)
+        assert got.loc["c", "median_x1e6"] == -2_000_000
+        assert got.loc["c", "n_outliers"] == 0
+
+    def test_matches_duckdb_on_generated(self):
+        import duckdb
+
+        from logparse_rs_ray.pipelines.logops import (
+            LOG_VALUE_MAD_SQL, log_value_mad_outliers)
+
+        got = log_value_mad_outliers(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = con.execute(LOG_VALUE_MAD_SQL).df()
+        assert got.values.tolist() == want.values.tolist()
