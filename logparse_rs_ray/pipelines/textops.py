@@ -2160,23 +2160,12 @@ def _bpe_merge_loop(words, counts, n_merges):
     return merges
 
 
-def doc_bpe_train_merges(sf_dir: str, *, n_merges: int = 12,
-                         max_vocab: int = 65536, num_partitions: int = 8):
-    """(merge_rank, left, right, pair_count) — the first ``n_merges`` BPE
-    merges trained on the corpus: the tokenizer-TRAINING operator
-    (``doc_bigram_phrases`` surfaces word-level merge candidates; this is
-    the real subword algorithm).
-
-    Scale shape is how production tokenizer trainers work: ONE distributed
-    corpus pass collapses text to (word type, count) — the vocabulary is
-    type-∝, not corpus-∝ — via block-local pre-aggregation and a term-keyed
-    hash exchange, capped to the ``max_vocab`` most frequent types (count
-    desc, term asc; the tail carries negligible pair mass) through the
-    disjoint-partition local-top-k plan.  The merge loop then iterates over
-    word TYPES on the driver (the standard Sennrich/HF formulation) — no
-    further corpus pass per merge.  Rows-only gate entry (iterative, not
-    SQL-expressible); pytest pins it against an independent serial replica.
-    """
+def _bpe_word_counts(sf_dir: str, max_vocab: int,
+                     num_partitions: int) -> pa.Table:
+    """ONE distributed corpus pass to (word type, count), capped to the
+    ``max_vocab`` most frequent types (count desc, term asc) through the
+    disjoint-partition local-top-k plan — the shared front half of BPE
+    training and encoding."""
     from ..stages.shuffle import hash_merge
 
     ds = read_table(sf_dir, "documents", columns=["text"])
@@ -2205,13 +2194,30 @@ def doc_bpe_train_merges(sf_dir: str, *, n_merges: int = 12,
 
     cand = merged.map_batches(local_top, batch_format="pyarrow",
                               batch_size=None)
-    vocab = pa.concat_tables(list(
+    return pa.concat_tables(list(
         cand.repartition(1).map_batches(local_top, batch_format="pyarrow",
                                         batch_size=None)
         .iter_batches(batch_format="pyarrow", batch_size=None)) or
         [pa.table({"term": pa.array([], type=pa.string()),
                    "cnt": pa.array([], type=pa.int64())})]).combine_chunks()
 
+
+def doc_bpe_train_merges(sf_dir: str, *, n_merges: int = 12,
+                         max_vocab: int = 65536, num_partitions: int = 8):
+    """(merge_rank, left, right, pair_count) — the first ``n_merges`` BPE
+    merges trained on the corpus: the tokenizer-TRAINING operator
+    (``doc_bigram_phrases`` surfaces word-level merge candidates; this is
+    the real subword algorithm).
+
+    Scale shape is how production tokenizer trainers work: ONE distributed
+    corpus pass collapses text to (word type, count) — the vocabulary is
+    type-∝, not corpus-∝ (``_bpe_word_counts``) — then the merge loop
+    iterates over word TYPES on the driver (the standard Sennrich/HF
+    formulation) — no further corpus pass per merge.  Rows-only gate entry
+    (iterative, not SQL-expressible); pytest pins it against an
+    independent serial replica.
+    """
+    vocab = _bpe_word_counts(sf_dir, max_vocab, num_partitions)
     words = vocab["term"].to_pylist()
     counts = np.asarray(vocab["cnt"], dtype=np.int64).tolist() if vocab.num_rows else []
     merges = _bpe_merge_loop(words, counts, n_merges)
