@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "doc_bigram_phrases",
     "doc_source_overlap",
     "embed_pca_top",
+    "doc_bpe_encode_stats",
 ]
 
 

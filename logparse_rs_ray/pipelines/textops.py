@@ -2232,6 +2232,111 @@ def doc_bpe_train_merges(sf_dir: str, *, n_merges: int = 12,
     })
 
 
+def _bpe_encode_len(word: str, merges: list[tuple[str, str]],
+                    memo: dict) -> int:
+    """Subword count of one word TYPE under the trained merge list: apply
+    merges in rank order (the training rewrite, left-to-right
+    non-overlapping) to chars + ``BPE_EOW`` and return the final symbol
+    count (EOW included, as in the Sennrich formulation)."""
+    n = memo.get(word)
+    if n is None:
+        s = tuple(word) + (BPE_EOW,)
+        for left, right in merges:
+            if len(s) < 2:
+                break
+            out, i, ln = [], 0, len(s)
+            while i < ln:
+                if i < ln - 1 and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = tuple(out)
+        n = len(s)
+        memo[word] = n
+    return n
+
+
+class _BpeEncoder:
+    """Actor-pool encode stage: the (tiny) trained merge list ships once in
+    the constructor; the word-type -> token-count memo persists across
+    batches, so each actor pays the merge rewrite once per word TYPE it
+    ever sees (types repeat heavily across blocks — Zipf)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        self._merges = merges
+        self._memo: dict = {}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        lang_codes = pc.dictionary_encode(b["lang"])
+        if isinstance(lang_codes, pa.ChunkedArray):
+            lang_codes = lang_codes.combine_chunks()
+        langs = lang_codes.dictionary.to_pylist()
+        codes = np.asarray(lang_codes.indices, dtype=np.int64)
+        n_docs = np.bincount(codes, minlength=len(langs))
+
+        flat, doc_of = _flat_tokens(b)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            ntok = np.fromiter(
+                (_bpe_encode_len(w, self._merges, self._memo) for w in uniq),
+                dtype=np.int64, count=len(uniq))
+            tok_codes = codes[doc_of]
+            n_words = np.bincount(tok_codes, minlength=len(langs))
+            n_bpe = np.bincount(tok_codes, weights=ntok[inv],
+                                minlength=len(langs)).astype(np.int64)
+        else:
+            n_words = np.zeros(len(langs), dtype=np.int64)
+            n_bpe = np.zeros(len(langs), dtype=np.int64)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "n_docs": pa.array(n_docs, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, type=pa.int64()),
+        })
+
+
+def doc_bpe_encode_stats(sf_dir: str, *, n_merges: int = 12,
+                         max_vocab: int = 65536, num_partitions: int = 8):
+    """(lang, n_docs, n_words, n_bpe_tokens) — the corpus token budget
+    under the corpus-TRAINED subword tokenizer: train the first
+    ``n_merges`` BPE merges (``doc_bpe_train_merges`` front half), then
+    re-encode every document and census true subword token counts per
+    language (``doc_bpe_token_stats`` is the regex approximation; this is
+    the real tokenizer applied at corpus scale).
+
+    Scale shape: training collapses to word TYPES (one distributed pass,
+    type-∝ driver state); the encode pass is embarrassingly parallel — the
+    merge table is tiny and ships once per actor (``__init__``), the
+    word-type memo amortizes the rewrite across batches, and the output is
+    a bounded per-lang census through the combiner tree.  No corpus-sized
+    shuffle anywhere.  Rows-only gate entry (iterative training is not
+    SQL-expressible); pytest pins it against an independent serial
+    replica.
+    """
+    from .. import auto_pool_size
+    from ..stages.aggregate import tree_merge
+
+    vocab = _bpe_word_counts(sf_dir, max_vocab, num_partitions)
+    words = vocab["term"].to_pylist()
+    counts = (np.asarray(vocab["cnt"], dtype=np.int64).tolist()
+              if vocab.num_rows else [])
+    merges = [(m[1], m[2]) for m in _bpe_merge_loop(words, counts, n_merges)]
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    partial = ds.map_batches(_BpeEncoder, fn_constructor_kwargs={"merges": merges},
+                             batch_format="pyarrow", batch_size=None,
+                             concurrency=auto_pool_size())
+    out = tree_merge(partial, ["lang"],
+                     [("n_docs", "sum"), ("n_words", "sum"),
+                      ("n_bpe_tokens", "sum")])
+    return out.sort("lang")
+
+
 QUERIES = {
     "doc_quality": doc_quality,
     "doc_quality_classifier": doc_quality_classifier,
@@ -2262,6 +2367,7 @@ QUERIES = {
     "doc_reservoir_sample": doc_reservoir_sample,
     "doc_dsir_weights": doc_dsir_weights,
     "doc_bpe_train_merges": doc_bpe_train_merges,
+    "doc_bpe_encode_stats": doc_bpe_encode_stats,
 }
 
 ORACLE_SQL = {

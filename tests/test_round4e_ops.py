@@ -228,3 +228,75 @@ class TestMadOutliers:
                     f"read_parquet('{SF}/events.parquet')")
         want = con.execute(LOG_VALUE_MAD_SQL).df()
         assert got.values.tolist() == want.values.tolist()
+
+
+def _serial_encode_stats(rows, n_merges):
+    """Independent replica of doc_bpe_encode_stats: train with _serial_bpe,
+    re-encode every word type, census per lang."""
+    texts = [t for _, t in rows]
+    merges = [(m[1], m[2]) for m in _serial_bpe(texts, n_merges)]
+    enc = {}
+
+    def ntok(w):
+        if w not in enc:
+            s = tuple(w) + ("</w>",)
+            for l, r in merges:
+                out, i = [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = tuple(out)
+            enc[w] = len(s)
+        return enc[w]
+
+    per = {}
+    for lang, text in rows:
+        d = per.setdefault(lang, [0, 0, 0])
+        d[0] += 1
+        for w in text.lower().split():
+            if w:
+                d[1] += 1
+                d[2] += ntok(w)
+    return pd.DataFrame(
+        [(k, *v) for k, v in sorted(per.items())],
+        columns=["lang", "n_docs", "n_words", "n_bpe_tokens"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeEncodeStats:
+    def test_zero_merges_is_chars_plus_eow(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_bpe_encode_stats
+
+        texts = ["low lower", "newest"]
+        got = doc_bpe_encode_stats(_write_documents(tmp_path, texts),
+                                   n_merges=0).to_pandas()
+        # each word encodes to len(word) chars + the </w> symbol
+        assert got.values.tolist() == [["en", 2, 3, len("lowlowernewest") + 3]]
+
+    def test_matches_serial_replica_on_generated(self):
+        import duckdb
+
+        from logparse_rs_ray.pipelines.textops import doc_bpe_encode_stats
+
+        got = doc_bpe_encode_stats(SF, n_merges=8).to_pandas()
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT lang, text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+        want = _serial_encode_stats(rows, 8)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                      check_dtype=False)
+
+    def test_merges_reduce_token_count(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_bpe_encode_stats
+
+        texts = ["the the the cat sat on the mat"] * 3
+        sf = _write_documents(tmp_path, texts)
+        t0 = doc_bpe_encode_stats(sf, n_merges=0).to_pandas()
+        t8 = doc_bpe_encode_stats(sf, n_merges=8).to_pandas()
+        assert t8.n_bpe_tokens[0] < t0.n_bpe_tokens[0]
+        assert (t8.n_docs[0], t8.n_words[0]) == (t0.n_docs[0], t0.n_words[0])
