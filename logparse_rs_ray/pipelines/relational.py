@@ -1531,7 +1531,141 @@ WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * s.cnt < s.sum_qty
 """
 
 
+# --- TPC-H Q13 shape: two-level aggregation with a LEFT-JOIN zero bucket ----
+
+def q13_custdist(sf_dir: str, *, num_partitions: int | None = None):
+    """(c_count, custdist) — TPC-H Q13 customer distribution: how many
+    customers placed exactly N orders, INCLUDING the zero-order customers
+    the LEFT JOIN surfaces.
+
+    Scale shape: orders collapse to one compact (custkey, count) row per
+    customer (per-block pre-agg + size-gated tree/hash merge — order rows
+    never reach the join), the pruned customer key column LEFT-joins that
+    aggregate through Ray's hash-partitioned join (zero-order customers
+    arrive as nulls -> c_count 0; orphan order custkeys drop, matching the
+    SQL), and the final histogram is bounded by max-orders-per-customer
+    through the combiner tree.  Every exchange moves key-∝ compact rows.
+    """
+    from ..stages.join import auto_join_partitions
+    from ..stages.shuffle import resolve_mode
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    mode = resolve_mode("auto", f"{sf_dir}/orders.parquet")
+    per_cust = count_by(orders, ["o_custkey"], count_name="c_count", mode=mode)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/customer.parquet",
+                                              f"{sf_dir}/orders.parquet")
+    joined = hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                       join_type="left_outer", num_partitions=num_partitions)
+
+    def zero(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.coalesce(b["c_count"],
+                                                pa.scalar(0, pa.int64()))})
+
+    counts = joined.map_batches(zero, batch_format="pyarrow", batch_size=None)
+    hist = count_by(counts, ["c_count"], count_name="custdist")
+    return hist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+Q13_CUSTDIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- TPC-H Q18 shape: HAVING-filtered fact self-aggregation join-back -------
+
+Q18_QTY_THR = 250
+
+
+def q18_large_orders(sf_dir: str, *, qty_thr: int = Q18_QTY_THR,
+                     num_partitions: int | None = None):
+    """(o_orderkey, o_custkey, totalprice_cents, sum_qty) — TPC-H Q18
+    large-volume orders: orders whose total line quantity exceeds
+    ``qty_thr``, top 100 by price (orderkey tiebreak makes LIMIT
+    deterministic).
+
+    Scale shape: lineitem collapses to one (orderkey, sum_qty) row per
+    order (size-gated tree/hash merge), the HAVING filter cuts that to the
+    hot tail BEFORE the join, and the orderkey-keyed hash join aligns it
+    with the pruned orders columns — correct at any hot-set size, no
+    driver materialization.  The top-100 runs through the per-block
+    ``local_topk`` prefilter, so the global sort sees blocks x 100 rows.
+    """
+    from ..stages.aggregate import local_topk
+    from ..stages.join import auto_join_partitions
+    from ..stages.shuffle import resolve_mode
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+        })
+
+    mode = resolve_mode("auto", f"{sf_dir}/lineitem.parquet")
+    sums = grouped_agg(li.map_batches(prep, batch_format="pyarrow",
+                                      batch_size=None),
+                       ["l_orderkey"], {"sum_qty": "qty"}, mode=mode)
+
+    thr = pa.scalar(qty_thr, pa.int64())
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["sum_qty"], thr))
+
+    hot = sums.map_batches(having, batch_format="pyarrow", batch_size=None)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def money(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "totalprice_cents": _cents(b["o_totalprice"]),
+        })
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(orders.map_batches(money, batch_format="pyarrow",
+                                          batch_size=None),
+                       hot, on="o_orderkey", right_on="l_orderkey",
+                       join_type="inner", num_partitions=num_partitions)
+    joined = joined.select_columns(["o_orderkey", "o_custkey",
+                                    "totalprice_cents", "sum_qty"])
+    pruned = local_topk(joined, ["totalprice_cents", "o_orderkey"], 100,
+                        descending=[True, False])
+    return pruned.sort(["totalprice_cents", "o_orderkey"],
+                       descending=[True, False]).limit(100)
+
+
+Q18_LARGE_ORDERS_SQL = f"""
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {Q18_QTY_THR}
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       s.sum_qty
+FROM orders o JOIN s ON o.o_orderkey = s.l_orderkey
+ORDER BY totalprice_cents DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "q13_custdist": q13_custdist,
+    "q18_large_orders": q18_large_orders,
     "q_3way_revenue": q_3way_revenue,
     "q_exists_urgent_clean": q_exists_urgent_clean,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1564,6 +1698,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q13_custdist": Q13_CUSTDIST_SQL,
+    "q18_large_orders": Q18_LARGE_ORDERS_SQL,
     "q_3way_revenue": Q_3WAY_REVENUE_SQL,
     "q_exists_urgent_clean": Q_EXISTS_URGENT_CLEAN_SQL,
     "q17_small_quantity_revenue": Q17_SMALL_QTY_SQL,

@@ -1,0 +1,126 @@
+"""Round-4 continuation operators, batch 6: TPC-H Q13 (custdist) and Q18
+(large-volume orders).
+
+Both are pinned on engineered tables exercising the join-polarity edges the
+generated corpus cannot guarantee: zero-order customers in the Q13 LEFT
+JOIN, orphan custkeys/orderkeys on either side, and the exact HAVING
+boundary + LIMIT tiebreak in Q18."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, tmp_path / f"{name}.parquet")
+
+
+def _customers(keys):
+    return pa.table({
+        "c_custkey": pa.array(keys, type=pa.int64()),
+        "c_name": pa.array([f"c{k}" for k in keys]),
+        "c_nationkey": pa.array([0] * len(keys), type=pa.int32()),
+        "c_acctbal": pa.array([0.0] * len(keys)),
+        "c_mktsegment": pa.array(["BUILDING"] * len(keys)),
+    })
+
+
+def _orders(rows):
+    """rows: (orderkey, custkey, totalprice)."""
+    return pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows)),
+        "o_totalprice": pa.array([float(r[2]) for r in rows]),
+        "o_orderdate": pa.array([datetime.datetime(2024, 1, 1)] * len(rows),
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+    })
+
+
+def _lineitems(rows):
+    """rows: (orderkey, quantity)."""
+    n = len(rows)
+    return pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_partkey": pa.array([1] * n, type=pa.int64()),
+        "l_suppkey": pa.array([1] * n, type=pa.int64()),
+        "l_linenumber": pa.array(list(range(1, n + 1)), type=pa.int32()),
+        "l_quantity": pa.array([float(r[1]) for r in rows]),
+        "l_extendedprice": pa.array([100.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([datetime.datetime(2024, 1, 1)] * n,
+                               type=pa.timestamp("us")),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ13Custdist:
+    def test_zero_bucket_and_orphans(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q13_custdist
+
+        # customers 1-5; cust 1 has 2 orders, cust 2 has 1, custs 3-5 none;
+        # order 40 points at custkey 99 (orphan -> must not count anywhere)
+        _write(tmp_path, "customer", _customers([1, 2, 3, 4, 5]))
+        _write(tmp_path, "orders", _orders(
+            [(10, 1, 100.0), (20, 1, 100.0), (30, 2, 100.0), (40, 99, 100.0)]))
+        got = q13_custdist(str(tmp_path)).to_pandas()
+        # custdist desc, c_count desc: 3 customers with 0, 1 with 1, 1 with 2
+        assert got.values.tolist() == [[0, 3], [2, 1], [1, 1]]
+
+    def test_matches_duckdb_on_generated(self):
+        import duckdb
+
+        from logparse_rs_ray.pipelines.relational import (
+            Q13_CUSTDIST_SQL, q13_custdist)
+
+        got = q13_custdist(SF).to_pandas()
+        con = duckdb.connect()
+        for t in ("customer", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        want = con.execute(Q13_CUSTDIST_SQL).df()
+        assert got.values.tolist() == want.values.tolist()
+        assert got.custdist.sum() == 150  # every sf0.001 customer counted once
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ18LargeOrders:
+    def test_having_boundary_and_tiebreak(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q18_large_orders
+
+        # order 1 sums exactly to the threshold -> excluded (strict >);
+        # order 2 exceeds by 1 -> included; order 3 far above; order 99 is
+        # an orphan (no orders row) and must drop at the join
+        _write(tmp_path, "orders", _orders(
+            [(1, 7, 500.0), (2, 8, 300.0), (3, 9, 300.0)]))
+        _write(tmp_path, "lineitem", _lineitems(
+            [(1, 50), (1, 50), (2, 51), (2, 50), (3, 200), (99, 300)]))
+        got = q18_large_orders(str(tmp_path), qty_thr=100).to_pandas()
+        # price ties between orders 2 and 3 break by orderkey asc
+        assert got.values.tolist() == [[2, 8, 30000, 101], [3, 9, 30000, 200]]
+
+    def test_limit_100_on_generated(self):
+        import duckdb
+
+        from logparse_rs_ray.pipelines.relational import (
+            Q18_LARGE_ORDERS_SQL, q18_large_orders)
+
+        got = q18_large_orders(SF, qty_thr=150).to_pandas()
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        want = con.execute(
+            Q18_LARGE_ORDERS_SQL.replace("> 250", "> 150")).df()
+        assert len(got) == 100  # sf0.001 has >100 orders above 150
+        assert got.values.tolist() == want.values.tolist()
