@@ -1635,10 +1635,10 @@ def q18_large_orders(sf_dir: str, *, qty_thr: int = Q18_QTY_THR,
     if num_partitions is None:
         num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
                                               f"{sf_dir}/lineitem.parquet")
-    joined = hash_join(orders.map_batches(money, batch_format="pyarrow",
-                                          batch_size=None),
-                       hot, on="o_orderkey", right_on="l_orderkey",
-                       join_type="inner", num_partitions=num_partitions)
+    joined = hash_join(
+        orders.map_batches(money, batch_format="pyarrow", batch_size=None),
+        hot, on="o_orderkey", right_on="l_orderkey",
+        join_type="inner", num_partitions=num_partitions)
     joined = joined.select_columns(["o_orderkey", "o_custkey",
                                     "totalprice_cents", "sum_qty"])
     pruned = local_topk(joined, ["totalprice_cents", "o_orderkey"], 100,
@@ -1663,8 +1663,127 @@ LIMIT 100
 """
 
 
+# --- TPC-H Q22 shape: global scalar subquery + NOT-EXISTS anti-join --------
+
+def q22_idle_rich_customers(sf_dir: str, *, num_partitions: int | None = None):
+    """(c_mktsegment, n_cust, total_acctbal_cents) — TPC-H Q22 shape:
+    customers whose balance exceeds the global positive-balance average
+    AND who placed no URGENT order, censused per market segment.
+
+    The float average predicate is restated EXACTLY in integers
+    (acctbal_cents * cnt > sum_cents — the Q17 cross-multiply trick), so
+    both engines do identical arithmetic.  Scale shape: the global scalar
+    is two int64s from a combiner funnel; the NOT EXISTS decorrelates to
+    ONE custkey-keyed hash exchange of tagged compact rows (rich
+    customers + urgent-order keys), with the membership test per
+    co-located partition — correct at any key-set size, no driver-side
+    membership table.  The output census is bounded (segments) through
+    the combiner tree.
+    """
+    from ..stages.aggregate import tree_merge
+    from ..stages.join import auto_join_partitions
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def scalar_partial(b: pa.Table) -> pa.Table:
+        pos = b.filter(pc.greater(b["c_acctbal"], 0.0))
+        cents = _cents(pos["c_acctbal"])
+        return pa.table({
+            "sum_cents": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+            "cnt": pa.array([pos.num_rows], pa.int64()),
+        })
+
+    g = pa.concat_tables(list(
+        cust.map_batches(scalar_partial, batch_format="pyarrow",
+                         batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)))
+    sum_cents = pc.sum(g["sum_cents"]).as_py() or 0
+    cnt = pc.sum(g["cnt"]).as_py() or 0
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+
+    # NOT EXISTS via the key-co-located union pattern (not Dataset.join:
+    # either side can be emptied outright — no rich customers / no urgent
+    # orders — and a filter-emptied side breaks the shuffle join's schema
+    # unification; the tagged union never loses its schema)
+    def urgent(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        return pa.table({
+            "c_custkey": keep["o_custkey"],
+            "c_mktsegment": pa.nulls(keep.num_rows, pa.string()),
+            "acctbal_cents": pa.nulls(keep.num_rows, pa.int64()),
+            "is_key": pa.array([1] * keep.num_rows, pa.int8()),
+        })
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"])
+        lhs = pc.multiply(cents, pa.scalar(cnt, pa.int64()))
+        keep = b.filter(pc.greater(lhs, pa.scalar(sum_cents, pa.int64())))
+        return pa.table({
+            "c_custkey": keep["c_custkey"],
+            "c_mktsegment": keep["c_mktsegment"],
+            "acctbal_cents": _cents(keep["c_acctbal"]),
+            "is_key": pa.array([0] * keep.num_rows, pa.int8()),
+        })
+
+    from ..stages.shuffle import hash_partition
+
+    mixed = cust.map_batches(rich, batch_format="pyarrow",
+                             batch_size=None).union(
+        orders.map_batches(urgent, batch_format="pyarrow", batch_size=None))
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/customer.parquet",
+                                              f"{sf_dir}/orders.parquet")
+    colocated = hash_partition(mixed, ["c_custkey"], num_partitions)
+
+    def anti_census(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "total_acctbal_cents": pa.array([], pa.int64()),
+                             "n_cust": pa.array([], pa.int64())})
+        keyset = pc.unique(b.filter(pc.equal(b["is_key"], 1))["c_custkey"])
+        keep = b.filter(pc.equal(b["is_key"], 0))
+        keep = keep.filter(pc.invert(pc.is_in(keep["c_custkey"],
+                                              value_set=keyset)))
+        g = keep.select(["c_mktsegment", "acctbal_cents"]) \
+                .group_by(["c_mktsegment"]) \
+                .aggregate([("acctbal_cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["c_mktsegment", "total_acctbal_cents",
+                                 "n_cust"])
+
+    partial = colocated.map_batches(anti_census, batch_format="pyarrow",
+                                    batch_size=None)
+    out = tree_merge(partial, ["c_mktsegment"],
+                     [("total_acctbal_cents", "sum"), ("n_cust", "sum")])
+    return out.select_columns(["c_mktsegment", "n_cust",
+                               "total_acctbal_cents"]).sort("c_mktsegment")
+
+
+Q22_IDLE_RICH_SQL = """
+WITH g AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+         COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS total_acctbal_cents
+FROM customer c, g
+WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * g.cnt > g.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
 QUERIES = {
     "q13_custdist": q13_custdist,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "q18_large_orders": q18_large_orders,
     "q_3way_revenue": q_3way_revenue,
     "q_exists_urgent_clean": q_exists_urgent_clean,
@@ -1699,6 +1818,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "q13_custdist": Q13_CUSTDIST_SQL,
+    "q22_idle_rich_customers": Q22_IDLE_RICH_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
     "q_3way_revenue": Q_3WAY_REVENUE_SQL,
     "q_exists_urgent_clean": Q_EXISTS_URGENT_CLEAN_SQL,

@@ -14,10 +14,26 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
 
     Always pass ``columns`` in pipelines — reading all columns for a
     two-column transform is wrong at 100 TB (prune at the read).
+
+    Degenerate-file guard: when a file holds fewer rows than the split
+    count Ray would choose, the surplus read blocks are ZERO-COLUMN
+    empties that skip every map UDF and poison pyarrow schema unification
+    inside shuffle joins.  A footer rowcount probe (driver-side, metadata
+    only) forces one block for such files; at real scale rows >> blocks
+    and the probe changes nothing.
     """
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns, **kwargs)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if "override_num_blocks" not in kwargs:
+        try:
+            import pyarrow.parquet as pq
+
+            if pq.read_metadata(path).num_rows < 16:
+                kwargs["override_num_blocks"] = 1
+        except Exception:
+            pass
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def write_json_report(report: dict, path: str) -> None:

@@ -94,7 +94,18 @@ def auto_join_partitions(*paths: str, lo: int = 4, hi: int = 512) -> int:
 
 def hash_join(left, right, on, right_on=None, *, join_type: str = "inner",
               num_partitions: int = 32):
-    """Large ⋈ large via Ray Data's hash-partitioned shuffle join."""
+    """Large ⋈ large via Ray Data's hash-partitioned shuffle join.
+
+    CONSTRAINT: both sides must carry at least one schema'd block per
+    join key column — Ray's zero-COLUMN empty blocks (born when a read
+    splits a file into more blocks than rows, or when a map/repartition
+    stage sees only empty input) make the per-partition pyarrow
+    concatenation fail with "No match ... for key field reference".
+    ``sources.read_table`` forces one block for degenerate files, which
+    covers reads; a side that a FILTER can empty entirely must not feed
+    this operator — use the union + ``hash_partition`` + per-block
+    membership pattern instead (``dedup._key_filter_survivors``).
+    """
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = on if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on)

@@ -124,3 +124,64 @@ class TestQ18LargeOrders:
             Q18_LARGE_ORDERS_SQL.replace("> 250", "> 150")).df()
         assert len(got) == 100  # sf0.001 has >100 orders above 150
         assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ22IdleRich:
+    def test_boundary_anti_and_negative(self, tmp_path):
+        import pyarrow.parquet as pq  # noqa: F401  (helpers use module-level pq)
+
+        from logparse_rs_ray.pipelines.relational import (
+            q22_idle_rich_customers)
+
+        # positive balances: 100, 200, 300 -> avg 200. cust 2 sits EXACTLY
+        # on the average (strict > excludes); cust 3 is above but has an
+        # urgent order (anti-join drops); cust 4 is above with only a
+        # non-urgent order (kept); cust 5 is negative (never eligible).
+        cust = pa.table({
+            "c_custkey": pa.array([2, 3, 4, 5], type=pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"]),
+            "c_nationkey": pa.array([0] * 4, type=pa.int32()),
+            "c_acctbal": pa.array([200.0, 300.0, 100.0, -50.0]),
+            "c_mktsegment": pa.array(["S1", "S1", "S2", "S2"]),
+        })
+        # make the positive avg (200+300+100)/3 = 200; cust 3 (300) > avg
+        _write(tmp_path, "customer", cust)
+        _write(tmp_path, "orders", pa.table({
+            "o_orderkey": pa.array([1, 2], type=pa.int64()),
+            "o_custkey": pa.array([3, 4], type=pa.int64()),
+            "o_orderstatus": pa.array(["O", "O"]),
+            "o_totalprice": pa.array([1.0, 1.0]),
+            "o_orderdate": pa.array(
+                [datetime.datetime(2024, 1, 1)] * 2, type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "3-MEDIUM"]),
+        }))
+        got = q22_idle_rich_customers(str(tmp_path)).to_pandas()
+        # only cust 3 is above-average; it has an urgent order -> empty
+        assert got.values.tolist() == []
+
+    def test_kept_customer(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import (
+            q22_idle_rich_customers)
+
+        # avg over positives = (100+400)/2 = 250; cust 9 (400) above with a
+        # non-urgent order only -> kept
+        cust = pa.table({
+            "c_custkey": pa.array([8, 9], type=pa.int64()),
+            "c_name": pa.array(["a", "b"]),
+            "c_nationkey": pa.array([0, 0], type=pa.int32()),
+            "c_acctbal": pa.array([100.0, 400.0]),
+            "c_mktsegment": pa.array(["S1", "S2"]),
+        })
+        _write(tmp_path, "customer", cust)
+        _write(tmp_path, "orders", pa.table({
+            "o_orderkey": pa.array([1], type=pa.int64()),
+            "o_custkey": pa.array([9], type=pa.int64()),
+            "o_orderstatus": pa.array(["O"]),
+            "o_totalprice": pa.array([1.0]),
+            "o_orderdate": pa.array([datetime.datetime(2024, 1, 1)],
+                                    type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["3-MEDIUM"]),
+        }))
+        got = q22_idle_rich_customers(str(tmp_path)).to_pandas()
+        assert got.values.tolist() == [["S2", 1, 40000]]
