@@ -131,8 +131,11 @@ def _parse_stage_stats(stats: str) -> dict:
 def run_bench() -> dict:
     import ray
 
+    # log_to_driver=False: worker prints must never interleave with the
+    # single JSON line the driver parses from stdout
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import ray.data as rd
     from ray.data import DataContext
 

@@ -278,6 +278,131 @@ def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
         batch_size=None).sort(["query_id", "vec_id"])
 
 
+def _pq_train_codebooks(sample: np.ndarray, n_sub: int, ks: int,
+                        n_iters: int = 8) -> np.ndarray:
+    """(n_sub, ks, dsub) product-quantization codebooks: an independent
+    deterministic k-means per subspace over the (bounded, normalized)
+    training sample — evenly-spaced sample rows seed the centroids, empty
+    cells keep their previous centroid, ``n_iters`` Lloyd rounds."""
+    n, dim = sample.shape
+    dsub = dim // n_sub
+    books = np.empty((n_sub, ks, dsub), dtype=np.float64)
+    for m in range(n_sub):
+        sub = sample[:, m * dsub:(m + 1) * dsub]
+        cents = sub[np.linspace(0, n - 1, ks).astype(np.int64)].copy()
+        for _ in range(n_iters):
+            d2 = (np.square(sub).sum(axis=1)[:, None]
+                  - 2.0 * (sub @ cents.T)
+                  + np.square(cents).sum(axis=1)[None, :])
+            code = np.argmin(d2, axis=1)
+            for c in range(ks):
+                members = sub[code == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def ann_pq_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
+                n_sub: int = 8, ks: int = 16, shortlist: int = 4,
+                train_rows: int = 65536):
+    """Product-quantization approximate top-k (the memory-compression
+    scale path next to IVF and LSH): vectors encode to ``n_sub`` one-byte
+    codes, queries score the whole batch through per-subspace lookup
+    tables (asymmetric distance computation), and only the ADC shortlist
+    (``shortlist * k`` per query per block) is re-ranked with exact
+    cosine — the classic PQ shortlist + exact re-rank.  Rows-only
+    (approximate by construction); pytest pins recall vs the exact brute
+    force, determinism, and the code/LUT round-trip.
+
+    Scale shape: codebook training reads at most ``train_rows`` rows
+    (driver memory O(sample)); the codebooks + query LUTs are tiny and
+    ride the task closure; each batch does one argmin encode + one LUT
+    gather — at 100 TB the encoded corpus is dim/8x smaller than the
+    floats, which is the entire point of PQ (the exact re-rank here reads
+    the batch's own floats, standing in for the refine-from-storage step
+    a disk-resident index would do).  Global merge sees
+    <= blocks x queries x k rows.
+    """
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    t = _sample_table(f"{sf_dir}/embeddings.parquet", ["embedding"],
+                      train_rows)
+    sample = _normalize(_list_matrix(t["embedding"]))
+    if sample.size == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64"),
+                             "cos_pct": pd.Series(dtype="int64")})
+    dim = sample.shape[1]
+    n_sub = min(n_sub, dim)
+    while dim % n_sub:  # subspaces must tile the dimension exactly
+        n_sub -= 1
+    dsub = dim // n_sub
+    books = _pq_train_codebooks(sample, n_sub, min(ks, len(sample)))
+    # per-query ADC lookup tables: luts[qi, m, c] = q_m . codebook[m][c]
+    luts = np.einsum("qmd,mcd->qmc",
+                     qmat.reshape(len(qids), n_sub, dsub), books)
+    book_sq = np.square(books).sum(axis=2)  # (n_sub, ks) for the encode
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    r = shortlist * k
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        ids = np.asarray(batch["vec_id"])
+        mat = _normalize(_list_matrix(batch["embedding"]))
+        nb = len(ids)
+        # encode: per-subspace nearest codebook entry (||x||^2 is constant
+        # per row within a subspace argmin, so -2x.C^T + ||C||^2 suffices)
+        approx = np.zeros((len(qids), nb), dtype=np.float64)
+        for m in range(n_sub):
+            sub = mat[:, m * dsub:(m + 1) * dsub]
+            code = np.argmin(book_sq[m][None, :] - 2.0 * (sub @ books[m].T),
+                             axis=1)
+            approx += luts[:, m, :][:, code]
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            mask = ids != qids[qi]
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            # ADC shortlist (codes only), then exact re-rank of the few
+            short = cand[np.lexsort((ids[cand], -approx[qi][cand]))[:r]]
+            exact = mat[short] @ qmat[qi]
+            order = np.lexsort((ids[short], -exact))[:k]
+            out_q.append(np.full(len(order), qids[qi]))
+            out_v.append(ids[short][order])
+            out_c.append(exact[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos": pa.array(np.concatenate(out_c)),
+        })
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow",
+                             batch_size=None)
+
+    def global_topk(batch: pa.Table) -> pa.Table:
+        df2 = batch.to_pandas()
+        df2 = df2.sort_values(["query_id", "cos", "vec_id"],
+                              ascending=[True, False, True])
+        df2 = df2.groupby("query_id", as_index=False).head(k)
+        df2["cos_pct"] = np.floor(df2["cos"] * 1000).astype(np.int64)
+        return pa.Table.from_pandas(df2[["query_id", "vec_id", "cos_pct"]],
+                                    preserve_index=False)
+
+    return partial.repartition(1).map_batches(
+        global_topk, batch_format="pyarrow",
+        batch_size=None).sort(["query_id", "vec_id"])
+
+
 N_SEEDS = 8  # seeds = embeddings of vec_id 0..N_SEEDS-1 (deterministic)
 
 
@@ -826,6 +951,7 @@ QUERIES = {
     "ann_topk_int8": ann_topk_int8,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_pq_topk": ann_pq_topk,
     "ann_range_search": ann_range_search,
     "embed_cluster_assign": embed_cluster_assign,
     "embed_kmeans": embed_kmeans,

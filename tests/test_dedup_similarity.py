@@ -378,3 +378,49 @@ class TestAnnInt8:
         out = ann_topk_int8(SF).to_pandas()
         assert len(out) == N_QUERIES * TOP_K
         assert out["score_x1e6"].dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnPq:
+    def test_recall_and_exact_rerank_scores(self):
+        from logparse_rs_ray.pipelines.similarity import (
+            ann_pq_topk, ann_topk_cosine)
+
+        exact = ann_topk_cosine(SF).to_pandas()
+        got = ann_pq_topk(SF).to_pandas()
+        e = exact.groupby("query_id")["vec_id"].apply(set)
+        p = got.groupby("query_id")["vec_id"].apply(set)
+        recall = sum(len(e[k] & p[k]) for k in e.index) / sum(
+            len(e[k]) for k in e.index)
+        assert recall >= 0.9
+        # the shortlist is re-ranked with TRUE cosine, so every overlapping
+        # (query, vec) pair must score identically to the brute force
+        m = got.merge(exact, on=["query_id", "vec_id"], suffixes=("_p", "_e"))
+        assert (m["cos_pct_p"] == m["cos_pct_e"]).all()
+
+    def test_deterministic(self):
+        from logparse_rs_ray.pipelines.similarity import ann_pq_topk
+
+        a = ann_pq_topk(SF).to_pandas()
+        b = ann_pq_topk(SF).to_pandas()
+        assert a.equals(b)
+
+    def test_bounded_shape_and_sampled_training(self):
+        from logparse_rs_ray.pipelines.similarity import ann_pq_topk
+
+        got = ann_pq_topk(SF, train_rows=128).to_pandas()
+        # k rows per query, codebooks trained on a strict subsample
+        assert (got.groupby("query_id").size() <= 5).all()
+        assert set(got.columns) == {"query_id", "vec_id", "cos_pct"}
+
+    def test_tight_shortlist_still_reasonable(self):
+        from logparse_rs_ray.pipelines.similarity import (
+            ann_pq_topk, ann_topk_cosine)
+
+        exact = ann_topk_cosine(SF).to_pandas()
+        got = ann_pq_topk(SF, shortlist=1).to_pandas()  # ADC order only
+        e = exact.groupby("query_id")["vec_id"].apply(set)
+        p = got.groupby("query_id")["vec_id"].apply(set)
+        recall = sum(len(e[k] & p[k]) for k in e.index) / sum(
+            len(e[k]) for k in e.index)
+        assert recall >= 0.5  # pure-ADC shortlist is rougher but sane

@@ -796,7 +796,7 @@ class TestQueryRegistry:
             "doc_lm_score", "dedup_minhash_keep_best", "doc_overlap_pairs",
             "doc_cdc_chunk_dedup", "doc_overlap_survivors",
             "embed_pca_top", "embed_outliers", "doc_dsir_weights",
-            "doc_bpe_train_merges", "doc_bpe_encode_stats",
+            "doc_bpe_train_merges", "doc_bpe_encode_stats", "ann_pq_topk",
         }, rows_only
 
 
