@@ -2165,10 +2165,15 @@ def _bpe_word_counts(sf_dir: str, max_vocab: int,
     """ONE distributed corpus pass to (word type, count), capped to the
     ``max_vocab`` most frequent types (count desc, term asc) through the
     disjoint-partition local-top-k plan — the shared front half of BPE
-    training and encoding."""
-    from ..stages.shuffle import hash_merge
+    training and encoding.  The type-keyed merge is size-gated like every
+    corpus-key aggregation: combiner tree below the threshold (no shuffle
+    operator spin-up), term-keyed hash exchange above it (a 100 TB type
+    set never funnels through one task)."""
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_merge, resolve_mode
 
     ds = read_table(sf_dir, "documents", columns=["text"])
+    mode = resolve_mode("auto", f"{sf_dir}/documents.parquet")
 
     def block_counts(b: pa.Table) -> pa.Table:
         from .. import tune_worker_threads
@@ -2181,8 +2186,11 @@ def _bpe_word_counts(sf_dir: str, max_vocab: int,
 
     partial = ds.map_batches(block_counts, batch_format="pyarrow",
                              batch_size=None)
-    merged = hash_merge(partial, ["term"], [("cnt", "sum")],
-                        num_partitions=num_partitions)
+    if mode == "tree":
+        merged = tree_merge(partial, ["term"], [("cnt", "sum")])
+    else:
+        merged = hash_merge(partial, ["term"], [("cnt", "sum")],
+                            num_partitions=num_partitions)
 
     def local_top(b: pa.Table) -> pa.Table:
         if b.num_rows <= max_vocab:

@@ -300,3 +300,21 @@ class TestBpeEncodeStats:
         t8 = doc_bpe_encode_stats(sf, n_merges=8).to_pandas()
         assert t8.n_bpe_tokens[0] < t0.n_bpe_tokens[0]
         assert (t8.n_docs[0], t8.n_words[0]) == (t0.n_docs[0], t0.n_words[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeWordCountRegimes:
+    def test_tree_equals_shuffle(self):
+        """The size-gated type-keyed merge must be regime-invariant."""
+        import logparse_rs_ray.stages.shuffle as sh
+        from logparse_rs_ray.pipelines.textops import _bpe_word_counts
+
+        tree = _bpe_word_counts(SF, 65536, 8).sort_by([("term", "ascending")])
+        old = sh.AUTO_TREE_MAX_BYTES
+        sh.AUTO_TREE_MAX_BYTES = 0  # every input looks big -> shuffle path
+        try:
+            shuf = _bpe_word_counts(SF, 65536, 8).sort_by(
+                [("term", "ascending")])
+        finally:
+            sh.AUTO_TREE_MAX_BYTES = old
+        assert tree.equals(shuf)
