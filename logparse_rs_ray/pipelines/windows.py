@@ -105,6 +105,81 @@ ORDER BY user_id
 """
 
 
+def log_session_length_hist(sf_dir: str, *, num_partitions: int = 8,
+                            mode: str = "auto"):
+    """(session_len, n_sessions) — the session-length distribution: how
+    many sessions contain exactly N events, corpus-wide (the engagement
+    histogram next to ``log_sessionize``'s per-user counts).
+
+    Same scale shape as sessionize: ONE user-keyed hash shuffle co-locates
+    each user's events (gap arithmetic isn't associative, so there is no
+    combiner middle ground), the per-block kernel is a lexsort + cumsum +
+    bincount, and only the BOUNDED histogram partial (max events per
+    session) leaves each block through the combiner tree.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    part = (hash_partition(ds, ["user_id"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
+
+    def hist(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"session_len": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap_us = np.empty(len(ts), dtype=np.int64)
+        gap_us[0] = np.iinfo(np.int64).max
+        gap_us[1:] = ts[1:] - ts[:-1]
+        new_session = new_user | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000)
+        sid = np.cumsum(new_session) - 1  # block-local session ids
+        lens = np.bincount(sid)
+        ulen, cnt = np.unique(lens, return_counts=True)
+        return pa.table({"session_len": pa.array(ulen.astype(np.int64)),
+                         "n_sessions": pa.array(cnt.astype(np.int64))})
+
+    partial = part.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    out = tree_merge(partial, ["session_len"], [("n_sessions", "sum")])
+    return out.sort("session_len")
+
+
+LOG_SESSION_LEN_HIST_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+lens AS (
+  SELECT user_id, sid, COUNT(*) AS session_len FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(session_len AS BIGINT) AS session_len,
+       COUNT(*) AS n_sessions
+FROM lens GROUP BY session_len ORDER BY session_len
+"""
+
+
 def log_semi_join_purchasers(sf_dir: str):
     """Events of users who have >= 1 'purchase' event (broadcast semi join:
     the purchaser key set ships in the task closure, no shuffle)."""
@@ -960,6 +1035,7 @@ QUERIES = {
     "log_rolling_active_users": log_rolling_active_users,
     "q_value_band_join": q_value_band_join,
     "log_sessionize": log_sessionize,
+    "log_session_length_hist": log_session_length_hist,
     "log_first_event_per_user": log_first_event_per_user,
     "log_semi_join_purchasers": log_semi_join_purchasers,
     "log_semi_join_bloom": log_semi_join_bloom,
@@ -977,6 +1053,7 @@ ORACLE_SQL = {
     "log_rolling_active_users": LOG_ROLLING_ACTIVE_SQL,
     "q_value_band_join": Q_VALUE_BAND_JOIN_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,
+    "log_session_length_hist": LOG_SESSION_LEN_HIST_SQL,
     "log_first_event_per_user": LOG_FIRST_EVENT_SQL,
     "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,
     "log_semi_join_bloom": LOG_SEMI_JOIN_SQL,  # same result, scale plan

@@ -185,3 +185,48 @@ class TestQ22IdleRich:
         }))
         got = q22_idle_rich_customers(str(tmp_path)).to_pandas()
         assert got.values.tolist() == [["S2", 1, 40000]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionLengthHist:
+    @staticmethod
+    def _events(tmp_path, rows):
+        """rows: (user_id, minutes_offset)."""
+        base = datetime.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([base + datetime.timedelta(minutes=m)
+                            for _, m in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def test_gap_boundaries(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_session_length_hist
+
+        # user 1: events at 0,10,20 (one 3-event session), then 51 (gap 31
+        # min > 30 -> new 1-event session); user 2: 0 and exactly 30 min
+        # later (gap == 30 NOT > 30 -> same session of 2)
+        sf = self._events(tmp_path, [(1, 0), (1, 10), (1, 20), (1, 51),
+                                     (2, 0), (2, 30)])
+        got = log_session_length_hist(sf).to_pandas()
+        assert got.values.tolist() == [[1, 1], [2, 1], [3, 1]]
+
+    def test_shuffle_regime_matches_tree(self, tmp_path):
+        import logparse_rs_ray.stages.shuffle as sh
+        from logparse_rs_ray.pipelines.windows import log_session_length_hist
+
+        rows = [(u, m) for u in range(1, 9) for m in range(0, 200, 7)]
+        sf = self._events(tmp_path, rows)
+        tree = log_session_length_hist(sf).to_pandas()
+        old = sh.AUTO_TREE_MAX_BYTES
+        sh.AUTO_TREE_MAX_BYTES = 0
+        try:
+            shuf = log_session_length_hist(sf).to_pandas()
+        finally:
+            sh.AUTO_TREE_MAX_BYTES = old
+        assert tree.values.tolist() == shuf.values.tolist()
