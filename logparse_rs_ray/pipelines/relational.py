@@ -1065,6 +1065,76 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_grouping_sets_pricing(sf_dir: str):
+    """GROUPING SETS re-expression — the general form next to ROLLUP and
+    CUBE: explicit NON-hierarchical sets ((flag, status), (flag,
+    ship_year), ()) that neither of the other two produces.
+
+    Scale shape (shared with rollup/cube): the corpus collapses ONCE to
+    the finest grain the union of all sets needs (flag x status x year,
+    bounded), and every requested set is derived from that tiny merged
+    table inside one final task — k sets cost k group_bys over a bounded
+    table, never k corpus passes.
+    """
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_shipdate",
+                             "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "ship_year": pc.cast(pc.year(b["l_shipdate"]), pa.string()),
+            "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+        })
+
+    fine = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag", "l_linestatus", "ship_year"], {"sum_qty": "qty"},
+        final_partitions=1)
+
+    cols = ["l_returnflag", "l_linestatus", "ship_year", "sum_qty"]
+    sets = [["l_returnflag", "l_linestatus"], ["l_returnflag", "ship_year"],
+            []]
+
+    def grouping_sets(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(cols)
+        out = []
+        for keep in sets:
+            if keep:
+                g = (b.group_by(keep).aggregate([("sum_qty", "sum")])
+                     .rename_columns(keep + ["sum_qty"]))
+            else:
+                g = pa.table({"sum_qty": pa.array(
+                    [pc.sum(b["sum_qty"]).as_py()], pa.int64())})
+            for missing in ("l_returnflag", "l_linestatus", "ship_year"):
+                if missing not in keep:
+                    g = g.append_column(
+                        missing, pa.array(["ALL"] * g.num_rows, pa.string()))
+            out.append(g.select(cols))
+        return pa.concat_tables(out)
+
+    return (fine.map_batches(grouping_sets, batch_format="pyarrow",
+                             batch_size=None)
+            .sort(["l_returnflag", "l_linestatus", "ship_year"]))
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COALESCE(CAST(ship_year AS VARCHAR), 'ALL') AS ship_year,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM (SELECT l_returnflag, l_linestatus,
+             year(l_shipdate) AS ship_year,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem)
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag, ship_year), ())
+ORDER BY l_returnflag, l_linestatus, ship_year
+"""
+
+
 def q_moving_avg_orders(sf_dir: str, *, num_partitions: int | None = None):
     """(o_custkey, o_orderkey, ma3_cents) — frame-based window: per
     customer, the moving average of the current + 2 preceding orders by
@@ -1790,6 +1860,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q_string_agg": q_string_agg,
     "q_cube_pricing": q_cube_pricing,
+    "q_grouping_sets_pricing": q_grouping_sets_pricing,
     "q_moving_avg_orders": q_moving_avg_orders,
     "q_intersect_except": q_intersect_except,
     "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -1825,6 +1896,7 @@ ORACLE_SQL = {
     "q17_small_quantity_revenue": Q17_SMALL_QTY_SQL,
     "q_string_agg": Q_STRING_AGG_SQL,
     "q_cube_pricing": Q_CUBE_SQL,
+    "q_grouping_sets_pricing": Q_GROUPING_SETS_SQL,
     "q_moving_avg_orders": Q_MOVING_AVG_SQL,
     "q_intersect_except": Q_INTERSECT_EXCEPT_SQL,
     "q_top_orders_per_customer": Q_TOP_ORDERS_PER_CUSTOMER_SQL,

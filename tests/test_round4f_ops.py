@@ -230,3 +230,25 @@ class TestSessionLengthHist:
         finally:
             sh.AUTO_TREE_MAX_BYTES = old
         assert tree.values.tolist() == shuf.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupingSets:
+    def test_sets_and_markers(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import (
+            q_grouping_sets_pricing)
+
+        sf = tmp_path
+        _write(sf, "lineitem", _lineitems([(1, 10), (1, 20), (2, 5)]))
+        got = q_grouping_sets_pricing(str(sf)).to_pandas()
+        # helpers write flag=N status=O shipdate=2024 qty as given:
+        # set (flag,status) -> one row (N, O, ALL, 35)
+        # set (flag,year)   -> one row (N, ALL, 2024, 35)
+        # grand total       -> (ALL, ALL, ALL, 35)
+        assert got.values.tolist() == [
+            ["ALL", "ALL", "ALL", 35],
+            ["N", "ALL", "2024", 35],
+            ["N", "O", "ALL", 35],
+        ]
+        # exactly the requested sets — no (status,year) row, no (year) row
+        assert len(got) == 3
