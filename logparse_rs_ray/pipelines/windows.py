@@ -821,6 +821,78 @@ ORDER BY user_id
 """
 
 
+def log_event_transitions(sf_dir: str, *, num_partitions: int | None = None,
+                          mode: str = "auto"):
+    """(prev_type, next_type, n_pairs) — first-order Markov transition
+    census over each user's event sequence in (ts, event_id) order: the
+    behavioral-model primitive next to paths (full journeys) and
+    inter-arrival (gap timing).
+
+    Scale shape: one user-keyed exchange; per partition ONE lexsort, a
+    dictionary-encoded consecutive-pair bincount (prev*K+next flat keys —
+    no per-pair Python), and only the BOUNDED (types x types) census
+    leaves each block through the combiner tree.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+
+    part = _event_exchange(sf_dir, ["user_id", "ts", "event_id",
+                                    "event_type"], num_partitions, mode)
+
+    def trans(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "next_type": pa.array([], pa.string()),
+                          "n_pairs": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        enc = pc.dictionary_encode(b["event_type"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        dic = enc.dictionary
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, c_s = u[order], codes[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return empty
+        k = len(dic)
+        key = c_s[:-1][same] * k + c_s[1:][same]
+        cnt = np.bincount(key, minlength=k * k)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "prev_type": dic.take(pa.array(nz // k, pa.int64())),
+            "next_type": dic.take(pa.array(nz % k, pa.int64())),
+            "n_pairs": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    partial = part.map_batches(trans, batch_format="pyarrow", batch_size=None)
+    out = tree_merge(partial, ["prev_type", "next_type"],
+                     [("n_pairs", "sum")])
+    return out.sort(["prev_type", "next_type"])
+
+
+LOG_EVENT_TRANSITIONS_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, next_type, COUNT(*) AS n_pairs
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
 def log_interarrival(sf_dir: str, *, num_partitions: int | None = None,
                      mode: str = "auto"):
     """(gap_h, n_pairs) — census of hour-bucketed gaps between consecutive
@@ -1036,6 +1108,7 @@ QUERIES = {
     "q_value_band_join": q_value_band_join,
     "log_sessionize": log_sessionize,
     "log_session_length_hist": log_session_length_hist,
+    "log_event_transitions": log_event_transitions,
     "log_first_event_per_user": log_first_event_per_user,
     "log_semi_join_purchasers": log_semi_join_purchasers,
     "log_semi_join_bloom": log_semi_join_bloom,
@@ -1054,6 +1127,7 @@ ORACLE_SQL = {
     "q_value_band_join": Q_VALUE_BAND_JOIN_SQL,
     "log_sessionize": LOG_SESSIONIZE_SQL,
     "log_session_length_hist": LOG_SESSION_LEN_HIST_SQL,
+    "log_event_transitions": LOG_EVENT_TRANSITIONS_SQL,
     "log_first_event_per_user": LOG_FIRST_EVENT_SQL,
     "log_semi_join_purchasers": LOG_SEMI_JOIN_SQL,
     "log_semi_join_bloom": LOG_SEMI_JOIN_SQL,  # same result, scale plan

@@ -252,3 +252,43 @@ class TestGroupingSets:
         ]
         # exactly the requested sets — no (status,year) row, no (year) row
         assert len(got) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventTransitions:
+    @staticmethod
+    def _events(tmp_path, rows):
+        """rows: (user_id, minutes_offset, event_type)."""
+        base = datetime.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([base + datetime.timedelta(minutes=m)
+                            for _, m, _ in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([u for u, _, _ in rows], type=pa.int64()),
+            "event_type": pa.array([e for _, _, e in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def test_transitions_and_user_boundaries(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_event_transitions
+
+        # user 1: a->b->b; user 2: b->a.  No cross-user pair (1's last 'b'
+        # never pairs with 2's first 'b').
+        sf = self._events(tmp_path, [
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "b"),
+            (2, 0, "b"), (2, 1, "a"),
+        ])
+        got = log_event_transitions(sf).to_pandas()
+        assert got.values.tolist() == [
+            ["a", "b", 1], ["b", "a", 1], ["b", "b", 1]]
+
+    def test_equal_ts_breaks_by_event_id(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_event_transitions
+
+        # both events at minute 0: event_id order decides prev/next
+        sf = self._events(tmp_path, [(1, 0, "x"), (1, 0, "y")])
+        got = log_event_transitions(sf).to_pandas()
+        assert got.values.tolist() == [["x", "y", 1]]
