@@ -944,6 +944,76 @@ ORDER BY query_id, vec_id
 """
 
 
+def doc_label_join_stats(sf_dir: str, *, num_partitions: int | None = None):
+    """(label, n_docs, sum_chars, sum_words) — the cross-MODAL join: text
+    statistics censused per embedding-cluster label, aligning the
+    ``documents`` and ``embeddings`` tables on doc_id = vec_id (the
+    text-vs-vector consistency check a curation pipeline runs before
+    trusting either side).
+
+    Scale shape: both sides are corpus-∝, so this is a genuine co-keyed
+    hash join — but each side is first PRUNED to compact rows (id + two
+    ints / id + label) so the exchange moves key-sized payloads, and the
+    join output collapses immediately to the bounded per-label census
+    through the combiner tree.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.join import auto_join_partitions, hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text",
+                                                    "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        # split_whitespace emits empty tokens at string edges; count only
+        # non-empty ones (the shared tokenizer rule of doc_term_df)
+        toks = pc.utf8_split_whitespace(b["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        ne = np.asarray(pc.cast(pc.not_equal(toks.flatten(), ""), pa.int64()),
+                        dtype=np.int64)
+        cum = np.concatenate([[0], np.cumsum(ne)])
+        n_words = cum[off[1:]] - cum[off[:-1]]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            "n_words": pa.array(n_words.astype(np.int64)),
+        })
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(
+            f"{sf_dir}/documents.parquet", f"{sf_dir}/embeddings.parquet")
+    joined = hash_join(docs.map_batches(prep, batch_format="pyarrow",
+                                        batch_size=None),
+                       emb, on="doc_id", right_on="vec_id",
+                       join_type="inner", num_partitions=num_partitions)
+
+    out = grouped_agg(joined, ["label"],
+                      {"sum_chars": "n_chars", "sum_words": "n_words"},
+                      count_name="n_docs")
+
+    def order_cols(b: pa.Table) -> pa.Table:
+        return b.select(["label", "n_docs", "sum_chars", "sum_words"])
+
+    return out.map_batches(order_cols, batch_format="pyarrow",
+                           batch_size=None).sort("label")
+
+
+DOC_LABEL_JOIN_SQL = """
+SELECT e.label, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS sum_words
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
 QUERIES = {
     "embed_quantize": embed_quantize,
     "doc_embed_hashvec": doc_embed_hashvec,
@@ -957,12 +1027,14 @@ QUERIES = {
     "embed_kmeans": embed_kmeans,
     "embed_pca_top": embed_pca_top,
     "embed_outliers": embed_outliers,
+    "doc_label_join_stats": doc_label_join_stats,
 }
 
 ORACLE_SQL = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "ann_range_search": ANN_RANGE_SQL,
     "embed_cluster_assign": EMBED_CLUSTER_ASSIGN_SQL,
+    "doc_label_join_stats": DOC_LABEL_JOIN_SQL,
     # ann_ivf_topk: approximate -> rows-only; pytest asserts recall vs exact.
     # embed_pca_top: iterative eigensolve -> rows-only; pytest pins the
     # components against numpy.linalg.eigh on the exact same quantized

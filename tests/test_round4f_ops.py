@@ -292,3 +292,29 @@ class TestEventTransitions:
         sf = self._events(tmp_path, [(1, 0, "x"), (1, 0, "y")])
         got = log_event_transitions(sf).to_pandas()
         assert got.values.tolist() == [["x", "y", 1]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLabelJoinStats:
+    def test_join_and_word_rule(self, tmp_path):
+        from logparse_rs_ray.pipelines.similarity import doc_label_join_stats
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["  a  b ", "one", "dropped"]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([7, 3, 7], type=pa.int64()),
+        })
+        emb = pa.table({
+            "vec_id": pa.array([1, 2, 99], type=pa.int64()),  # 99 orphan
+            "embedding": pa.array([[0.0] * 4] * 3,
+                                  type=pa.list_(pa.float32())),
+            "label": pa.array([7, 7, 8], type=pa.int32()),
+        })
+        _write(tmp_path, "documents", docs)
+        _write(tmp_path, "embeddings", emb)
+        got = doc_label_join_stats(str(tmp_path)).to_pandas()
+        # doc 3 has no embedding, vec 99 has no doc -> both drop (inner);
+        # leading/trailing whitespace must not inflate the word count
+        assert got.values.tolist() == [[7, 2, 10, 3]]
