@@ -30,12 +30,19 @@ from .core.tokenize import extract_field_bytes, split_csv_bytes
 __all__ = [
     "get_field",
     "get_fields",
+    "extract_type_subtype",
     "load_schema",
     "load_embedded_schema",
     "parse_kv",
     "parse_kv_with_schema",
     "parse_kv_enriched",
     "parse_kv_enriched_with_schema",
+    "load_anonymizer",
+    "set_anonymizer_json",
+    "get_anonymizer_status",
+    "export_integrity_table",
+    "parse_kv_enriched_anon",
+    "parse_kv_enriched_with_schema_anon",
 ]
 
 TYPE_INDEX = 3
@@ -55,6 +62,13 @@ def get_field(line: str, index: int) -> str | None:
     edge semantics: one-past-the-end is '' unless the line ends with ','
     — then None; anything further is None)."""
     return extract_field_bytes(line.encode("utf-8"), index)
+
+
+def extract_type_subtype(line: str) -> tuple[str | None, str | None]:
+    """The (type, subtype) fields at indices 3/4 — the vendor-log
+    convenience one-liner (bindings lib.rs:130-134; docs
+    csv_helpers.md)."""
+    return get_field(line, TYPE_INDEX), get_field(line, TYPE_INDEX + 1)
 
 
 def load_schema(schema_path: str) -> bool:
@@ -151,6 +165,90 @@ def parse_kv_enriched(line: str, include_all: bool = False) -> dict:
 def parse_kv_enriched_with_schema(line: str, schema_path: str,
                                   include_all: bool = False) -> dict:
     return _enrich(parse_kv_with_schema(line, schema_path, include_all), line)
+
+
+# --- anonymizer scalar surface (docs/python/api.md "Anonymizer";
+# bindings lib.rs:283-390) — module-global engine like the reference's
+# ANONYMIZER RwLock, sharing core.anonymize's conformance-pinned kernels
+
+_ANON: "SerialAnonymizer | None" = None
+
+
+def load_anonymizer(config_path: str) -> bool:
+    """Load anonymizer rules from a JSON file (lib.rs:283-290).  Replaces
+    any previous engine and resets its integrity table, like the
+    reference's ``*g = Some(anon)``."""
+    global _ANON
+    from .core.anonymize import SerialAnonymizer, load_anon_config
+
+    with open(config_path, encoding="utf-8") as fh:
+        _ANON = SerialAnonymizer(load_anon_config(fh.read()))
+    return True
+
+
+def set_anonymizer_json(config_json: str) -> bool:
+    """Load anonymizer rules from a JSON string (lib.rs:295-300)."""
+    global _ANON
+    from .core.anonymize import SerialAnonymizer, load_anon_config
+
+    _ANON = SerialAnonymizer(load_anon_config(config_json))
+    return True
+
+
+def get_anonymizer_status() -> dict:
+    """``{enabled, fields, pairs}`` when loaded, ``{enabled: False}``
+    otherwise (lib.rs:305-317)."""
+    if _ANON is None:
+        return {"enabled": False}
+    return _ANON.status()
+
+
+def export_integrity_table() -> dict[str, dict[str, str]]:
+    """field -> {original: replacement} audit export (lib.rs:322-334);
+    empty dict when no engine is loaded."""
+    if _ANON is None:
+        return {}
+    return {f: dict(m) for f, m in _ANON.table.items()}
+
+
+def _enrich_anon(parse, line: str) -> dict:
+    """Anon-enriched envelope: parse, anonymize every replaceable string
+    value through the global engine, add ``_anonymized`` + the reference's
+    timing keys (lib.rs:340-378 — values are wall timings, keys/shape are
+    the contract)."""
+    import time
+
+    t0 = time.perf_counter_ns()
+    parsed = parse()
+    parse_ns = time.perf_counter_ns() - t0
+    t1 = time.perf_counter_ns()
+    if _ANON is not None:
+        for k, v in parsed.items():
+            if isinstance(v, str):
+                repl = _ANON.anonymize_one(k, v)
+                if repl is not None:
+                    parsed[k] = repl
+    anonymize_ns = time.perf_counter_ns() - t1
+    out = _enrich(parsed, line)
+    out["_anonymized"] = True
+    out["parse_ns"] = parse_ns
+    out["anonymize_ns"] = anonymize_ns
+    out["runtime_ns_total"] = parse_ns + anonymize_ns
+    return out
+
+
+def parse_kv_enriched_anon(line: str, include_all: bool = False) -> dict:
+    """Enriched parse with anonymization when an engine is loaded
+    (lib.rs:340-378; a no-engine call still parses and stamps the
+    envelope, exactly like the reference's ``else parsed0`` arm)."""
+    return _enrich_anon(lambda: parse_kv(line, include_all), line)
+
+
+def parse_kv_enriched_with_schema_anon(line: str, schema_path: str,
+                                       include_all: bool = False) -> dict:
+    """Same, ensuring ``schema_path`` is loaded first (lib.rs:381-390)."""
+    return _enrich_anon(
+        lambda: parse_kv_with_schema(line, schema_path, include_all), line)
 
 
 # import-time preload, reference order (rust_accel.py:79-92): embedded wins

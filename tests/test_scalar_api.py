@@ -210,3 +210,82 @@ class TestSchemaLoadOrder:
         p3.write_text((tmp_path / "schema.json").read_text())
         schema = cli._load_schema(str(p3))
         assert "ENVTYPE" in schema.type_to_fields
+
+
+class TestTypeSubtype:
+    def test_basic_and_out_of_bounds(self):
+        assert api.extract_type_subtype("ts,serial,x,THREAT,spyware,rest") \
+            == ("THREAT", "spyware")
+        # fields 3/4 absent -> None (tokenizer edge semantics)
+        assert api.extract_type_subtype("a,b") == (None, None)
+        # quote-aware: the type field itself may be quoted
+        assert api.extract_type_subtype('a,b,c,"THREAT,X",sub')[0] == "THREAT,X"
+
+
+class TestAnonScalarApi:
+    CFG = """{
+      "version": 1,
+      "defaults": {"tokenize": {"salt": "s1"}},
+      "fields": {
+        "src_ip": {"mode": "tokenize", "tokenize": {"prefix": "IP_"}},
+        "action": {"mode": "map", "map": {"allow": "ok"},
+                    "fallback": "fixed", "fixed": "OTHER"},
+        "device_name": {"mode": "fixed", "fixed": "DEV"}
+      }
+    }"""
+
+    def _load(self, tmp_path):
+        api.load_embedded_schema()
+        assert api.set_anonymizer_json(self.CFG) is True
+
+    def test_status_and_export_lifecycle(self, tmp_path):
+        api._ANON = None
+        assert api.get_anonymizer_status() == {"enabled": False}
+        assert api.export_integrity_table() == {}
+        self._load(tmp_path)
+        st = api.get_anonymizer_status()
+        assert st == {"enabled": True, "fields": 0, "pairs": 0}
+
+    def test_enriched_anon_matches_serial_oracle(self, tmp_path):
+        from logparse_rs_ray.core.anonymize import (
+            SerialAnonymizer, load_anon_config)
+
+        self._load(tmp_path)
+        line = ("2024/01/01 00:00:00,SER123,1,TRAFFIC,start,2024/01/01 "
+                "00:00:00,10.0.0.1,10.0.0.2,,,rule1,,,app1")
+        env = api.parse_kv_enriched_anon(line)
+        # envelope contract (bindings lib.rs:340-378)
+        assert env["_anonymized"] is True
+        for k in ("parse_ns", "anonymize_ns", "runtime_ns_total",
+                  "raw_excerpt", "hash64", "parsed"):
+            assert k in env
+        assert env["runtime_ns_total"] == env["parse_ns"] + env["anonymize_ns"]
+        # values match the conformance-pinned serial engine
+        oracle = SerialAnonymizer(load_anon_config(self.CFG))
+        plain = api.parse_kv(line)
+        for k, v in plain.items():
+            want = oracle.anonymize_one(k, v) if isinstance(v, str) else None
+            assert env["parsed"][k] == (want if want is not None else v)
+        # tokenization is memoized + exported
+        env2 = api.parse_kv_enriched_anon(line)
+        assert env2["parsed"]["src_ip"] == env["parsed"]["src_ip"]
+        table = api.export_integrity_table()
+        assert table["src_ip"][plain["src_ip"]] == env["parsed"]["src_ip"]
+        assert env["parsed"]["src_ip"].startswith("IP_")
+        st = api.get_anonymizer_status()
+        assert st["enabled"] is True and st["pairs"] >= 2
+
+    def test_load_anonymizer_from_file_and_no_engine_passthrough(
+            self, tmp_path):
+        api.load_embedded_schema()
+        p = tmp_path / "anon.json"
+        p.write_text(self.CFG)
+        assert api.load_anonymizer(str(p)) is True
+        assert api.get_anonymizer_status()["enabled"] is True
+        # no engine -> parse still succeeds, values untouched
+        api._ANON = None
+        line = ("2024/01/01 00:00:00,SER123,1,TRAFFIC,start,2024/01/01 "
+                "00:00:00,10.0.0.1,10.0.0.2,,,rule1,,,app1")
+        env = api.parse_kv_enriched_anon(line)
+        assert env["parsed"] == api.parse_kv(line)
+        assert env["_anonymized"] is True
