@@ -1601,6 +1601,85 @@ WHERE 5 * CAST(ROUND(l.l_quantity) AS BIGINT) * s.cnt < s.sum_qty
 """
 
 
+# --- RANGE-frame window: value-based sliding aggregate ----------------------
+
+RANGE_WINDOW_DAYS = 30
+
+
+def q_range_window_revenue(sf_dir: str, *, window_days: int = RANGE_WINDOW_DAYS,
+                           num_partitions: int = 8, mode: str = "auto"):
+    """(o_orderkey, o_custkey, rev30_cents) — the RANGE (value-based)
+    window frame next to ``q_moving_avg_orders``' ROWS frame: per
+    customer, total order revenue within the trailing ``window_days``-day
+    interval INCLUDING the current row's date peers (SQL RANGE semantics:
+    equal-date orders share one frame, so ties need no ordering rule).
+
+    Scale shape: one custkey-keyed hash exchange (size-gated to a single
+    block below the threshold); inside each partition ONE lexsort by
+    (cust, day) + a global prefix sum, with both frame edges found by TWO
+    vectorized ``searchsorted`` calls over composite ``cust * 2^22 + day``
+    keys — no per-customer Python loop.  Output is corpus-∝ and sortless.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/orders.parquet")
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+    part = (hash_partition(ds, ["o_custkey"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
+
+    day_shift = np.int64(1) << 22  # day index must stay below this
+
+    def window(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "rev30_cents": pa.array([], pa.int64())})
+        ok = np.asarray(b["o_orderkey"], dtype=np.int64)
+        cust = np.asarray(b["o_custkey"], dtype=np.int64)
+        ts = (b["o_orderdate"].combine_chunks()
+              if isinstance(b["o_orderdate"], pa.ChunkedArray)
+              else b["o_orderdate"]).cast(pa.int64()).to_numpy()
+        day = ts // 86_400_000_000  # midnight-exact dates -> exact day index
+        assert day.max() < day_shift and day.min() >= 0, "day index overflow"
+        assert cust.max() < (np.int64(1) << 40), "custkey overflows key pack"
+        cents = np.asarray(_cents(b["o_totalprice"]), dtype=np.int64)
+
+        order = np.lexsort((day, cust))
+        ok_s, cust_s, day_s, cents_s = (ok[order], cust[order], day[order],
+                                        cents[order])
+        key = cust_s * day_shift + day_s
+        cum = np.concatenate([[0], np.cumsum(cents_s)])
+        lo = np.searchsorted(key, cust_s * day_shift
+                             + np.maximum(day_s - window_days, 0), "left")
+        hi = np.searchsorted(key, key, "right")
+        rev = cum[hi] - cum[lo]
+        return pa.table({"o_orderkey": pa.array(ok_s),
+                         "o_custkey": pa.array(cust_s),
+                         "rev30_cents": pa.array(rev.astype(np.int64))})
+
+    # no trailing sort: one row per order — the gate compares
+    # order-insensitively, a global sort would be an all-to-all for nothing
+    return part.map_batches(window, batch_format="pyarrow", batch_size=None)
+
+
+Q_RANGE_WINDOW_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL {RANGE_WINDOW_DAYS} DAY PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS rev30_cents
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 # --- TPC-H Q13 shape: two-level aggregation with a LEFT-JOIN zero bucket ----
 
 def q13_custdist(sf_dir: str, *, num_partitions: int | None = None):
@@ -1854,6 +1933,7 @@ ORDER BY c.c_mktsegment
 QUERIES = {
     "q13_custdist": q13_custdist,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q_range_window_revenue": q_range_window_revenue,
     "q18_large_orders": q18_large_orders,
     "q_3way_revenue": q_3way_revenue,
     "q_exists_urgent_clean": q_exists_urgent_clean,
@@ -1890,6 +1970,7 @@ QUERIES = {
 ORACLE_SQL = {
     "q13_custdist": Q13_CUSTDIST_SQL,
     "q22_idle_rich_customers": Q22_IDLE_RICH_SQL,
+    "q_range_window_revenue": Q_RANGE_WINDOW_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
     "q_3way_revenue": Q_3WAY_REVENUE_SQL,
     "q_exists_urgent_clean": Q_EXISTS_URGENT_CLEAN_SQL,

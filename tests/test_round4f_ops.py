@@ -318,3 +318,62 @@ class TestLabelJoinStats:
         # doc 3 has no embedding, vec 99 has no doc -> both drop (inner);
         # leading/trailing whitespace must not inflate the word count
         assert got.values.tolist() == [[7, 2, 10, 3]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeWindowRevenue:
+    @staticmethod
+    def _orders_dated(tmp_path, rows):
+        """rows: (orderkey, custkey, day_offset, totalprice)."""
+        base = datetime.datetime(2024, 1, 1)
+        t = pa.table({
+            "o_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows)),
+            "o_totalprice": pa.array([float(r[3]) for r in rows]),
+            "o_orderdate": pa.array(
+                [base + datetime.timedelta(days=r[2]) for r in rows],
+                type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+        })
+        pq.write_table(t, tmp_path / "orders.parquet")
+        return str(tmp_path)
+
+    def test_frame_edges_and_date_peers(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import (
+            q_range_window_revenue)
+
+        # cust 1: day 0 (100), day 30 (200) -> day-30 row includes day-0
+        # (exactly 30 days back, inclusive); day 31 (400) excludes day 0.
+        # cust 2: two orders on the SAME day -> RANGE peers, both frames
+        # hold both orders regardless of tie order.
+        sf = self._orders_dated(tmp_path, [
+            (1, 1, 0, 100.0), (2, 1, 30, 200.0), (3, 1, 31, 400.0),
+            (4, 2, 5, 10.0), (5, 2, 5, 20.0),
+        ])
+        got = q_range_window_revenue(sf).to_pandas() \
+            .sort_values("o_orderkey").reset_index(drop=True)
+        assert got.values.tolist() == [
+            [1, 1, 10000],            # just itself
+            [2, 1, 30000],            # 100+200, day 0 is in [0, 30]
+            [3, 1, 60000],            # 200+400, day 0 out of [1, 31]
+            [4, 2, 3000], [5, 2, 3000],  # same-day peers share the frame
+        ]
+
+    def test_regimes_agree(self, tmp_path):
+        import logparse_rs_ray.stages.shuffle as sh
+        from logparse_rs_ray.pipelines.relational import (
+            q_range_window_revenue)
+
+        rows = [(i, i % 5, (i * 7) % 90, float(i)) for i in range(1, 60)]
+        sf = self._orders_dated(tmp_path, rows)
+        tree = q_range_window_revenue(sf).to_pandas() \
+            .sort_values("o_orderkey").reset_index(drop=True)
+        old = sh.AUTO_TREE_MAX_BYTES
+        sh.AUTO_TREE_MAX_BYTES = 0
+        try:
+            shuf = q_range_window_revenue(sf).to_pandas() \
+                .sort_values("o_orderkey").reset_index(drop=True)
+        finally:
+            sh.AUTO_TREE_MAX_BYTES = old
+        assert tree.values.tolist() == shuf.values.tolist()
