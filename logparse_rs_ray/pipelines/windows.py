@@ -821,6 +821,83 @@ ORDER BY user_id
 """
 
 
+EWMA_ALPHA = 0.25
+EWMA_K = 3.0
+EWMA_WARMUP = 10
+
+
+def log_value_ewma_anomaly(sf_dir: str, *, alpha: float = EWMA_ALPHA,
+                           k: float = EWMA_K, warmup: int = EWMA_WARMUP,
+                           num_partitions: int = 8, mode: str = "auto"):
+    """(event_type, n_events, n_anomalies) — EWMA-based value anomaly
+    census per event type: an event is anomalous when its value deviates
+    from the type's exponentially-weighted running mean by more than
+    ``k`` x the running mean absolute deviation (both ``adjust=False``
+    recursions over the (ts, event_id)-ordered series), after ``warmup``
+    events of history.  The classic stateful streaming detector — the
+    recursion is NOT associative, so this is a sequential-scan family op
+    like sessionize, not an aggregation.
+
+    Scale shape: one type-keyed hash exchange co-locates each type's FULL
+    ordered series (types are few, sequences are long — the exchange is
+    the whole corpus once, unavoidable for exact sequential state); the
+    per-type recursion runs in pandas' C ewm kernel (no Python loop), and
+    only the bounded per-type census leaves each block.  Rows-only gate
+    entry (recursive state is not SQL-expressible); pytest pins it
+    against a serial replica on the same ordered series.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "event_id", "value"])
+    part = (hash_partition(ds, ["event_type"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
+
+    def census(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_events": pa.array([], pa.int64()),
+                          "n_anomalies": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "ts": np.asarray((b["ts"].combine_chunks()
+                              if isinstance(b["ts"], pa.ChunkedArray)
+                              else b["ts"]).cast(pa.int64())),
+            "event_id": np.asarray(b["event_id"], dtype=np.int64),
+            "value": np.asarray(b["value"], dtype=np.float64),
+        }).sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        out_t, out_n, out_a = [], [], []
+        for et, g in df.groupby("event_type", sort=True):
+            v = g["value"].reset_index(drop=True)
+            m_prev = v.ewm(alpha=alpha, adjust=False).mean().shift(1)
+            d = (v - m_prev).abs()
+            s_prev = d.fillna(0.0).ewm(alpha=alpha, adjust=False) \
+                      .mean().shift(1)
+            idx = np.arange(len(v))
+            anom = (idx >= warmup) & (d.to_numpy() > k * s_prev.to_numpy())
+            out_t.append(et)
+            out_n.append(len(v))
+            out_a.append(int(anom.sum()))
+        return pa.table({"event_type": pa.array(out_t, pa.string()),
+                         "n_events": pa.array(out_n, pa.int64()),
+                         "n_anomalies": pa.array(out_a, pa.int64())})
+
+    partial = part.map_batches(census, batch_format="pyarrow",
+                               batch_size=None)
+    out = tree_merge(partial, ["event_type"],
+                     [("n_events", "sum"), ("n_anomalies", "sum")])
+    return out.sort("event_type")
+
+
 def log_event_transitions(sf_dir: str, *, num_partitions: int | None = None,
                           mode: str = "auto"):
     """(prev_type, next_type, n_pairs) — first-order Markov transition
@@ -1109,6 +1186,7 @@ QUERIES = {
     "log_sessionize": log_sessionize,
     "log_session_length_hist": log_session_length_hist,
     "log_event_transitions": log_event_transitions,
+    "log_value_ewma_anomaly": log_value_ewma_anomaly,
     "log_first_event_per_user": log_first_event_per_user,
     "log_semi_join_purchasers": log_semi_join_purchasers,
     "log_semi_join_bloom": log_semi_join_bloom,

@@ -377,3 +377,73 @@ class TestRangeWindowRevenue:
         finally:
             sh.AUTO_TREE_MAX_BYTES = old
         assert tree.values.tolist() == shuf.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEwmaAnomaly:
+    @staticmethod
+    def _events_valued(tmp_path, rows):
+        """rows: (event_type, minutes_offset, value)."""
+        base = datetime.datetime(2024, 1, 1)
+        t = pa.table({
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array([base + datetime.timedelta(minutes=m)
+                            for _, m, _ in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([e for e, _, _ in rows]),
+            "value": pa.array([float(v) for _, _, v in rows]),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    def test_flat_series_has_no_anomalies(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_value_ewma_anomaly
+
+        rows = [("a", m, 10.0) for m in range(40)]
+        got = log_value_ewma_anomaly(self._events_valued(tmp_path, rows)) \
+            .to_pandas()
+        assert got.values.tolist() == [["a", 40, 0]]
+
+    def test_spike_flags_after_warmup_only(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_value_ewma_anomaly
+
+        # big spike at index 5 (inside warmup -> ignored) and at index 30
+        # (past warmup -> flagged); mild noise elsewhere
+        rows = [("a", m, 10.0 + (m % 3) * 0.1) for m in range(40)]
+        rows[5] = ("a", 5, 1000.0)
+        rows[30] = ("a", 30, 1000.0)
+        got = log_value_ewma_anomaly(self._events_valued(tmp_path, rows)) \
+            .to_pandas()
+        assert got.n_events[0] == 40
+        assert got.n_anomalies[0] >= 1  # index-30 spike flagged
+        # warmup spike must NOT be counted as anomalous
+        rows2 = [("b", m, 10.0) for m in range(40)]
+        rows2[5] = ("b", 5, 1000.0)
+        got2 = log_value_ewma_anomaly(self._events_valued(tmp_path, rows2)) \
+            .to_pandas()
+        # only the post-spike settling can flag; the spike itself cannot
+        assert got2.n_anomalies[0] <= 1
+
+    def test_matches_pandas_replica_on_generated(self):
+        import pandas as pd
+        import pyarrow.parquet as pqt
+
+        from logparse_rs_ray.pipelines.windows import log_value_ewma_anomaly
+
+        got = log_value_ewma_anomaly(SF).to_pandas()
+        t = pqt.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "ts", "event_id", "value"]
+                           ).to_pandas()
+        t = t.sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        want = []
+        for et, g in t.groupby("event_type", sort=True):
+            v = g["value"].astype(float).reset_index(drop=True)
+            m_prev = v.ewm(alpha=0.25, adjust=False).mean().shift(1)
+            d = (v - m_prev).abs()
+            s_prev = d.fillna(0.0).ewm(alpha=0.25, adjust=False).mean().shift(1)
+            import numpy as np
+            idx = np.arange(len(v))
+            anom = (idx >= 10) & (d.to_numpy() > 3.0 * s_prev.to_numpy())
+            want.append([et, len(v), int(anom.sum())])
+        assert got.values.tolist() == want

@@ -797,6 +797,7 @@ class TestQueryRegistry:
             "doc_cdc_chunk_dedup", "doc_overlap_survivors",
             "embed_pca_top", "embed_outliers", "doc_dsir_weights",
             "doc_bpe_train_merges", "doc_bpe_encode_stats", "ann_pq_topk",
+            "log_value_ewma_anomaly",
         }, rows_only
 
 
