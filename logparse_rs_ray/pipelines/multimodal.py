@@ -432,7 +432,67 @@ GROUP BY 1 ORDER BY modality
 """
 
 
+def mm_phash_dedup(sf_dir: str, *, num_partitions: int = 8):
+    """(phash, n_images, keeper_doc_id) — perceptual-hash image dedup
+    buckets: every payload decodes to its 16-bin feature histogram
+    (actor-pool stage), the aHash rule turns it into a 16-bit signature
+    (bit b set iff bin b exceeds the histogram mean — the standard
+    average-hash construction over the stub decode), and buckets holding
+    more than one image surface with their min-doc_id keeper.  THE
+    image-dedup operator of a multimodal training pipeline, on the same
+    keep-one contract as the text dedups.
+
+    The mean comparison is exact integer arithmetic (``hist * 16 >
+    sum``), so the signature is bit-stable across engines and regimes.
+    Scale shape: decode is an actor pool with a small payload-bounded
+    batch size; per-block partials collapse to at most 2^16 signature
+    rows; the merge is a (sum, min) combiner tree over that bounded key
+    space — image bytes never shuffle.  Rows-only gate entry (byte-level
+    histograms are not SQL-expressible); pytest pins a serial numpy
+    replica and an engineered collision.
+    """
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow",
+                        batch_size=None)
+    feats = ds.map_batches(ImageDecodeStub, batch_format="pyarrow",
+                           batch_size=2048, concurrency=auto_pool_size())
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"phash": pa.array([], pa.int64()),
+                             "n_images": pa.array([], pa.int64()),
+                             "keeper_doc_id": pa.array([], pa.int64())})
+        f = b["features"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        hist = np.asarray(f.flatten(), dtype=np.int64).reshape(
+            b.num_rows, ImageDecodeStub.FEATURE_DIM)
+        total = hist.sum(axis=1, keepdims=True)
+        bits = (hist * ImageDecodeStub.FEATURE_DIM) > total  # exact mean cmp
+        phash = (bits.astype(np.int64)
+                 << np.arange(ImageDecodeStub.FEATURE_DIM, dtype=np.int64)
+                 [None, :]).sum(axis=1)
+        t = pa.table({"phash": pa.array(phash),
+                      "doc_id": b["doc_id"]})
+        g = t.group_by(["phash"]).aggregate([([], "count_all"),
+                                             ("doc_id", "min")])
+        return g.rename_columns(["phash", "n_images", "keeper_doc_id"])
+
+    p = feats.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = tree_merge(p, ["phash"],
+                        [("n_images", "sum"), ("keeper_doc_id", "min")])
+
+    def dups_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n_images"], 1))
+
+    return merged.map_batches(dups_only, batch_format="pyarrow",
+                              batch_size=None).sort("phash")
+
+
 QUERIES = {
+    "mm_phash_dedup": mm_phash_dedup,
     "mm_decode_meta": mm_decode_meta,
     "mm_modality_route": mm_modality_route,
     "mm_feature_agg": mm_feature_agg,

@@ -447,3 +447,50 @@ class TestEwmaAnomaly:
             anom = (idx >= 10) & (d.to_numpy() > 3.0 * s_prev.to_numpy())
             want.append([et, len(v), int(anom.sum())])
         assert got.values.tolist() == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPhashDedup:
+    @staticmethod
+    def _serial(texts):
+        """Independent numpy replica of the aHash bucket census."""
+        import numpy as np
+        out = {}
+        for doc_id, t in enumerate(texts):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            hist = np.bincount(data >> 4, minlength=16).astype(np.int64)
+            bits = (hist * 16) > hist.sum()
+            ph = int((bits.astype(np.int64) << np.arange(16)).sum())
+            n, keeper = out.get(ph, (0, doc_id))
+            out[ph] = (n + 1, min(keeper, doc_id))
+        return sorted((ph, n, k) for ph, (n, k) in out.items() if n > 1)
+
+    def test_engineered_collision_and_keeper(self, tmp_path):
+        from logparse_rs_ray.pipelines.multimodal import mm_phash_dedup
+
+        # docs 0 and 2 are byte-permutations of each other -> identical
+        # histograms -> same phash; doc 1 differs
+        texts = ["abcabc", "zzz!!!", "cbacba"]
+        sf = _write(tmp_path, "documents", pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([6, 6, 6], type=pa.int64()),
+        })) or str(tmp_path)
+        got = mm_phash_dedup(sf).to_pandas()
+        want = self._serial(texts)
+        assert [tuple(r) for r in got.values.tolist()] == want
+        assert got.keeper_doc_id.tolist() == [0]  # min doc_id survives
+
+    def test_matches_serial_replica_on_generated(self):
+        import pyarrow.parquet as pqt
+
+        from logparse_rs_ray.pipelines.multimodal import mm_phash_dedup
+
+        got = mm_phash_dedup(SF).to_pandas()
+        texts = pqt.read_table(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"]).to_pandas() \
+            .sort_values("doc_id")["text"].tolist()
+        want = self._serial(texts)
+        assert [tuple(r) for r in got.values.tolist()] == want

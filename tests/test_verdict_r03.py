@@ -797,7 +797,7 @@ class TestQueryRegistry:
             "doc_cdc_chunk_dedup", "doc_overlap_survivors",
             "embed_pca_top", "embed_outliers", "doc_dsir_weights",
             "doc_bpe_train_merges", "doc_bpe_encode_stats", "ann_pq_topk",
-            "log_value_ewma_anomaly",
+            "log_value_ewma_anomaly", "mm_phash_dedup",
         }, rows_only
 
 
