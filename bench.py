@@ -84,6 +84,10 @@ BENCH_QUERIES = [
     "doc_source_overlap",
     "embed_pca_top",
     "doc_bpe_encode_stats",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q_rank_customers",
+    "doc_soft_dedup_weights",
 ]
 
 

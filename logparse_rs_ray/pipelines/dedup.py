@@ -1949,7 +1949,105 @@ def dedup_minhash_keep_best(sf_dir: str, *, threshold: float = 0.5, k: int = 3,
                                 num_partitions=num_partitions)
 
 
+# --- soft dedup: down-weight duplicates instead of dropping them ------------
+
+SOFT_DEDUP_BROADCAST_MAX = 200_000
+
+
+def doc_soft_dedup_weights(sf_dir: str, *, mode: str = "auto",
+                           num_partitions: int = 16,
+                           broadcast_max_keys: int = SOFT_DEDUP_BROADCAST_MAX):
+    """(doc_id, dup_count) — soft dedup: instead of dropping exact
+    duplicates, every document is annotated with its duplicate-cluster
+    size so a training loader can down-weight it (weight = 1/dup_count;
+    the integer count is emitted — the driver's hash contract forbids
+    float columns).
+
+    Scale shape (size-gated like the other exact dedups):
+
+    * ``shuffle`` regime (corpus-sized key sets): ONE exchange of compact
+      (text_hash, doc_id) rows co-located by hash; each partition counts
+      its hashes and attaches the count with one ``index_in`` — the count
+      table never funnels through the driver and text never shuffles.
+    * ``tree`` regime (small inputs): per-block (hash, count) partials
+      merge through the combiner tree; if the distinct-hash table is
+      under ``broadcast_max_keys`` it broadcasts (``ray.put`` once) and a
+      second corpus pass attaches counts with zero exchanges.
+    """
+    from ..stages.shuffle import resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        h = fnv1a64_arrow(b["text"].combine_chunks()
+                          if isinstance(b["text"], pa.ChunkedArray)
+                          else b["text"])
+        return pa.table({"text_hash": pa.array(h.astype(np.int64)),
+                         "doc_id": b["doc_id"]})
+
+    if mode == "shuffle":
+        part = hash_partition(
+            ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+            ["text_hash"], num_partitions)
+
+        def attach(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "dup_count": pa.array([], pa.int64())})
+            g = b.group_by(["text_hash"]).aggregate([([], "count_all")])
+            pos = pc.index_in(b["text_hash"], value_set=g["text_hash"])
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "dup_count": pc.take(g["count_all"], pos),
+            })
+
+        return part.map_batches(attach, batch_format="pyarrow",
+                                batch_size=None)
+
+    # tree regime: bounded distinct-hash table -> broadcast count map
+    import ray
+
+    partial = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None) \
+        .map_batches(lambda b: b.group_by(["text_hash"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["text_hash", "cnt"]),
+                     batch_format="pyarrow", batch_size=None)
+    counts = pa.concat_tables(list(
+        tree_merge(partial, ["text_hash"], [("cnt", "sum")], fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"text_hash": pa.array([], pa.int64()),
+                   "cnt": pa.array([], pa.int64())})]).combine_chunks()
+    if counts.num_rows > broadcast_max_keys:
+        raise ValueError(
+            "doc_soft_dedup_weights: distinct-hash table exceeds the "
+            "broadcast cap under tree mode — use mode='shuffle'")
+    ref = ray.put(counts)
+
+    def attach_bc(b: pa.Table) -> pa.Table:
+        counts = ray.get(ref)
+        h = fnv1a64_arrow(b["text"].combine_chunks()
+                          if isinstance(b["text"], pa.ChunkedArray)
+                          else b["text"])
+        pos = pc.index_in(pa.array(h.astype(np.int64)),
+                          value_set=counts["text_hash"])
+        return pa.table({"doc_id": b["doc_id"],
+                         "dup_count": pc.take(counts["cnt"], pos)})
+
+    return ds.map_batches(attach_bc, batch_format="pyarrow", batch_size=None)
+
+
+DOC_SOFT_DEDUP_SQL = """
+SELECT d.doc_id, c.dup_count
+FROM documents d
+JOIN (SELECT text, COUNT(*) AS dup_count FROM documents GROUP BY text) c
+  ON d.text = c.text
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "doc_soft_dedup_weights": doc_soft_dedup_weights,
     "dedup_minhash_keep_best": dedup_minhash_keep_best,
     "doc_overlap_pairs": doc_overlap_pairs,
     "doc_overlap_survivors": doc_overlap_survivors,
@@ -1971,6 +2069,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "doc_soft_dedup_weights": DOC_SOFT_DEDUP_SQL,
     "dedup_exact_priority": DEDUP_EXACT_PRIORITY_SQL,
     "dedup_exact_hash": DEDUP_EXACT_HASH_SQL,
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,

@@ -1930,7 +1930,681 @@ ORDER BY c.c_mktsegment
 """
 
 
+# --- RANK / DENSE_RANK without a corpus sort --------------------------------
+
+def q_rank_customers(sf_dir: str):
+    """(c_custkey, c_mktsegment, bal_rank, bal_dense_rank, n_seg) — RANK()
+    and DENSE_RANK() of each customer's balance (descending) within its
+    market segment, plus the segment size — the rank-window trio next to
+    ``doc_len_rank``'s ascending RANK.
+
+    Scale shape: no per-segment sort of the corpus — pass 1 builds the
+    (segment, acctbal_cents) value histogram (per-block partials,
+    associative tree merge; shuffle volume = O(distinct balances), which
+    is bounded by the cent domain, not the row count); the driver turns
+    the histogram into rank/dense-rank maps broadcast via ``ray.put``;
+    pass 2 assigns vectorized with one ``searchsorted`` per block.
+    Output is corpus-∝ and sortless (the gate is order-insensitive).
+    """
+    import numpy as np
+    import ray
+
+    from .. import tune_worker_threads
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_mktsegment": b["c_mktsegment"],
+                      "cents": _cents(b["c_acctbal"])})
+        g = t.group_by(["c_mktsegment", "cents"]).aggregate([([], "count_all")])
+        return g.rename_columns(["c_mktsegment", "cents", "cnt"])
+
+    partial = ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
+    h = tree_merge(partial, ["c_mktsegment", "cents"], [("cnt", "sum")],
+                   fanin=8).to_pandas()
+    h = h.sort_values(["c_mktsegment", "cents"]).reset_index(drop=True)
+    segs = sorted(h.c_mktsegment.unique())
+    seg_code = {s: i for i, s in enumerate(segs)}
+    cnt = h.cnt.to_numpy(dtype=np.int64)
+    si = h.c_mktsegment.map(seg_code).to_numpy(dtype=np.int64)
+    cents = h.cents.to_numpy(dtype=np.int64)
+    offset = np.int64(1) << 31
+    if cnt.size and (cents.max() + offset >= (1 << 32)
+                     or cents.min() + offset < 0):
+        raise ValueError("q_rank_customers: acctbal cents outside the "
+                         "(seg << 32) | (cents + 2^31) key packing range")
+    starts = np.concatenate(([True], si[1:] != si[:-1]))
+    seg_idx = np.nonzero(starts)[0]
+    n_seg = np.add.reduceat(cnt, seg_idx)[np.cumsum(starts) - 1]
+    cum = np.cumsum(cnt)                         # rows <= this value, global
+    grp_base = np.maximum.accumulate(np.where(starts, cum - cnt, 0))
+    cum_in_seg = cum - grp_base                  # rows <= value, in segment
+    rank = n_seg - cum_in_seg + 1                # 1 + larger-in-segment
+    pos_in_seg = np.arange(len(cnt)) - np.maximum.accumulate(
+        np.where(starts, np.arange(len(cnt)), 0))
+    n_distinct = np.add.reduceat(starts.astype(np.int64) * 0 + 1, seg_idx)[
+        np.cumsum(starts) - 1]
+    dense = n_distinct - pos_in_seg              # distinct larger + 1
+    keys = (si << 32) | (cents + offset)
+    ref = ray.put((keys, rank, dense, n_seg, segs))
+
+    def assign(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
+        keys, rank, dense, n_seg, segs = ray.get(ref)
+        code = pc.cast(pc.index_in(b["c_mktsegment"],
+                                   value_set=pa.array(segs)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.asarray(_cents(b["c_acctbal"]), dtype=np.int64)
+        k = (code << 32) | (cents + offset)
+        pos = np.searchsorted(keys, k)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_mktsegment": b["c_mktsegment"],
+            "bal_rank": pa.array(rank[pos], type=pa.int64()),
+            "bal_dense_rank": pa.array(dense[pos], type=pa.int64()),
+            "n_seg": pa.array(n_seg[pos], type=pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+Q_RANK_CUSTOMERS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       RANK() OVER (PARTITION BY c_mktsegment
+                    ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC)
+           AS bal_rank,
+       DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                          ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC)
+           AS bal_dense_rank,
+       COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# --- FIRST_VALUE / LAST_VALUE per partition ---------------------------------
+
+def q_first_last_order(sf_dir: str, *, num_partitions: int = 8,
+                       mode: str = "auto"):
+    """(o_custkey, first_price_cents, last_price_cents, n_orders) — the
+    FIRST_VALUE / LAST_VALUE window pair: each customer's earliest and
+    latest order price by (date, orderkey) order.
+
+    Scale shape: one custkey-keyed hash exchange (size-gated to a single
+    block below the threshold); inside each partition ONE lexsort by
+    (cust, day, orderkey) and the group boundary rows are picked with two
+    vectorized edge masks — no per-customer loop, no corpus sort, output
+    is per-customer and sortless.
+    """
+    import numpy as np
+
+    from .. import tune_worker_threads
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/orders.parquet")
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+    part = (hash_partition(ds, ["o_custkey"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
+
+    def firstlast(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "first_price_cents": pa.array([], pa.int64()),
+                             "last_price_cents": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        cust = np.asarray(b["o_custkey"], dtype=np.int64)
+        ok = np.asarray(b["o_orderkey"], dtype=np.int64)
+        ts = (b["o_orderdate"].combine_chunks()
+              if isinstance(b["o_orderdate"], pa.ChunkedArray)
+              else b["o_orderdate"]).cast(pa.int64()).to_numpy()
+        cents = np.asarray(_cents(b["o_totalprice"]), dtype=np.int64)
+        order = np.lexsort((ok, ts, cust))
+        c_s = cust[order]
+        first = np.concatenate([[True], c_s[1:] != c_s[:-1]])
+        last = np.concatenate([c_s[1:] != c_s[:-1], [True]])
+        fi, li = np.nonzero(first)[0], np.nonzero(last)[0]
+        return pa.table({
+            "o_custkey": pa.array(c_s[fi]),
+            "first_price_cents": pa.array(cents[order][fi]),
+            "last_price_cents": pa.array(cents[order][li]),
+            "n_orders": pa.array(li - fi + 1),
+        })
+
+    return part.map_batches(firstlast, batch_format="pyarrow",
+                            batch_size=None)
+
+
+Q_FIRST_LAST_ORDER_SQL = """
+SELECT DISTINCT o_custkey,
+       FIRST_VALUE(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+           AS first_price_cents,
+       LAST_VALUE(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+           AS last_price_cents,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey
+"""
+
+
+# --- TPC-H Q10 shape: returned-item revenue, top-20 customers --------------
+
+def q10_returned_revenue(sf_dir: str, *, num_partitions: int | None = None):
+    """(c_custkey, c_name, n_name, revenue_x10k) — TPC-H Q10 returned-item
+    reporting: the 20 customers who returned the most revenue ('R' flag)
+    for orders placed in 1996Q1 (custkey tiebreak makes LIMIT
+    deterministic).
+
+    Scale shape: lineitem pre-collapses per block to (orderkey, revenue)
+    partials BEFORE the join — only 'R' lines move; the date-filtered
+    orders key column hash-joins those compact rows, and the per-customer
+    revenue merge is size-gated.  The top-20 cut happens on the compact
+    per-customer aggregate (``local_topk`` prefilter -> blocks x 20 rows
+    global sort), and ONLY the 20 winners are enriched with name/nation
+    via a driver-side dimension join — names never ride the exchanges.
+        CONSTRAINT: the date-filtered side feeds ``hash_join`` — a window
+    matching nothing empties it and trips the join's documented
+    zero-block schema limitation (fine on real data; see stages/join.py).
+    """
+    from ..stages.aggregate import local_topk
+    from ..stages.join import auto_join_partitions
+    from ..stages.shuffle import resolve_mode
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": _cents(rev, 10000)})
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    li_agg = li.map_batches(prep_li, batch_format="pyarrow", batch_size=None)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], _ts(1996, 1, 1)),
+                       pc.less(b["o_orderdate"], _ts(1996, 4, 1)))
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(prep_o, batch_format="pyarrow", batch_size=None)
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(orders, li_agg, on="o_orderkey", right_on="l_orderkey",
+                       num_partitions=num_partitions)
+    mode = resolve_mode("auto", f"{sf_dir}/orders.parquet")
+    per_cust = grouped_agg(joined, ["o_custkey"], {"revenue_x10k": "rev"},
+                           mode=mode)
+    pruned = local_topk(per_cust, ["revenue_x10k", "o_custkey"], 20,
+                        descending=[True, False])
+    top = pa.concat_tables(list(
+        pruned.sort(["revenue_x10k", "o_custkey"], descending=[True, False])
+        .limit(20).iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"o_custkey": pa.array([], pa.int64()),
+                   "revenue_x10k": pa.array([], pa.int64())})]).combine_chunks()
+
+    # bounded enrichment: 20 winners x (customer ⋈ nation) driver-side
+    cust = _read_small(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_custkey"],
+                                value_set=top["o_custkey"].combine_chunks()))
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    out = top.rename_columns(["c_custkey", "revenue_x10k"]).join(
+        dim, keys=["c_custkey"])
+    out = out.select(["c_custkey", "c_name", "n_name", "revenue_x10k"])
+    idx = pc.sort_indices(out, sort_keys=[("revenue_x10k", "descending"),
+                                          ("c_custkey", "ascending")])
+    import ray.data as rd
+
+    return rd.from_arrow(out.take(idx))
+
+
+Q10_RETURNED_REVENUE_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_x10k
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_x10k DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# --- TPC-H Q14 shape: promo revenue share -----------------------------------
+
+def q14_promo_revenue(sf_dir: str):
+    """(promo_x10k, total_x10k, n_lines) — TPC-H Q14 promotion effect:
+    discounted revenue from PROMO-type parts vs all parts for one ship
+    month (the ratio is left to the reader in integers — a float division
+    would break the driver's hash contract).
+
+    Scale shape: ``part`` is a dimension at every TPC-H scale, so the
+    partkey -> is_promo flag broadcasts (8-byte keys + 1 bit; the name
+    and type strings never leave the driver); lineitem streams once with
+    per-block (promo, total) partials through the combiner funnel.
+    Output is one row.
+    """
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    flag = pa.table({
+        "l_partkey": part["p_partkey"],
+        "is_promo": pc.cast(pc.equal(part["p_type"], "PROMO"), pa.int64()),
+    })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    scored = broadcast_join(li, flag, "l_partkey")
+
+    # the date filter lives INSIDE the partial (not a prior stage): Ray
+    # drops 0-row blocks outright, so a window matching nothing would
+    # otherwise starve the funnel and emit 0 rows where the SQL emits 1
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["l_shipdate"], _ts(1996, 9, 1)),
+                       pc.less(b["l_shipdate"], _ts(1996, 10, 1)))
+        b = b.filter(keep)
+        rev = _cents(pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"])), 10000)
+        b = b.append_column("rev", rev)
+        promo = pc.sum(pc.multiply(b["rev"], b["is_promo"])).as_py() or 0
+        total = pc.sum(b["rev"]).as_py() or 0
+        return pa.table({"promo_x10k": pa.array([promo], pa.int64()),
+                         "total_x10k": pa.array([total], pa.int64()),
+                         "n_lines": pa.array([b.num_rows], pa.int64())})
+
+    parts = scored.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "promo_x10k": pa.array([pc.sum(b["promo_x10k"]).as_py() or 0],
+                                   pa.int64()),
+            "total_x10k": pa.array([pc.sum(b["total_x10k"]).as_py() or 0],
+                                   pa.int64()),
+            "n_lines": pa.array([pc.sum(b["n_lines"]).as_py() or 0],
+                                pa.int64()),
+        })
+
+    return parts.repartition(1).map_batches(total, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+Q14_PROMO_REVENUE_SQL = """
+SELECT CAST(COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000) AS BIGINT)
+                     ELSE 0 END), 0) AS BIGINT) AS promo_x10k,
+       CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT)), 0) AS BIGINT)
+           AS total_x10k,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+# --- TPC-H Q15 shape: top supplier by quarterly revenue ---------------------
+
+def q15_top_supplier(sf_dir: str):
+    """(s_suppkey, s_name, total_revenue_x10k) — TPC-H Q15 top supplier:
+    the supplier(s) with the maximum discounted revenue shipped in 1996Q1
+    (ties all surface, exactly like the reference query's ``= MAX``).
+
+    Scale shape: lineitem collapses per block to (suppkey, revenue)
+    partials; the supplier key set is dimension-bounded, so the merge is
+    the combiner tree; the global max is two scalars off that compact
+    table and the winners join the supplier dimension driver-side.
+    Nothing corpus-sized moves after the first pass.
+    """
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["l_shipdate"], _ts(1996, 1, 1)),
+                       pc.less(b["l_shipdate"], _ts(1996, 4, 1)))
+        b = b.filter(keep)
+        rev = _cents(pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"])), 10000)
+        t = pa.table({"l_suppkey": b["l_suppkey"], "rev": rev})
+        g = t.group_by(["l_suppkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    partial = li.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    from ..stages.aggregate import tree_merge
+
+    per_supp = pa.concat_tables(list(
+        tree_merge(partial, ["l_suppkey"], [("rev", "sum")], fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"l_suppkey": pa.array([], pa.int64()),
+                   "rev": pa.array([], pa.int64())})]).combine_chunks()
+    if per_supp.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue_x10k": pa.array([], pa.int64())}))
+    best = pc.max(per_supp["rev"])
+    winners = per_supp.filter(pc.equal(per_supp["rev"], best))
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = winners.rename_columns(["s_suppkey", "total_revenue_x10k"]).join(
+        supp, keys=["s_suppkey"])
+    out = out.select(["s_suppkey", "s_name", "total_revenue_x10k"])
+    idx = pc.sort_indices(out, sort_keys=[("s_suppkey", "ascending")])
+    import ray.data as rd
+
+    return rd.from_arrow(out.take(idx))
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS BIGINT) AS total_revenue_x10k
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_x10k
+FROM supplier s JOIN r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_x10k = (SELECT MAX(total_revenue_x10k) FROM r)
+ORDER BY s.s_suppkey
+"""
+
+
+# --- TPC-H Q19 shape: OR'd brand/size/quantity predicate triples ------------
+
+Q19_TRIPLES = (("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20),
+               ("Brand#3", 15, 20, 30))  # (brand, max_size, qty_lo, qty_hi)
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """(revenue_x10k, n_lines) — TPC-H Q19 shape: revenue from lineitems
+    matching any of three OR'd (brand, size-range, quantity-range)
+    predicate triples.
+
+    Scale shape: the part predicate collapses to a partkey -> triple-mask
+    byte driver-side (a dimension-bounded broadcast of 9 bytes/part); the
+    lineitem pass evaluates all three quantity windows vectorized against
+    the mask bits and funnels two scalars.  One corpus pass, no join
+    exchange at all.
+    """
+    import numpy as np
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    mask = np.zeros(len(part), dtype=np.int64)
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for bit, (b_name, max_size, _, _) in enumerate(Q19_TRIPLES):
+        hit = (brand == b_name) & (size >= 1) & (size <= max_size)
+        mask |= hit.astype(np.int64) << bit
+    flag = pa.table({"l_partkey": part["p_partkey"],
+                     "pmask": pa.array(mask)})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+    scored = broadcast_join(li, flag, "l_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.asarray(pc.round(b["l_quantity"]).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        pmask = np.asarray(b["pmask"], dtype=np.int64)
+        keep = np.zeros(len(qty), dtype=bool)
+        for bit, (_, _, lo, hi) in enumerate(Q19_TRIPLES):
+            keep |= ((pmask >> bit) & 1).astype(bool) & (qty >= lo) & (qty <= hi)
+        b = b.filter(pa.array(keep))
+        rev = _cents(pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"])), 10000)
+        return pa.table({
+            "revenue_x10k": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            "n_lines": pa.array([b.num_rows], pa.int64())})
+
+    parts = scored.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_x10k": pa.array([pc.sum(b["revenue_x10k"]).as_py() or 0],
+                                     pa.int64()),
+            "n_lines": pa.array([pc.sum(b["n_lines"]).as_py() or 0],
+                                pa.int64())})
+
+    return parts.repartition(1).map_batches(total, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+Q19_DISCOUNTED_REVENUE_SQL = f"""
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                    * 10000) AS BIGINT)), 0) AS BIGINT)
+           AS revenue_x10k,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = '{Q19_TRIPLES[0][0]}' AND p.p_size BETWEEN 1 AND {Q19_TRIPLES[0][1]}
+       AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN {Q19_TRIPLES[0][2]} AND {Q19_TRIPLES[0][3]})
+   OR (p.p_brand = '{Q19_TRIPLES[1][0]}' AND p.p_size BETWEEN 1 AND {Q19_TRIPLES[1][1]}
+       AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN {Q19_TRIPLES[1][2]} AND {Q19_TRIPLES[1][3]})
+   OR (p.p_brand = '{Q19_TRIPLES[2][0]}' AND p.p_size BETWEEN 1 AND {Q19_TRIPLES[2][1]}
+       AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN {Q19_TRIPLES[2][2]} AND {Q19_TRIPLES[2][3]})
+"""
+
+
+# --- TPC-H Q7 shape: cross-nation trade volume ------------------------------
+
+def q7_nation_volume(sf_dir: str, *, num_partitions: int | None = None):
+    """(supp_nation, cust_nation, l_year, volume_x10k, n_lines) — TPC-H Q7
+    shape: discounted revenue shipped between every DISTINCT pair of
+    supplier-nation and customer-nation, per ship year 1996-1997.
+
+    Scale shape: both nation lookups are dimension broadcasts (supplier
+    and the nation names ride every block; customer pre-collapses to a
+    (custkey, nation) map exactly like ``q_3way_revenue``); the two fact
+    joins are orderkey-keyed hash exchanges with size-derived partition
+    counts and the year filter applied BELOW the exchange.  The
+    (25 x 24 x years) census merges through the combiner tree.
+        CONSTRAINT: the date-filtered side feeds ``hash_join`` — a window
+    matching nothing empties it and trips the join's documented
+    zero-block schema limitation (fine on real data; see stages/join.py).
+    """
+    from ..stages.join import auto_join_partitions
+
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.join(nation, keys=["s_nationkey"], right_keys=["n_nationkey"])
+    supp_map = pa.table({"l_suppkey": supp["s_suppkey"],
+                         "supp_nation": supp["n_name"]})
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, nation, "c_nationkey", "n_nationkey",
+                          columns=["n_name"])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "cust_nation": b["n_name"]})
+
+    cust = cust.map_batches(cust_prep, batch_format="pyarrow", batch_size=None)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/customer.parquet")
+    o_nation = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         num_partitions=num_partitions).select_columns(
+                             ["o_orderkey", "cust_nation"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["l_shipdate"], _ts(1996, 1, 1)),
+                       pc.less(b["l_shipdate"], _ts(1998, 1, 1)))
+        b = b.filter(keep)
+        rev = _cents(pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"])), 10000)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "l_year": pc.cast(pc.year(b["l_shipdate"]),
+                                           pa.int64()),
+                         "rev": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    li = broadcast_join(li, supp_map, "l_suppkey")
+
+    n_ol = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(li, o_nation, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=n_ol)
+
+    def diff_nation(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["supp_nation"], b["cust_nation"]))
+
+    joined = joined.map_batches(diff_nation, batch_format="pyarrow",
+                                batch_size=None)
+    out = grouped_agg(joined, ["supp_nation", "cust_nation", "l_year"],
+                      {"volume_x10k": "rev"}, count_name="n_lines",
+                      final_partitions=1)
+    return out.sort(["supp_nation", "cust_nation", "l_year"])
+
+
+Q7_NATION_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS volume_x10k,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- TPC-H Q9 shape: product-line profit by nation and year -----------------
+
+def q9_product_profit(sf_dir: str, *, name_token: str = "red",
+                      num_partitions: int | None = None):
+    """(n_name, o_year, profit_x10k, n_lines) — TPC-H Q9 shape: per
+    supplier-nation / order-year profit on parts whose name contains
+    ``name_token``.  The reference schema has no partsupp table, so
+    supply cost is ``p_retailprice`` (flat per part) — the join topology
+    and the amount arithmetic are Q9's.
+
+    Scale shape: part (name filter -> partkey/cost) and supplier
+    (suppkey -> nation) are dimension broadcasts; the part join is
+    INNER so the name filter prunes lineitem before the orderkey hash
+    exchange against the pruned orders (orderkey, year) columns.  The
+    (nations x years) census merges through the combiner tree.
+    """
+    from ..stages.join import auto_join_partitions
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_name",
+                                        "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], name_token))
+    cost_map = pa.table({
+        "l_partkey": part["p_partkey"],
+        "cost_x10k": _cents(part["p_retailprice"], 10000),
+    })
+
+    nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.join(nation, keys=["s_nationkey"], right_keys=["n_nationkey"])
+    supp_map = pa.table({"l_suppkey": supp["s_suppkey"],
+                         "n_name": supp["n_name"]})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+    li = broadcast_join(li, cost_map, "l_partkey")  # inner: name filter prunes
+    li = broadcast_join(li, supp_map, "l_suppkey")
+
+    def amount(b: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"])), 10000)
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        cost = pc.multiply(b["cost_x10k"], qty)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "n_name": b["n_name"],
+                         "amount": pc.subtract(rev, cost)})
+
+    li = li.map_batches(amount, batch_format="pyarrow", batch_size=None)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_year": pc.cast(pc.year(b["o_orderdate"]),
+                                           pa.int64())})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow",
+                                batch_size=None)
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=num_partitions)
+    out = grouped_agg(joined, ["n_name", "o_year"],
+                      {"profit_x10k": "amount"}, count_name="n_lines",
+                      final_partitions=1)
+    return out.sort(["n_name", "o_year"])
+
+
+Q9_PRODUCT_PROFIT_SQL = """
+SELECT n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)
+                - CAST(ROUND(p.p_retailprice * 10000) AS BIGINT)
+                  * CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT)
+           AS profit_x10k,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY n.n_name, o_year
+"""
+
+
 QUERIES = {
+    "q_rank_customers": q_rank_customers,
+    "q_first_last_order": q_first_last_order,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "q13_custdist": q13_custdist,
     "q22_idle_rich_customers": q22_idle_rich_customers,
     "q_range_window_revenue": q_range_window_revenue,
@@ -1968,6 +2642,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q_rank_customers": Q_RANK_CUSTOMERS_SQL,
+    "q_first_last_order": Q_FIRST_LAST_ORDER_SQL,
+    "q7_nation_volume": Q7_NATION_VOLUME_SQL,
+    "q9_product_profit": Q9_PRODUCT_PROFIT_SQL,
+    "q10_returned_revenue": Q10_RETURNED_REVENUE_SQL,
+    "q14_promo_revenue": Q14_PROMO_REVENUE_SQL,
+    "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
+    "q19_discounted_revenue": Q19_DISCOUNTED_REVENUE_SQL,
     "q13_custdist": Q13_CUSTDIST_SQL,
     "q22_idle_rich_customers": Q22_IDLE_RICH_SQL,
     "q_range_window_revenue": Q_RANGE_WINDOW_SQL,

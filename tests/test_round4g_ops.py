@@ -1,0 +1,228 @@
+"""Round-4 continuation operators, batch 7: the TPC-H fill-in set (Q7, Q9,
+Q10, Q14, Q15, Q19), the RANK/DENSE_RANK and FIRST/LAST_VALUE window
+shapes, and soft dedup (duplicate down-weighting).
+
+Engineered tables pin the edges the generated corpus cannot guarantee —
+rank ties, negative balances, equal-date order tiebreaks, max-revenue
+ties, predicate boundaries, and both size-gated regimes; generated-data
+tests pin DuckDB parity end-to-end."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, tmp_path / f"{name}.parquet")
+
+
+def _duck(sf_dir, tables, sql):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).df()
+
+
+def _customers(rows):
+    """rows: (custkey, mktsegment, acctbal)."""
+    return pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "c_name": pa.array([f"c{r[0]}" for r in rows]),
+        "c_nationkey": pa.array([0] * len(rows), type=pa.int32()),
+        "c_acctbal": pa.array([float(r[2]) for r in rows]),
+        "c_mktsegment": pa.array([r[1] for r in rows]),
+    })
+
+
+def _orders(rows):
+    """rows: (orderkey, custkey, totalprice, date)."""
+    return pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows)),
+        "o_totalprice": pa.array([float(r[2]) for r in rows]),
+        "o_orderdate": pa.array([r[3] for r in rows], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRankCustomers:
+    def test_ties_negatives_and_singleton(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q_rank_customers
+
+        # seg A: 500.00 twice (tie), 100.00, -99.99 (negative) -> RANK
+        # 1,1,3,4; DENSE 1,1,2,3.  seg B: one member -> rank 1/1, n_seg 1.
+        _write(tmp_path, "customer", _customers([
+            (1, "A", 500.0), (2, "A", 500.0), (3, "A", 100.0),
+            (4, "A", -99.99), (5, "B", 7.5)]))
+        got = (q_rank_customers(str(tmp_path)).to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+        assert got.bal_rank.tolist() == [1, 1, 3, 4, 1]
+        assert got.bal_dense_rank.tolist() == [1, 1, 2, 3, 1]
+        assert got.n_seg.tolist() == [4, 4, 4, 4, 1]
+
+    def test_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q_RANK_CUSTOMERS_SQL, q_rank_customers)
+
+        got = (q_rank_customers(SF).to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+        want = _duck(SF, ["customer"], Q_RANK_CUSTOMERS_SQL)
+        assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFirstLastOrder:
+    def test_tiebreak_and_singleton(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q_first_last_order
+
+        d1 = datetime.datetime(2024, 1, 1)
+        d2 = datetime.datetime(2024, 6, 1)
+        # cust 1: equal-date orders 10/11 -> orderkey breaks the tie both
+        # ends; cust 2: one order -> first == last
+        _write(tmp_path, "orders", _orders([
+            (11, 1, 222.0, d1), (10, 1, 111.0, d1), (12, 1, 333.0, d2),
+            (20, 2, 55.0, d1)]))
+        got = (q_first_last_order(str(tmp_path)).to_pandas()
+               .sort_values("o_custkey").reset_index(drop=True))
+        assert got.values.tolist() == [[1, 11100, 33300, 3], [2, 5500, 5500, 1]]
+
+    def test_regimes_agree_and_match_duckdb(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q_FIRST_LAST_ORDER_SQL, q_first_last_order)
+
+        tree = (q_first_last_order(SF, mode="tree").to_pandas()
+                .sort_values("o_custkey").reset_index(drop=True))
+        shuf = (q_first_last_order(SF, mode="shuffle").to_pandas()
+                .sort_values("o_custkey").reset_index(drop=True))
+        want = _duck(SF, ["orders"], Q_FIRST_LAST_ORDER_SQL)
+        assert tree.values.tolist() == want.values.tolist()
+        assert shuf.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTpchFillIns:
+    def test_q7_matches_duckdb(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q7_NATION_VOLUME_SQL, q7_nation_volume)
+
+        got = q7_nation_volume(SF).to_pandas()
+        want = _duck(SF, ["lineitem", "supplier", "nation", "orders",
+                          "customer"], Q7_NATION_VOLUME_SQL)
+        assert got.values.tolist() == want.values.tolist()
+        # same-nation trade must be excluded
+        assert (got.supp_nation != got.cust_nation).all()
+
+    def test_q9_matches_duckdb(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q9_PRODUCT_PROFIT_SQL, q9_product_profit)
+
+        got = q9_product_profit(SF).to_pandas()
+        want = _duck(SF, ["lineitem", "part", "supplier", "nation",
+                          "orders"], Q9_PRODUCT_PROFIT_SQL)
+        assert got.values.tolist() == want.values.tolist()
+
+    def test_q10_matches_duckdb(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q10_RETURNED_REVENUE_SQL, q10_returned_revenue)
+
+        got = q10_returned_revenue(SF).to_pandas()
+        want = _duck(SF, ["customer", "orders", "lineitem", "nation"],
+                     Q10_RETURNED_REVENUE_SQL)
+        assert got.values.tolist() == want.values.tolist()
+        assert len(got) == 20
+        # descending revenue with custkey tiebreak
+        r = got.revenue_x10k.tolist()
+        assert r == sorted(r, reverse=True)
+
+    def test_q14_and_q19_single_row(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q14_PROMO_REVENUE_SQL, Q19_DISCOUNTED_REVENUE_SQL,
+            q14_promo_revenue, q19_discounted_revenue)
+
+        got14 = q14_promo_revenue(SF).to_pandas()
+        want14 = _duck(SF, ["lineitem", "part"], Q14_PROMO_REVENUE_SQL)
+        assert got14.values.tolist() == want14.values.tolist()
+        assert 0 < got14.promo_x10k[0] < got14.total_x10k[0]
+
+        got19 = q19_discounted_revenue(SF).to_pandas()
+        want19 = _duck(SF, ["lineitem", "part"], Q19_DISCOUNTED_REVENUE_SQL)
+        assert got19.values.tolist() == want19.values.tolist()
+
+    def test_q15_surfaces_all_ties(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q15_top_supplier
+
+        d = datetime.datetime(1996, 2, 1)
+        n = 4
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "l_partkey": pa.array([1] * n, type=pa.int64()),
+            "l_suppkey": pa.array([7, 8, 8, 9], type=pa.int64()),
+            "l_linenumber": pa.array([1] * n, type=pa.int32()),
+            "l_quantity": pa.array([1.0] * n),
+            # supp 7: 200; supp 8: 100+100 = 200 (tie); supp 9: 50
+            "l_extendedprice": pa.array([200.0, 100.0, 100.0, 50.0]),
+            "l_discount": pa.array([0.0] * n),
+            "l_tax": pa.array([0.0] * n),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([d] * n, type=pa.timestamp("us")),
+        }))
+        _write(tmp_path, "supplier", pa.table({
+            "s_suppkey": pa.array([7, 8, 9], type=pa.int64()),
+            "s_name": pa.array(["s7", "s8", "s9"]),
+            "s_nationkey": pa.array([0, 0, 0], type=pa.int32()),
+            "s_acctbal": pa.array([0.0, 0.0, 0.0]),
+        }))
+        got = q15_top_supplier(str(tmp_path)).to_pandas()
+        assert got.values.tolist() == [[7, "s7", 2000000], [8, "s8", 2000000]]
+
+    def test_q15_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q15_TOP_SUPPLIER_SQL, q15_top_supplier)
+
+        got = q15_top_supplier(SF).to_pandas()
+        want = _duck(SF, ["lineitem", "supplier"], Q15_TOP_SUPPLIER_SQL)
+        assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSoftDedupWeights:
+    def _docs(self, texts):
+        return pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        })
+
+    def test_counts_and_regimes(self, tmp_path):
+        from logparse_rs_ray.pipelines.dedup import doc_soft_dedup_weights
+
+        _write(tmp_path, "documents",
+               self._docs(["a", "b", "a", "c", "a", "b"]))
+        for mode in ("tree", "shuffle"):
+            got = (doc_soft_dedup_weights(str(tmp_path), mode=mode)
+                   .to_pandas().sort_values("doc_id").reset_index(drop=True))
+            assert got.dup_count.tolist() == [3, 2, 3, 1, 3, 2]
+
+    def test_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.dedup import (
+            DOC_SOFT_DEDUP_SQL, doc_soft_dedup_weights)
+
+        got = (doc_soft_dedup_weights(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = _duck(SF, ["documents"], DOC_SOFT_DEDUP_SQL)
+        assert got.values.tolist() == want.values.tolist()
+        # every document is annotated, none dropped
+        assert len(got) == 500
