@@ -2596,7 +2596,508 @@ ORDER BY n.n_name, o_year
 """
 
 
+# --- TPC-H Q4 shape: EXISTS-gated order-priority census ---------------------
+
+Q4_QTY_THR = 45
+
+
+def q4_order_priority(sf_dir: str, *, qty_thr: int = Q4_QTY_THR,
+                      num_partitions: int | None = None):
+    """(o_orderpriority, n_orders) — TPC-H Q4 shape: how many orders per
+    priority contain at least one heavy lineitem (quantity > ``qty_thr``
+    stands in for the reference's receipt-after-commit predicate, which
+    needs date columns this schema does not carry).
+
+    Scale shape: the EXISTS decorrelates to a distinct-orderkey set built
+    with per-block pre-aggregation and a size-gated merge (compact 8-byte
+    keys — lineitem rows never reach the join), an orderkey-keyed hash
+    semi-join against the pruned orders columns, and a bounded priority
+    census through the combiner tree.
+    """
+    from ..stages.join import auto_join_partitions
+    from ..stages.shuffle import resolve_mode
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    thr = pa.scalar(float(qty_thr))
+
+    def heavy(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["l_quantity"], thr)).select(["l_orderkey"])
+
+    mode = resolve_mode("auto", f"{sf_dir}/lineitem.parquet")
+    keys = count_by(li.map_batches(heavy, batch_format="pyarrow",
+                                   batch_size=None),
+                    ["l_orderkey"], count_name="__n", mode=mode) \
+        .select_columns(["l_orderkey"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(orders, keys, on="o_orderkey", right_on="l_orderkey",
+                       num_partitions=num_partitions)
+    out = count_by(joined, ["o_orderpriority"], count_name="n_orders")
+    return out.sort("o_orderpriority")
+
+
+Q4_ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > {Q4_QTY_THR})
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- TPC-H Q12 shape: line-status x order-priority class census -------------
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_linestatus_priority(sf_dir: str, *, num_partitions: int | None = None):
+    """(l_linestatus, high_lines, low_lines) — TPC-H Q12 shape with
+    ``l_linestatus`` standing in for the ship-mode column this schema
+    does not carry: per line status, how many lineitems belong to
+    high-priority orders (URGENT/HIGH) vs the rest.
+
+    Scale shape: lineitem pre-collapses per block to (orderkey, status,
+    n) partials — at most orders x statuses compact rows reach the hash
+    exchange; orders carries a 0/1 high flag; the joined partials reduce
+    to the bounded (status x 2) census through the combiner tree.
+    """
+    from ..stages.join import auto_join_partitions
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus"])
+
+    def li_agg(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "l_linestatus"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["l_orderkey", "l_linestatus", "n"])
+
+    li = li.map_batches(li_agg, batch_format="pyarrow", batch_size=None)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderpriority"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.is_in(b["o_orderpriority"],
+                              value_set=pa.array(HIGH_PRIORITIES)),
+                     pa.int64())
+        return pa.table({"o_orderkey": b["o_orderkey"], "hi": hi})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow",
+                                batch_size=None)
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=num_partitions)
+
+    def split(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_linestatus": b["l_linestatus"],
+            "high": pc.multiply(b["n"], b["hi"]),
+            "low": pc.multiply(b["n"], pc.subtract(pa.scalar(1, pa.int64()),
+                                                   b["hi"])),
+        })
+
+    out = grouped_agg(joined.map_batches(split, batch_format="pyarrow",
+                                         batch_size=None),
+                      ["l_linestatus"],
+                      {"high_lines": "high", "low_lines": "low"},
+                      final_partitions=1)
+    return out.sort("l_linestatus")
+
+
+Q12_LINESTATUS_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --- TPC-H Q8 shape: national market share ----------------------------------
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+
+
+def q8_market_share(sf_dir: str, *, region: str = Q8_REGION,
+                    nation: str = Q8_NATION,
+                    num_partitions: int | None = None):
+    """(o_year, nation_x10k, total_x10k, n_lines) — TPC-H Q8 market
+    share: of all revenue sold to ``region``'s customers per order year,
+    the share supplied by ``nation`` (numerator and denominator in
+    integer deci-milli-cents; the division is the reader's).
+
+    Scale shape: the customer side collapses to region-member custkeys
+    through a broadcast dimension join BEFORE the orders exchange (the
+    region filter prunes ~4/5 of orders below the lineitem join);
+    supplier nation rides lineitem as a broadcast; the year census is
+    bounded and merges through the combiner tree.
+    CONSTRAINT: the region/date filters feed ``hash_join`` — inputs where
+    they match nothing trip the join's documented zero-block limitation.
+    """
+    from ..stages.join import auto_join_partitions
+
+    nation_t = _read_small(sf_dir, "nation",
+                           ["n_nationkey", "n_name", "n_regionkey"])
+    region_t = _read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = nation_t.join(region_t, keys=["n_regionkey"],
+                        right_keys=["r_regionkey"])
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, dim, "c_nationkey", "n_nationkey",
+                          columns=["r_name"])
+
+    def in_region(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["r_name"], region)).select(["c_custkey"])
+
+    cust = cust.map_batches(in_region, batch_format="pyarrow",
+                            batch_size=None)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "o_year": pc.cast(pc.year(b["o_orderdate"]),
+                                           pa.int64())})
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow",
+                                batch_size=None)
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/customer.parquet")
+    o_reg = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                      num_partitions=num_partitions).select_columns(
+                          ["o_orderkey", "o_year"])
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.join(nation_t.select(["n_nationkey", "n_name"]),
+                     keys=["s_nationkey"], right_keys=["n_nationkey"])
+    supp_map = pa.table({
+        "l_suppkey": supp["s_suppkey"],
+        "is_nation": pc.cast(pc.equal(supp["n_name"], nation), pa.int64()),
+    })
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"])), 10000)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    li = broadcast_join(li, supp_map, "l_suppkey")
+
+    n_ol = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(li, o_reg, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=n_ol)
+
+    def split(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": b["o_year"],
+            "nat": pc.multiply(b["rev"], b["is_nation"]),
+            "tot": b["rev"],
+        })
+
+    out = grouped_agg(joined.map_batches(split, batch_format="pyarrow",
+                                         batch_size=None),
+                      ["o_year"], {"nation_x10k": "nat", "total_x10k": "tot"},
+                      count_name="n_lines", final_partitions=1)
+    return out.sort("o_year")
+
+
+Q8_MARKET_SHARE_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = '{Q8_NATION}'
+                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 10000) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS nation_x10k,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS total_x10k,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q8_REGION}'
+GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY o_year
+"""
+
+
+# --- TPC-H Q16 shape: distinct suppliers per brand/type ---------------------
+
+Q16_EXCLUDE_BRAND = "Brand#1"
+
+
+def q16_supplier_counts(sf_dir: str, *, exclude_brand: str = Q16_EXCLUDE_BRAND,
+                        num_partitions: int = 16):
+    """(p_brand, p_type, supplier_cnt) — TPC-H Q16 shape: how many
+    DISTINCT suppliers shipped parts of each brand/type, excluding one
+    brand (the schema has no partsupp, so shipment pairs from lineitem
+    stand in for the supplier catalogue).
+
+    Scale shape: COUNT(DISTINCT) decorrelates to two distinct passes —
+    the corpus collapses to distinct (partkey, suppkey) pairs with
+    per-block pre-aggregation and a size-gated merge; the part dimension
+    broadcast maps pairs to (brand, type, suppkey) triples, whose
+    distinct set is bounded (brands x types x suppliers) and merges
+    through the combiner tree before the final bounded census.
+    """
+    from ..stages.shuffle import resolve_mode
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    mode = resolve_mode("auto", f"{sf_dir}/lineitem.parquet")
+    pairs = count_by(li, ["l_partkey", "l_suppkey"], count_name="__n",
+                     mode=mode, final_partitions=num_partitions) \
+        .select_columns(["l_partkey", "l_suppkey"])
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    part = part.filter(pc.not_equal(part["p_brand"], exclude_brand))
+    pairs = broadcast_join(pairs, part, "l_partkey", "p_partkey")
+
+    triples = count_by(pairs, ["p_brand", "p_type", "l_suppkey"],
+                       count_name="__n") \
+        .select_columns(["p_brand", "p_type"])
+    out = count_by(triples, ["p_brand", "p_type"], count_name="supplier_cnt")
+    return out.sort(["supplier_cnt", "p_brand", "p_type"],
+                    descending=[True, False, False])
+
+
+Q16_SUPPLIER_COUNTS_SQL = f"""
+SELECT p.p_brand, p.p_type,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{Q16_EXCLUDE_BRAND}'
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+"""
+
+
+# --- TPC-H Q21 shape: the sole-blocking-supplier census ---------------------
+
+Q21_TOP = 10
+
+
+def q21_waiting_supplier(sf_dir: str, *, top: int = Q21_TOP,
+                         num_partitions: int = 8, mode: str = "auto"):
+    """(s_name, numwait) — TPC-H Q21 shape: for each supplier, how many
+    of its returned lineitems ('R' standing in for the missing
+    receipt-after-commit dates) sit in multi-supplier orders where it is
+    the ONLY supplier with a return — the classic EXISTS + NOT-EXISTS
+    self-join pair, decorrelated into per-order co-located flags.
+
+    Scale shape: lineitem pre-collapses per block to (orderkey, suppkey,
+    n_returned, n_rows) partials; ONE orderkey-keyed exchange co-locates
+    each order's pairs (size-gated to a single block below the
+    threshold); inside a partition the blame test is one lexsort +
+    segment reduction, emitting per-supplier partial counts that merge
+    through the combiner tree (bounded by the supplier dimension).  The
+    top-``top`` cut and name join touch only the bounded census.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/lineitem.parquet")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "r": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64()),
+        })
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("r", "sum"), ([], "count_all")])
+        return g.rename_columns(["l_orderkey", "l_suppkey", "n_r", "n_rows"])
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=None)
+    part = (hash_partition(pairs, ["l_orderkey"], num_partitions)
+            if mode == "shuffle" else pairs.repartition(1))
+
+    def blame(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "numwait": pa.array([], pa.int64())})
+        # finish the pair merge (co-located by orderkey)
+        g = b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("n_r", "sum")])
+        ok = np.asarray(g["l_orderkey"], dtype=np.int64)
+        sk = np.asarray(g["l_suppkey"], dtype=np.int64)
+        nr = np.asarray(g["n_r_sum"], dtype=np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, sk, nr = ok[order], sk[order], nr[order]
+        starts = np.concatenate(([True], ok[1:] != ok[:-1]))
+        seg = np.cumsum(starts) - 1
+        seg_idx = np.nonzero(starts)[0]
+        n_supp = np.add.reduceat(np.ones_like(ok), seg_idx)
+        n_supp_r = np.add.reduceat((nr > 0).astype(np.int64), seg_idx)
+        qual = (nr > 0) & (n_supp[seg] >= 2) & (n_supp_r[seg] == 1)
+        t = pa.table({"l_suppkey": pa.array(sk[qual]),
+                      "numwait": pa.array(nr[qual])})
+        g2 = t.group_by(["l_suppkey"]).aggregate([("numwait", "sum")])
+        return g2.rename_columns(["l_suppkey", "numwait"])
+
+    census = part.map_batches(blame, batch_format="pyarrow", batch_size=None)
+    merged = pa.concat_tables(list(
+        tree_merge(census, ["l_suppkey"], [("numwait", "sum")], fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"l_suppkey": pa.array([], pa.int64()),
+                   "numwait": pa.array([], pa.int64())})]).combine_chunks()
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = merged.join(supp, keys=["l_suppkey"], right_keys=["s_suppkey"])
+    out = out.select(["s_name", "numwait"])
+    idx = pc.sort_indices(out, sort_keys=[("numwait", "descending"),
+                                          ("s_name", "ascending")])
+    import ray.data as rd
+
+    return rd.from_arrow(out.take(idx).slice(0, top))
+
+
+Q21_WAITING_SUPPLIER_SQL = f"""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT {Q21_TOP}
+"""
+
+
+# --- TPC-H Q2 shape: minimum-cost supplier per part -------------------------
+
+Q2_PART_SIZE = 15
+Q2_TOP = 100
+_Q2_ACCT_OFF = 1 << 30  # acctbal cents offset so the packed key is positive
+_Q2_SUPP_BITS = 24
+
+
+def q2_min_cost_supplier(sf_dir: str, *, part_size: int = Q2_PART_SIZE,
+                         top: int = Q2_TOP):
+    """(p_partkey, s_suppkey, acct_cents) — TPC-H Q2 shape: for every
+    size-``part_size`` part, the shipping supplier with the LOWEST
+    account balance (standing in for the missing partsupp supply cost),
+    suppkey breaking ties; top ``top`` by balance descending.
+
+    Scale shape: the correlated MIN decorrelates into a packed-key MIN
+    aggregation — (acctbal_cents + offset) << 24 | suppkey — over the
+    distinct shipment pairs, so the per-part argmin merges associatively
+    through the size-gated merge with no join-back pass; the part-size
+    filter and name join touch only the part-dimension-bounded result.
+    """
+    import numpy as np
+
+    from ..stages.shuffle import hash_merge, resolve_mode
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    acct = _cents(supp["s_acctbal"])
+    sk = supp["s_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    ac = acct.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(sk) and (sk.max() >= (1 << _Q2_SUPP_BITS) or sk.min() < 0):
+        raise ValueError("q2_min_cost_supplier: suppkey overflows key pack")
+    if len(ac) and (ac.max() + _Q2_ACCT_OFF >= (1 << 39)
+                    or ac.min() + _Q2_ACCT_OFF < 0):
+        raise ValueError("q2_min_cost_supplier: acctbal outside key pack")
+    packed = (ac + _Q2_ACCT_OFF) << _Q2_SUPP_BITS | sk
+    supp_map = pa.table({"l_suppkey": pa.array(sk.astype(np.int64)),
+                         "packed": pa.array(packed.astype(np.int64))})
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    scored = broadcast_join(li, supp_map, "l_suppkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_partkey"]).aggregate([("packed", "min")])
+        return g.rename_columns(["l_partkey", "packed"])
+
+    p = scored.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    mode = resolve_mode("auto", f"{sf_dir}/lineitem.parquet")
+    specs = [("packed", "min")]
+    if mode == "shuffle":
+        merged_ds = hash_merge(p, ["l_partkey"], specs, num_partitions=16)
+    else:
+        from ..stages.aggregate import tree_merge
+
+        merged_ds = tree_merge(p, ["l_partkey"], specs, fanin=8)
+    merged = pa.concat_tables(list(
+        merged_ds.iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"l_partkey": pa.array([], pa.int64()),
+                   "packed": pa.array([], pa.int64())})]).combine_chunks()
+
+    part = _read_small(sf_dir, "part", ["p_partkey", "p_size"])
+    keep = part.filter(pc.equal(part["p_size"], part_size))["p_partkey"]
+    merged = merged.filter(pc.is_in(merged["l_partkey"],
+                                    value_set=keep.combine_chunks()))
+    pk = merged["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    pv = merged["packed"].combine_chunks().to_numpy(zero_copy_only=False)
+    win_sk = pv & ((1 << _Q2_SUPP_BITS) - 1)
+    win_ac = (pv >> _Q2_SUPP_BITS) - _Q2_ACCT_OFF
+    out = pa.table({"p_partkey": pa.array(pk.astype(np.int64)),
+                    "s_suppkey": pa.array(win_sk.astype(np.int64)),
+                    "acct_cents": pa.array(win_ac.astype(np.int64))})
+    idx = pc.sort_indices(out, sort_keys=[("acct_cents", "descending"),
+                                          ("p_partkey", "ascending")])
+    import ray.data as rd
+
+    return rd.from_arrow(out.take(idx).slice(0, top))
+
+
+Q2_MIN_COST_SQL = f"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ranked AS (
+  SELECT p.p_partkey, s.s_suppkey,
+         CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acct_cents,
+         ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                            ORDER BY CAST(ROUND(s.s_acctbal * 100) AS BIGINT),
+                                     s.s_suppkey) AS rn
+  FROM pairs
+  JOIN part p     ON pairs.l_partkey = p.p_partkey
+  JOIN supplier s ON pairs.l_suppkey = s.s_suppkey
+  WHERE p.p_size = {Q2_PART_SIZE}
+)
+SELECT p_partkey, s_suppkey, acct_cents
+FROM ranked WHERE rn = 1
+ORDER BY acct_cents DESC, p_partkey
+LIMIT {Q2_TOP}
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q4_order_priority": q4_order_priority,
+    "q8_market_share": q8_market_share,
+    "q12_linestatus_priority": q12_linestatus_priority,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q21_waiting_supplier": q21_waiting_supplier,
     "q_rank_customers": q_rank_customers,
     "q_first_last_order": q_first_last_order,
     "q7_nation_volume": q7_nation_volume,
@@ -2642,6 +3143,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q2_min_cost_supplier": Q2_MIN_COST_SQL,
+    "q4_order_priority": Q4_ORDER_PRIORITY_SQL,
+    "q8_market_share": Q8_MARKET_SHARE_SQL,
+    "q12_linestatus_priority": Q12_LINESTATUS_SQL,
+    "q16_supplier_counts": Q16_SUPPLIER_COUNTS_SQL,
+    "q21_waiting_supplier": Q21_WAITING_SUPPLIER_SQL,
     "q_rank_customers": Q_RANK_CUSTOMERS_SQL,
     "q_first_last_order": Q_FIRST_LAST_ORDER_SQL,
     "q7_nation_volume": Q7_NATION_VOLUME_SQL,

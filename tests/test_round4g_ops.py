@@ -195,6 +195,136 @@ class TestTpchFillIns:
         assert got.values.tolist() == want.values.tolist()
 
 
+def _lineitems_rsf(rows):
+    """rows: (orderkey, suppkey, returnflag)."""
+    n = len(rows)
+    return pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "l_partkey": pa.array([1] * n, type=pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        "l_linenumber": pa.array(list(range(1, n + 1)), type=pa.int32()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([1.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([0.0] * n),
+        "l_returnflag": pa.array([r[2] for r in rows]),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array([datetime.datetime(1996, 1, 1)] * n,
+                               type=pa.timestamp("us")),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ21WaitingSupplier:
+    def test_blame_rules(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q21_waiting_supplier
+
+        # order 1: supp 7 has 2 R rows, supp 8 clean -> supp 7 blamed, +2
+        # order 2: supps 7 and 8 BOTH have R -> nobody blamed
+        # order 3: single-supplier order with R -> no co-supplier, skip
+        # order 4: supp 8 R among clean 7 -> supp 8 blamed, +1
+        _write(tmp_path, "lineitem", _lineitems_rsf([
+            (1, 7, "R"), (1, 7, "R"), (1, 8, "N"),
+            (2, 7, "R"), (2, 8, "R"),
+            (3, 7, "R"),
+            (4, 8, "R"), (4, 7, "N")]))
+        _write(tmp_path, "supplier", pa.table({
+            "s_suppkey": pa.array([7, 8], type=pa.int64()),
+            "s_name": pa.array(["s7", "s8"]),
+            "s_nationkey": pa.array([0, 0], type=pa.int32()),
+            "s_acctbal": pa.array([0.0, 0.0]),
+        }))
+        for mode in ("tree", "shuffle"):
+            got = q21_waiting_supplier(str(tmp_path), mode=mode).to_pandas()
+            assert got.values.tolist() == [["s7", 2], ["s8", 1]]
+
+    def test_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q21_WAITING_SUPPLIER_SQL, q21_waiting_supplier)
+
+        got = q21_waiting_supplier(SF).to_pandas()
+        want = _duck(SF, ["supplier", "lineitem"], Q21_WAITING_SUPPLIER_SQL)
+        assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ2MinCostSupplier:
+    def test_min_tiebreak_and_negative_balance(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q2_min_cost_supplier
+
+        # part 1 shipped by supps 7 (-5.00) and 8 (10.00) -> 7 wins with a
+        # NEGATIVE balance; part 2 by supps 8 and 9 tied at 10.00 -> the
+        # smaller suppkey 8 wins; part 3 has the wrong size -> excluded
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "l_partkey": pa.array([1, 1, 2, 2, 3], type=pa.int64()),
+            "l_suppkey": pa.array([7, 8, 8, 9, 7], type=pa.int64()),
+            "l_linenumber": pa.array([1] * 5, type=pa.int32()),
+            "l_quantity": pa.array([1.0] * 5),
+            "l_extendedprice": pa.array([1.0] * 5),
+            "l_discount": pa.array([0.0] * 5),
+            "l_tax": pa.array([0.0] * 5),
+            "l_returnflag": pa.array(["N"] * 5),
+            "l_linestatus": pa.array(["O"] * 5),
+            "l_shipdate": pa.array([datetime.datetime(1996, 1, 1)] * 5,
+                                   type=pa.timestamp("us")),
+        }))
+        _write(tmp_path, "supplier", pa.table({
+            "s_suppkey": pa.array([7, 8, 9], type=pa.int64()),
+            "s_name": pa.array(["s7", "s8", "s9"]),
+            "s_nationkey": pa.array([0] * 3, type=pa.int32()),
+            "s_acctbal": pa.array([-5.0, 10.0, 10.0]),
+        }))
+        _write(tmp_path, "part", pa.table({
+            "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+            "p_name": pa.array(["a", "b", "c"]),
+            "p_brand": pa.array(["Brand#1"] * 3),
+            "p_type": pa.array(["STANDARD"] * 3),
+            "p_size": pa.array([15, 15, 7], type=pa.int32()),
+            "p_retailprice": pa.array([1.0] * 3),
+        }))
+        got = q2_min_cost_supplier(str(tmp_path)).to_pandas()
+        # ordered by acct desc: part 2 (1000) before part 1 (-500)
+        assert got.values.tolist() == [[2, 8, 1000], [1, 7, -500]]
+
+    def test_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q2_MIN_COST_SQL, q2_min_cost_supplier)
+
+        got = q2_min_cost_supplier(SF).to_pandas()
+        want = _duck(SF, ["lineitem", "part", "supplier"], Q2_MIN_COST_SQL)
+        assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTpchFillIns2:
+    def test_q4_q12_q16_match_duckdb(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q4_ORDER_PRIORITY_SQL, Q12_LINESTATUS_SQL,
+            Q16_SUPPLIER_COUNTS_SQL, q4_order_priority,
+            q12_linestatus_priority, q16_supplier_counts)
+
+        assert (q4_order_priority(SF).to_pandas().values.tolist() ==
+                _duck(SF, ["orders", "lineitem"],
+                      Q4_ORDER_PRIORITY_SQL).values.tolist())
+        assert (q12_linestatus_priority(SF).to_pandas().values.tolist() ==
+                _duck(SF, ["lineitem", "orders"],
+                      Q12_LINESTATUS_SQL).values.tolist())
+        assert (q16_supplier_counts(SF).to_pandas().values.tolist() ==
+                _duck(SF, ["lineitem", "part"],
+                      Q16_SUPPLIER_COUNTS_SQL).values.tolist())
+
+    def test_q8_share_bounds(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q8_MARKET_SHARE_SQL, q8_market_share)
+
+        got = q8_market_share(SF).to_pandas()
+        want = _duck(SF, ["lineitem", "supplier", "nation", "orders",
+                          "customer", "region"], Q8_MARKET_SHARE_SQL)
+        assert got.values.tolist() == want.values.tolist()
+        assert (got.nation_x10k <= got.total_x10k).all()
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestSoftDedupWeights:
     def _docs(self, texts):
