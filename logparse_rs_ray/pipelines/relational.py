@@ -2166,9 +2166,9 @@ def q10_returned_revenue(sf_dir: str, *, num_partitions: int | None = None):
     out = out.select(["c_custkey", "c_name", "n_name", "revenue_x10k"])
     idx = pc.sort_indices(out, sort_keys=[("revenue_x10k", "descending"),
                                           ("c_custkey", "ascending")])
-    import ray.data as rd
-
-    return rd.from_arrow(out.take(idx))
+    # bounded table: return it directly (a 0-row Ray dataset loses its
+    # schema in to_pandas; the driver contract accepts pyarrow Tables)
+    return out.take(idx)
 
 
 Q10_RETURNED_REVENUE_SQL = """
@@ -2297,12 +2297,10 @@ def q15_top_supplier(sf_dir: str):
         [pa.table({"l_suppkey": pa.array([], pa.int64()),
                    "rev": pa.array([], pa.int64())})]).combine_chunks()
     if per_supp.num_rows == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table({
+        return pa.table({
             "s_suppkey": pa.array([], pa.int64()),
             "s_name": pa.array([], pa.string()),
-            "total_revenue_x10k": pa.array([], pa.int64())}))
+            "total_revenue_x10k": pa.array([], pa.int64())})
     best = pc.max(per_supp["rev"])
     winners = per_supp.filter(pc.equal(per_supp["rev"], best))
     supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
@@ -2310,9 +2308,7 @@ def q15_top_supplier(sf_dir: str):
         supp, keys=["s_suppkey"])
     out = out.select(["s_suppkey", "s_name", "total_revenue_x10k"])
     idx = pc.sort_indices(out, sort_keys=[("s_suppkey", "ascending")])
-    import ray.data as rd
-
-    return rd.from_arrow(out.take(idx))
+    return out.take(idx)  # bounded; Tables keep schema on 0 rows
 
 
 Q15_TOP_SUPPLIER_SQL = """
@@ -2971,9 +2967,7 @@ def q21_waiting_supplier(sf_dir: str, *, top: int = Q21_TOP,
     out = out.select(["s_name", "numwait"])
     idx = pc.sort_indices(out, sort_keys=[("numwait", "descending"),
                                           ("s_name", "ascending")])
-    import ray.data as rd
-
-    return rd.from_arrow(out.take(idx).slice(0, top))
+    return out.take(idx).slice(0, top)  # bounded; schema survives 0 rows
 
 
 Q21_WAITING_SUPPLIER_SQL = f"""
@@ -3066,9 +3060,7 @@ def q2_min_cost_supplier(sf_dir: str, *, part_size: int = Q2_PART_SIZE,
                     "acct_cents": pa.array(win_ac.astype(np.int64))})
     idx = pc.sort_indices(out, sort_keys=[("acct_cents", "descending"),
                                           ("p_partkey", "ascending")])
-    import ray.data as rd
-
-    return rd.from_arrow(out.take(idx).slice(0, top))
+    return out.take(idx).slice(0, top)  # bounded; schema survives 0 rows
 
 
 Q2_MIN_COST_SQL = f"""
@@ -3091,7 +3083,180 @@ LIMIT {Q2_TOP}
 """
 
 
+# --- TPC-H Q11 shape: parts above a global value fraction -------------------
+
+Q11_NATION = "NATION_19"  # has suppliers at every generated scale
+Q11_FRACTION_DEN = 1000  # qualify when value * DEN > total
+
+
+def q11_important_parts(sf_dir: str, *, nation: str = Q11_NATION,
+                        fraction_den: int = Q11_FRACTION_DEN):
+    """(l_partkey, value_cents) — TPC-H Q11 shape: parts whose shipped
+    revenue from ``nation``'s suppliers exceeds 1/``fraction_den`` of
+    that nation's total (the HAVING-over-global-scalar pattern; revenue
+    stands in for the missing partsupp stock value).
+
+    The float fraction predicate is exact in integers:
+    ``value * fraction_den > total``.  Scale shape: the nation filter is
+    a broadcast supplier map; per-part revenue collapses per block and
+    merges through the combiner tree (part is dimension-bounded at every
+    TPC-H scale — q17's argument); the global total and the qualifying
+    filter read off that compact table driver-side.
+    """
+    from ..stages.aggregate import tree_merge
+
+    nation_t = _read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.join(nation_t, keys=["s_nationkey"],
+                     right_keys=["n_nationkey"])
+    supp = supp.filter(pc.equal(supp["n_name"], nation))
+    supp_keys = pa.table({"l_suppkey": supp["s_suppkey"]})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    li = broadcast_join(li, supp_keys, "l_suppkey")  # inner: nation filter
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": b["l_partkey"],
+                      "v": _cents(b["l_extendedprice"])})
+        g = t.group_by(["l_partkey"]).aggregate([("v", "sum")])
+        return g.rename_columns(["l_partkey", "v"])
+
+    p = li.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    per_part = pa.concat_tables(list(
+        tree_merge(p, ["l_partkey"], [("v", "sum")], fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"l_partkey": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.int64())})]).combine_chunks()
+    total = pc.sum(per_part["v"]).as_py() or 0
+    lhs = pc.multiply(per_part["v"], pa.scalar(fraction_den, pa.int64()))
+    out = per_part.filter(pc.greater(lhs, pa.scalar(total, pa.int64())))
+    out = out.rename_columns(["l_partkey", "value_cents"])
+    idx = pc.sort_indices(out, sort_keys=[("value_cents", "descending"),
+                                          ("l_partkey", "ascending")])
+    return out.take(idx)  # bounded; schema survives 0 rows
+
+
+Q11_IMPORTANT_PARTS_SQL = f"""
+WITH v AS (
+  SELECT l.l_partkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = '{Q11_NATION}'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, value_cents
+FROM v
+WHERE value_cents * {Q11_FRACTION_DEN} > (SELECT SUM(value_cents) FROM v)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+# --- TPC-H Q20 shape: dominant suppliers ------------------------------------
+
+Q20_FAIR_MULT = 2  # dominant = share above FAIR_MULT x the fair 1/n share
+
+
+def q20_dominant_suppliers(sf_dir: str, *, num_partitions: int = 8,
+                           mode: str = "auto"):
+    """(s_suppkey, s_name, n_dominated) — TPC-H Q20 shape: suppliers who
+    shipped more than ``Q20_FAIR_MULT``x their fair share of some part's
+    total quantity (``q * n_suppliers > MULT * total`` in exact integers
+    — the correlated share-of-group-total subquery; an absolute >50%
+    share is scale-dependent and goes empty as supplier counts grow, a
+    fair-share multiple is not).
+
+    Scale shape: lineitem pre-collapses per block to (partkey, suppkey,
+    qty) partials; ONE partkey-keyed exchange co-locates each part's
+    pairs (size-gated to a single block below the threshold); inside a
+    partition the dominance test is one group-merge + segment reduction;
+    the per-supplier census merges through the combiner tree (bounded by
+    the supplier dimension) and only that census joins the names.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/lineitem.parquet")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": b["l_partkey"],
+                      "l_suppkey": b["l_suppkey"],
+                      "q": pc.cast(pc.round(b["l_quantity"]), pa.int64())})
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "q"])
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           batch_size=None)
+    part = (hash_partition(pairs, ["l_partkey"], num_partitions)
+            if mode == "shuffle" else pairs.repartition(1))
+
+    def dominate(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "n_dominated": pa.array([], pa.int64())})
+        g = b.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        pk = np.asarray(g["l_partkey"], dtype=np.int64)
+        sk = np.asarray(g["l_suppkey"], dtype=np.int64)
+        q = np.asarray(g["q_sum"], dtype=np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, sk, q = pk[order], sk[order], q[order]
+        starts = np.concatenate(([True], pk[1:] != pk[:-1]))
+        seg = np.cumsum(starts) - 1
+        seg_idx = np.nonzero(starts)[0]
+        tot = np.add.reduceat(q, seg_idx)
+        ns = np.add.reduceat(np.ones_like(q), seg_idx)
+        qual = q * ns[seg] > Q20_FAIR_MULT * tot[seg]
+        t = pa.table({"l_suppkey": pa.array(sk[qual]),
+                      "one": pa.array(np.ones(int(qual.sum()),
+                                              dtype=np.int64))})
+        g2 = t.group_by(["l_suppkey"]).aggregate([("one", "sum")])
+        return g2.rename_columns(["l_suppkey", "n_dominated"])
+
+    census = part.map_batches(dominate, batch_format="pyarrow",
+                              batch_size=None)
+    merged = pa.concat_tables(list(
+        tree_merge(census, ["l_suppkey"], [("n_dominated", "sum")], fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"l_suppkey": pa.array([], pa.int64()),
+                   "n_dominated": pa.array([], pa.int64())})]).combine_chunks()
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = merged.join(supp, keys=["l_suppkey"], right_keys=["s_suppkey"])
+    out = pa.table({"s_suppkey": out["l_suppkey"], "s_name": out["s_name"],
+                    "n_dominated": out["n_dominated"]})
+    idx = pc.sort_indices(out, sort_keys=[("n_dominated", "descending"),
+                                          ("s_suppkey", "ascending")])
+    return out.take(idx)  # bounded; schema survives 0 rows
+
+
+Q20_DOMINANT_SUPPLIERS_SQL = f"""
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, SUM(q) AS tot, COUNT(*) AS ns
+       FROM pq GROUP BY l_partkey)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominated
+FROM pq
+JOIN pt ON pq.l_partkey = pt.l_partkey
+JOIN supplier s ON pq.l_suppkey = s.s_suppkey
+WHERE pq.q * pt.ns > {Q20_FAIR_MULT} * pt.tot
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_dominated DESC, s.s_suppkey
+"""
+
+
 QUERIES = {
+    "q11_important_parts": q11_important_parts,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_order_priority": q4_order_priority,
     "q8_market_share": q8_market_share,
@@ -3143,6 +3308,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "q11_important_parts": Q11_IMPORTANT_PARTS_SQL,
+    "q20_dominant_suppliers": Q20_DOMINANT_SUPPLIERS_SQL,
     "q2_min_cost_supplier": Q2_MIN_COST_SQL,
     "q4_order_priority": Q4_ORDER_PRIORITY_SQL,
     "q8_market_share": Q8_MARKET_SHARE_SQL,

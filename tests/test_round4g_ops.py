@@ -326,6 +326,61 @@ class TestTpchFillIns2:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestQ11Q20:
+    def test_q20_fair_share_boundary(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q20_dominant_suppliers
+
+        # part 1: supps 7/8/9 ship 6/2/1 (tot 9, ns 3): 6*3 = 2*9 exactly
+        # -> NOT dominant (strict >).  part 2: supps 7/8 ship 9/1 (tot 10,
+        # ns 2): 9*2 = 18 < 20 -> no.  part 3: supps 7/8/9 ship 7/1/1
+        # (tot 9, ns 3): 7*3 = 21 > 18 -> supp 7 dominates one part.
+        rows = [(1, 7, 6.0), (1, 8, 2.0), (1, 9, 1.0),
+                (2, 7, 9.0), (2, 8, 1.0),
+                (3, 7, 7.0), (3, 8, 1.0), (3, 9, 1.0)]
+        n = len(rows)
+        _write(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array(list(range(n)), type=pa.int64()),
+            "l_partkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "l_linenumber": pa.array([1] * n, type=pa.int32()),
+            "l_quantity": pa.array([r[2] for r in rows]),
+            "l_extendedprice": pa.array([1.0] * n),
+            "l_discount": pa.array([0.0] * n),
+            "l_tax": pa.array([0.0] * n),
+            "l_returnflag": pa.array(["N"] * n),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([datetime.datetime(1996, 1, 1)] * n,
+                                   type=pa.timestamp("us")),
+        }))
+        _write(tmp_path, "supplier", pa.table({
+            "s_suppkey": pa.array([7, 8, 9], type=pa.int64()),
+            "s_name": pa.array(["s7", "s8", "s9"]),
+            "s_nationkey": pa.array([0] * 3, type=pa.int32()),
+            "s_acctbal": pa.array([0.0] * 3),
+        }))
+        for mode in ("tree", "shuffle"):
+            got = q20_dominant_suppliers(str(tmp_path), mode=mode).to_pandas()
+            assert got.values.tolist() == [[7, "s7", 1]]
+
+    def test_q11_q20_match_duckdb(self):
+        from logparse_rs_ray.pipelines.relational import (
+            Q11_IMPORTANT_PARTS_SQL, Q20_DOMINANT_SUPPLIERS_SQL,
+            q11_important_parts, q20_dominant_suppliers)
+
+        got11 = q11_important_parts(SF).to_pandas()
+        want11 = _duck(SF, ["lineitem", "supplier", "nation"],
+                       Q11_IMPORTANT_PARTS_SQL)
+        assert got11.values.tolist() == want11.values.tolist()
+        assert len(got11) > 0  # NATION_19 has suppliers at every scale
+
+        got20 = q20_dominant_suppliers(SF).to_pandas()
+        want20 = _duck(SF, ["lineitem", "supplier"],
+                       Q20_DOMINANT_SUPPLIERS_SQL)
+        assert got20.values.tolist() == want20.values.tolist()
+        assert len(got20) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSoftDedupWeights:
     def _docs(self, texts):
         return pa.table({
