@@ -2345,7 +2345,45 @@ def doc_bpe_encode_stats(sf_dir: str, *, n_merges: int = 12,
     return out.sort("lang")
 
 
+# --- compressibility: the gzip-quality signal --------------------------------
+
+ZLIB_LEVEL = 6  # pinned: the ratio must be deterministic across engines
+
+
+def doc_compressibility(sf_dir: str):
+    """(doc_id, text_bytes, zlib_bytes) — per-document zlib-compressed
+    size at a pinned level: the compression-ratio quality signal
+    (template/boilerplate and low-entropy SEO text compress far better
+    than natural prose; the inverse flags binary-ish junk).  Integer
+    bytes only — the ratio is the reader's (driver hash contract).
+
+    Scale shape: embarrassingly parallel — one corpus pass, zlib's C
+    deflate per document inside ``map_batches`` (no state, so a plain
+    task pool; the Python loop only dispatches into C), per-doc sortless
+    output, text never shuffles.  Not SQL-expressible (rows-only check);
+    pytest pins equality with a serial zlib replica.
+    """
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def compress(b: pa.Table) -> pa.Table:
+        col = (b["text"].combine_chunks()
+               if isinstance(b["text"], pa.ChunkedArray) else b["text"])
+        raw = [t.encode() if t is not None else b"" for t in col.to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text_bytes": pa.array([len(r) for r in raw], pa.int64()),
+            "zlib_bytes": pa.array(
+                [len(zlib.compress(r, ZLIB_LEVEL)) for r in raw],
+                pa.int64()),
+        })
+
+    return ds.map_batches(compress, batch_format="pyarrow", batch_size=None)
+
+
 QUERIES = {
+    "doc_compressibility": doc_compressibility,
     "doc_quality": doc_quality,
     "doc_quality_classifier": doc_quality_classifier,
     "doc_vocab_coverage": doc_vocab_coverage,

@@ -1174,7 +1174,85 @@ FROM w GROUP BY hw ORDER BY ws_us
 """
 
 
+# --- burst-rate census: max events per user in any trailing window ----------
+
+BURST_WINDOW_S = 3600
+
+
+def log_burst_census(sf_dir: str, *, window_s: int = BURST_WINDOW_S,
+                     num_partitions: int = 8, mode: str = "auto"):
+    """(user_id, max_burst) — per user, the MAXIMUM number of events
+    falling in any trailing ``window_s``-second window (SQL RANGE frame
+    semantics incl. equal-timestamp peers) — the bot / scraper / runaway-
+    client detector next to the EWMA value detector.
+
+    Scale shape: ONE user-keyed hash exchange (size-gated to a single
+    block below the threshold); inside each partition one lexsort by
+    (user, ts) and BOTH frame edges come from two vectorized
+    ``searchsorted`` calls over composite ``code * span + ts_rel`` keys
+    (dense per-partition user codes x partition-relative microseconds),
+    then a per-user ``maximum.reduceat``.  No per-user loop; output is
+    per-user and sortless.
+    """
+    import numpy as np
+
+    from .. import tune_worker_threads
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    part = (hash_partition(ds, ["user_id"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
+    w_us = np.int64(window_s) * 1_000_000
+
+    def burst(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "max_burst": pa.array([], pa.int64())})
+        user = np.asarray(b["user_id"], dtype=np.int64)
+        ts = (b["ts"].combine_chunks()
+              if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64()).to_numpy()
+        order = np.lexsort((ts, user))
+        u_s, t_s = user[order], ts[order]
+        t_rel = t_s - t_s.min()
+        span = np.int64(t_rel.max()) + w_us + 2
+        codes = np.cumsum(np.concatenate(([0], (u_s[1:] != u_s[:-1])
+                                          .astype(np.int64))))
+        n_users = int(codes[-1]) + 1
+        # int64 headroom guard: the composite pack needs codes*span < 2^63
+        if span > 0 and n_users > (np.iinfo(np.int64).max // span):
+            raise ValueError("log_burst_census: partition time span x "
+                             "distinct users overflows the composite key — "
+                             "raise num_partitions")
+        key = codes * span + t_rel
+        lo = np.searchsorted(key, key - w_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        cnt = hi - lo
+        starts = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        seg_idx = np.nonzero(starts)[0]
+        mx = np.maximum.reduceat(cnt, seg_idx)
+        return pa.table({"user_id": pa.array(u_s[seg_idx]),
+                         "max_burst": pa.array(mx.astype(np.int64))})
+
+    return part.map_batches(burst, batch_format="pyarrow", batch_size=None)
+
+
+LOG_BURST_CENSUS_SQL = f"""
+SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_burst FROM (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL {BURST_WINDOW_S} SECONDS
+                              PRECEDING AND CURRENT ROW) AS c
+  FROM events) t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "log_burst_census": log_burst_census,
     "log_streaming_window": log_streaming_window,
     "log_sliding_window_counts": log_sliding_window_counts,
     "log_funnel": log_funnel,
@@ -1195,6 +1273,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_burst_census": LOG_BURST_CENSUS_SQL,
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
     "log_sliding_window_counts": LOG_SLIDING_WINDOW_SQL,
     "log_funnel": LOG_FUNNEL_SQL,

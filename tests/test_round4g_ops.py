@@ -381,6 +381,77 @@ class TestQ11Q20:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBurstCensus:
+    def _events(self, rows):
+        """rows: (event_id, user_id, ts_us)."""
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+
+    def test_window_edges_and_peers(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_burst_census
+
+        base = 1_700_000_000_000_000  # µs
+        w = 60  # seconds
+        rows = [
+            # user 1: events at 0s, 60s (exactly in range — RANGE is
+            # inclusive), 121s -> max burst 2
+            (1, 1, base), (2, 1, base + 60_000_000),
+            (3, 1, base + 121_000_000),
+            # user 2: three equal-ts events (peers share one frame) -> 3
+            (4, 2, base), (5, 2, base), (6, 2, base),
+            # user 3: singleton -> 1
+            (7, 3, base),
+            # user 4: 0s, 60.000001s (just outside) -> 1
+            (8, 4, base), (9, 4, base + 60_000_001),
+        ]
+        pq.write_table(self._events(rows), tmp_path / "events.parquet")
+        for mode in ("tree", "shuffle"):
+            got = (log_burst_census(str(tmp_path), window_s=w, mode=mode)
+                   .to_pandas().sort_values("user_id").reset_index(drop=True))
+            assert got.values.tolist() == [[1, 2], [2, 3], [3, 1], [4, 1]]
+
+    def test_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.windows import (
+            LOG_BURST_CENSUS_SQL, log_burst_census)
+
+        for mode in ("tree", "shuffle"):
+            got = (log_burst_census(SF, mode=mode).to_pandas()
+                   .sort_values("user_id").reset_index(drop=True))
+            want = _duck(SF, ["events"], LOG_BURST_CENSUS_SQL)
+            assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompressibility:
+    def test_matches_serial_zlib(self):
+        import zlib
+
+        import pyarrow.parquet as _pq
+
+        from logparse_rs_ray.pipelines.textops import (
+            ZLIB_LEVEL, doc_compressibility)
+
+        got = (doc_compressibility(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        tbl = _pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        assert len(got) == len(texts)
+        for _, row in got.sample(50, random_state=7).iterrows():
+            raw = texts[row.doc_id].encode()
+            assert row.text_bytes == len(raw)
+            assert row.zlib_bytes == len(zlib.compress(raw, ZLIB_LEVEL))
+        # repetitive word-soup text must actually compress
+        assert (got.zlib_bytes < got.text_bytes).mean() > 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSoftDedupWeights:
     def _docs(self, texts):
         return pa.table({
