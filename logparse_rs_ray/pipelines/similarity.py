@@ -1014,7 +1014,55 @@ ORDER BY e.label
 """
 
 
+# --- ANN recall evaluation ---------------------------------------------------
+
+def ann_recall_census(sf_dir: str, *, k: int = TOP_K,
+                      n_queries: int = N_QUERIES):
+    """(method, query_id, recall_pct) — index-quality monitoring: per
+    query, the percentage of the EXACT top-``k`` cosine neighbors each
+    approximate path (IVF, hyperplane LSH, PQ) recovers — the recall
+    eval every production ANN deployment runs continuously.
+
+    Scale shape: composes the existing pipelines; every per-method
+    result is bounded (n_queries x k rows), so the driver-side set
+    intersection touches only those compact tables — the corpus passes
+    are the underlying operators' own.  Rows-only (approximate by
+    construction); pytest pins exact-vs-exact at 100 and floors the
+    approximate methods.
+    """
+    def _pairs(ds_or_tbl):
+        t = (ds_or_tbl if isinstance(ds_or_tbl, pa.Table)
+             else pa.concat_tables(list(ds_or_tbl.iter_batches(
+                 batch_format="pyarrow", batch_size=None)) or
+                 [pa.table({"query_id": pa.array([], pa.int64()),
+                            "vec_id": pa.array([], pa.int64())})]))
+        out: dict[int, set[int]] = {}
+        for q, v in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    exact = _pairs(ann_topk_cosine(sf_dir, k=k, n_queries=n_queries))
+    methods = {
+        "ivf": ann_ivf_topk(sf_dir, k=k, n_queries=n_queries),
+        "lsh": ann_lsh_topk(sf_dir, k=k, n_queries=n_queries),
+        "pq": ann_pq_topk(sf_dir, k=k, n_queries=n_queries),
+    }
+    names, qids, recalls = [], [], []
+    for name, res in sorted(methods.items()):
+        got = _pairs(res)
+        for q in sorted(exact):
+            want = exact[q]
+            hit = len(want & got.get(q, set()))
+            names.append(name)
+            qids.append(q)
+            recalls.append(100 * hit // max(1, len(want)))
+    return pa.table({"method": pa.array(names, pa.string()),
+                     "query_id": pa.array(qids, pa.int64()),
+                     "recall_pct": pa.array(recalls, pa.int64())})
+
+
 QUERIES = {
+    "ann_recall_census": ann_recall_census,
     "embed_quantize": embed_quantize,
     "doc_embed_hashvec": doc_embed_hashvec,
     "ann_topk_cosine": ann_topk_cosine,

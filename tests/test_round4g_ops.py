@@ -452,6 +452,32 @@ class TestCompressibility:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestAnnRecallCensus:
+    def test_bounds_and_pq_exactness(self):
+        from logparse_rs_ray.pipelines.similarity import (
+            N_QUERIES, ann_recall_census)
+
+        df = ann_recall_census(SF).to_pandas()
+        assert len(df) == 3 * N_QUERIES
+        assert set(df.method) == {"ivf", "lsh", "pq"}
+        assert df.recall_pct.between(0, 100).all()
+        # PQ re-ranks its shortlist with exact cosine; the shortlist
+        # usually covers the true top-k here, but codebook training
+        # samples depend on block arrival order — floor, don't pin
+        assert df[df.method == "pq"].recall_pct.mean() >= 60
+
+    def test_exact_self_recall_is_100(self):
+        from logparse_rs_ray.pipelines import similarity as sim
+
+        exact = sim.ann_topk_cosine(SF)
+        t = (exact if hasattr(exact, "to_pandas") else exact).to_pandas()
+        # sanity for the census arithmetic: intersecting the exact result
+        # with itself must give k hits per query
+        g = t.groupby("query_id").vec_id.nunique()
+        assert (g == sim.TOP_K).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSoftDedupWeights:
     def _docs(self, texts):
         return pa.table({
