@@ -56,6 +56,13 @@ SORTLESS_QUERIES = [
     "q_unpivot_lineitem",
     "doc_inverted_index",
     "doc_weighted_sample",
+    # continuation-4 additions with corpus-proportional outputs
+    "q_rank_customers",
+    "q_first_last_order",
+    "q_range_window_revenue",
+    "doc_soft_dedup_weights",
+    "log_burst_census",
+    "doc_compressibility",
     # survivor anti-joins (minhash/simhash/semantic) return a pa.Table in
     # the broadcast regime — covered by their own two-regime pytests
 ]
