@@ -798,6 +798,9 @@ class TestQueryRegistry:
             "embed_pca_top", "embed_outliers", "doc_dsir_weights",
             "doc_bpe_train_merges", "doc_bpe_encode_stats", "ann_pq_topk",
             "log_value_ewma_anomaly", "mm_phash_dedup",
+            # continuation-4: zlib size (no SQL zlib) and the approximate-
+            # method recall eval (approximate by construction)
+            "doc_compressibility", "ann_recall_census",
         }, rows_only
 
 
