@@ -2382,7 +2382,119 @@ def doc_compressibility(sf_dir: str):
     return ds.map_batches(compress, batch_format="pyarrow", batch_size=None)
 
 
+# --- BM25 query scoring -------------------------------------------------------
+
+BM25_TERMS = ("table", "query", "spark")
+BM25_K1 = 1.5
+BM25_B = 0.75
+BM25_K = 10
+
+
+def doc_bm25_topk(sf_dir: str, *, terms: tuple = BM25_TERMS, k: int = BM25_K):
+    """(doc_id, score_x1e6) — BM25 retrieval: the top-``k`` documents for
+    a fixed term query under Okapi BM25 (k1=1.5, b=0.75), ties to the
+    smaller doc_id.  The score is per-doc deterministic (a pure function
+    of tf/dl and the broadcast global stats, independent of block
+    composition), emitted as floor(score * 1e6) int64.
+
+    Scale shape: pass 1 funnels |terms|+2 scalars (per-term document
+    frequency, corpus doc count, total token count) through the combiner
+    tree; pass 2 broadcasts those stats via the closure and scores each
+    block vectorized (one whitespace split, |terms| equality masks +
+    bincounts — no Python loop over rows), keeping a local top-k per
+    block so the global sort sees blocks x k rows.  Rows-only: BM25's
+    log/division is float math DuckDB cannot reproduce bit-exactly;
+    pytest pins a serial replica instead.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    term_arr = pa.array(list(terms), pa.string())
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        doc_of = np.repeat(np.arange(len(off) - 1, dtype=np.int64),
+                           np.diff(off))
+        code = pc.index_in(flat, value_set=term_arr).to_numpy(
+            zero_copy_only=False)
+        dfs = []
+        for ti in range(len(terms)):
+            hits = doc_of[code == ti]
+            dfs.append(len(np.unique(hits)))
+        return pa.table({
+            "term_idx": pa.array(range(len(terms) + 2), pa.int64()),
+            "val": pa.array(dfs + [b.num_rows, int(len(doc_of))], pa.int64()),
+        })
+
+    p = ds.map_batches(stats_partial, batch_format="pyarrow", batch_size=None)
+    from ..stages.aggregate import tree_merge
+
+    g = pa.concat_tables(list(
+        tree_merge(p, ["term_idx"], [("val", "sum")], fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"term_idx": pa.array([], pa.int64()),
+                   "val": pa.array([], pa.int64())})]).combine_chunks()
+    stats = dict(zip(g["term_idx"].to_pylist(), g["val"].to_pylist()))
+    n_docs = stats.get(len(terms), 0)
+    total_toks = stats.get(len(terms) + 1, 0)
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_x1e6": pa.array([], pa.int64())})
+    avgdl = total_toks / n_docs
+    # Lucene-form idf: ln(1 + (n-df+0.5)/(df+0.5)) — strictly positive, so
+    # tf/length still rank documents when every term is corpus-common (the
+    # classic floored idf collapses to all-zero scores on a small-vocab
+    # corpus where df ~ n)
+    dfv = np.array([stats.get(i, 0) for i in range(len(terms))],
+                   dtype=np.float64)
+    idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+
+    def score_block(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        nd = len(off) - 1
+        dl = np.diff(off).astype(np.float64)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), np.diff(off))
+        code = pc.index_in(flat, value_set=term_arr).to_numpy(
+            zero_copy_only=False)
+        score = np.zeros(nd, dtype=np.float64)
+        denom_base = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        for ti in range(len(terms)):
+            tf = np.bincount(doc_of[code == ti], minlength=nd).astype(
+                np.float64)
+            score += idf[ti] * tf * (BM25_K1 + 1.0) / (tf + denom_base)
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        sx = np.floor(score * 1e6).astype(np.int64)
+        order = np.lexsort((ids, -sx))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score_x1e6": pa.array(sx[order])})
+
+    cand = ds.map_batches(score_block, batch_format="pyarrow",
+                          batch_size=None)
+
+    def final(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        sx = np.asarray(b["score_x1e6"], dtype=np.int64)
+        order = np.lexsort((ids, -sx))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score_x1e6": pa.array(sx[order])})
+
+    return cand.repartition(1).map_batches(final, batch_format="pyarrow",
+                                           batch_size=None)
+
+
 QUERIES = {
+    "doc_bm25_topk": doc_bm25_topk,
     "doc_compressibility": doc_compressibility,
     "doc_quality": doc_quality,
     "doc_quality_classifier": doc_quality_classifier,

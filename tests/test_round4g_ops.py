@@ -478,6 +478,52 @@ class TestAnnRecallCensus:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBm25TopK:
+    def test_matches_serial_replica(self):
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        from logparse_rs_ray.pipelines.textops import (
+            BM25_B, BM25_K1, BM25_TERMS, doc_bm25_topk)
+
+        got = doc_bm25_topk(SF).to_pandas()
+        tbl = _pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        ids = tbl["doc_id"].to_pylist()
+        docs = [t.lower().split() for t in tbl["text"].to_pylist()]
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        dfs = np.array([sum(1 for d in docs if t in d) for t in BM25_TERMS],
+                       dtype=np.float64)
+        idf = np.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
+        rows = []
+        for i, d in enumerate(docs):
+            dl = float(len(d))
+            denom_base = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            score = 0.0
+            for ti, t in enumerate(BM25_TERMS):
+                tf = float(d.count(t))
+                score += idf[ti] * tf * (BM25_K1 + 1.0) / (tf + denom_base)
+            rows.append((ids[i], int(np.floor(score * 1e6))))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        assert got.values.tolist() == [list(r) for r in rows[:len(got)]]
+        assert len(got) == 10
+
+    def test_term_absence_scores_zero(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_bm25_topk
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["nothing relevant here", "also irrelevant"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["w", "w"]),
+            "n_chars": pa.array([21, 15], pa.int64()),
+        }), tmp_path / "documents.parquet")
+        got = doc_bm25_topk(str(tmp_path), k=5).to_pandas()
+        assert got.score_x1e6.tolist() == [0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSoftDedupWeights:
     def _docs(self, texts):
         return pa.table({

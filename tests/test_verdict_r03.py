@@ -801,6 +801,7 @@ class TestQueryRegistry:
             # continuation-4: zlib size (no SQL zlib) and the approximate-
             # method recall eval (approximate by construction)
             "doc_compressibility", "ann_recall_census",
+            "doc_bm25_topk",  # float log/division, not SQL-bit-exact
         }, rows_only
 
 
