@@ -56,6 +56,19 @@ def _load_anon(path: str | None) -> dict | None:
         return json.load(fh)
 
 
+def _query_registry() -> dict:
+    """The same merged registry ``__ray_entry__.queries()`` exposes,
+    importable without the repo root on sys.path."""
+    import importlib
+
+    q: dict = {}
+    for m in ("relational", "logops", "dedup", "similarity", "textops",
+              "multimodal", "windows", "curation"):
+        q.update(importlib.import_module(
+            f"logparse_rs_ray.pipelines.{m}").QUERIES)
+    return q
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="logparse_rs_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -91,7 +104,27 @@ def main(argv: list[str] | None = None) -> int:
     curp.add_argument("--shards", type=int, default=16)
     curp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
+    qp = sub.add_parser(
+        "query", help="run one registry query (see `query --list`) over an "
+                      "sf-style table dir; print head or write parquet")
+    qp.add_argument("name", nargs="?", help="query name from the registry")
+    qp.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    qp.add_argument("--output", help="write full result to this parquet "
+                                     "path instead of printing the head")
+    qp.add_argument("--head", type=int, default=20)
+    qp.add_argument("--list", action="store_true",
+                    help="list registered query names and exit")
+    qp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list:
+        for name in sorted(_query_registry()):
+            print(name)
+        return 0
+    if args.cmd == "query" and not args.name:
+        p.error("query: a name is required (or --list)")
 
     import ray
 
@@ -146,6 +179,33 @@ def main(argv: list[str] | None = None) -> int:
                 "n_docs": int(census.n_docs.sum()),
                 "n_tokens": int(census.n_tokens.sum()),
             }))
+        elif args.cmd == "query":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            reg = _query_registry()
+            if args.name not in reg:
+                print(f"unknown query {args.name!r} (see `query --list`)",
+                      file=sys.stderr)
+                return 2
+            res = reg[args.name](args.sf_dir)
+            if isinstance(res, pa.Table):
+                tbl = res
+            elif hasattr(res, "to_arrow_refs") or hasattr(res, "iter_batches"):
+                tbl = pa.concat_tables(list(res.iter_batches(
+                    batch_format="pyarrow", batch_size=None)) or
+                    [pa.table({})])
+            else:  # pandas
+                tbl = pa.Table.from_pandas(res, preserve_index=False)
+            if args.output:
+                pq.write_table(tbl, args.output)
+                print(json.dumps({"status": "ok", "query": args.name,
+                                  "rows": tbl.num_rows,
+                                  "output": args.output}))
+            else:
+                print(tbl.slice(0, args.head).to_pandas().to_string())
+                print(json.dumps({"status": "ok", "query": args.name,
+                                  "rows": tbl.num_rows}))
     finally:
         ray.shutdown()
     return 0
