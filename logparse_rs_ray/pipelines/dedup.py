@@ -2046,7 +2046,91 @@ ORDER BY d.doc_id
 """
 
 
+# --- sketch-accuracy monitoring: MinHash estimate vs exact Jaccard ----------
+
+def dedup_minhash_accuracy(sf_dir: str, *, num_perm: int = 64,
+                           bands: int = 16, k: int = 3, mode: str = "auto",
+                           num_partitions: int = 8):
+    """(doc_a, doc_b, true_pct, est_pct, abs_err_pct) — sketch-quality
+    monitoring (the dedup twin of ``ann_recall_census``): for every LSH
+    candidate pair, the MinHash-estimated Jaccard (matching permutation
+    fraction) next to the EXACT k-shingle Jaccard, with the absolute
+    error — the number that tells you whether ``num_perm`` is sized
+    right before a 100-TB dedup run trusts the sketch.
+
+    Scale shape: the pair set is dup-∝ (bounded by the LSH gate), so
+    the per-pair arithmetic is driver-side over compact tables; the
+    expensive parts — LSH bucketing, exact shingle verification, and
+    the signature pass over ONLY the paired docs (membership broadcast)
+    — are the existing distributed operators.  Rows-only (MinHash is
+    not SQL-expressible); pytest pins exact-dup pairs at 100 and bounds
+    the estimator error.
+    """
+    import ray
+
+    from ..functions.hashing import minhash_signatures
+
+    pairs_ds = verified_pairs_ngram(sf_dir, threshold=0.0, k=k,
+                                    num_perm=num_perm, bands=bands,
+                                    mode=mode, num_partitions=num_partitions)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "true_pct": pa.array([], pa.int64()),
+                      "est_pct": pa.array([], pa.int64()),
+                      "abs_err_pct": pa.array([], pa.int64())})
+    pairs = (pairs_ds if isinstance(pairs_ds, pa.Table) else
+             pa.concat_tables(list(pairs_ds.iter_batches(
+                 batch_format="pyarrow", batch_size=None)) or
+                 [empty.select(["doc_a", "doc_b"])
+                  .append_column("jaccard_pct", pa.array([], pa.int64()))]))
+    if pairs.num_rows == 0:
+        return empty
+    da = np.asarray(pairs["doc_a"], dtype=np.int64)
+    db = np.asarray(pairs["doc_b"], dtype=np.int64)
+    ids = np.unique(np.concatenate([da, db]))
+    ref = ray.put(pa.array(ids))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sigs(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keep = pc.is_in(b["doc_id"], value_set=_ray.get(ref))
+        b = b.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.int64()))})
+        s = minhash_signatures(b["text"], num_perm=num_perm, k=k)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(s.reshape(-1).astype(np.int64)), num_perm)
+            .cast(pa.list_(pa.int64())),
+        })
+
+    sig_tbl = pa.concat_tables(list(
+        docs.map_batches(sigs, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"doc_id": pa.array([], pa.int64()),
+                   "sig": pa.array([], pa.list_(pa.int64()))})]).combine_chunks()
+    sid = np.asarray(sig_tbl["doc_id"], dtype=np.int64)
+    smat = np.asarray(sig_tbl["sig"].to_pylist(), dtype=np.int64).reshape(
+        len(sid), num_perm)
+    pos = {int(d): i for i, d in enumerate(sid)}
+    ia = np.array([pos[int(d)] for d in da], dtype=np.int64)
+    ib = np.array([pos[int(d)] for d in db], dtype=np.int64)
+    est = (smat[ia] == smat[ib]).sum(axis=1) * 100 // num_perm
+    true = np.asarray(pairs["jaccard_pct"], dtype=np.int64)
+    return pa.table({
+        "doc_a": pa.array(da), "doc_b": pa.array(db),
+        "true_pct": pa.array(true),
+        "est_pct": pa.array(est.astype(np.int64)),
+        "abs_err_pct": pa.array(np.abs(est - true).astype(np.int64)),
+    })
+
+
 QUERIES = {
+    "dedup_minhash_accuracy": dedup_minhash_accuracy,
     "doc_soft_dedup_weights": doc_soft_dedup_weights,
     "dedup_minhash_keep_best": dedup_minhash_keep_best,
     "doc_overlap_pairs": doc_overlap_pairs,

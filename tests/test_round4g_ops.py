@@ -524,6 +524,39 @@ class TestBm25TopK:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestMinhashAccuracy:
+    def test_exact_dup_pairs_estimate_100(self, tmp_path):
+        from logparse_rs_ray.pipelines.dedup import dedup_minhash_accuracy
+
+        text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        other = "one two three four five six seven eight nine ten " * 4
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([text, text, other]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["w"] * 3),
+            "n_chars": pa.array([len(text), len(text), len(other)],
+                                pa.int64()),
+        }), tmp_path / "documents.parquet")
+        got = dedup_minhash_accuracy(str(tmp_path)).to_pandas()
+        dup = got[(got.doc_a == 1) & (got.doc_b == 2)]
+        assert len(dup) == 1
+        assert dup.true_pct.iloc[0] == 100
+        assert dup.est_pct.iloc[0] == 100
+        assert dup.abs_err_pct.iloc[0] == 0
+
+    def test_estimator_error_bounded_on_generated(self):
+        from logparse_rs_ray.pipelines.dedup import dedup_minhash_accuracy
+
+        df = dedup_minhash_accuracy(SF).to_pandas()
+        assert len(df) > 0
+        assert df.est_pct.between(0, 100).all()
+        # 64 permutations -> sigma ~= 6.25 pct; mean |err| well inside
+        assert df.abs_err_pct.mean() <= 15
+        assert (df.abs_err_pct == (df.est_pct - df.true_pct).abs()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSoftDedupWeights:
     def _docs(self, texts):
         return pa.table({

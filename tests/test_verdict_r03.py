@@ -802,6 +802,7 @@ class TestQueryRegistry:
             # method recall eval (approximate by construction)
             "doc_compressibility", "ann_recall_census",
             "doc_bm25_topk",  # float log/division, not SQL-bit-exact
+            "dedup_minhash_accuracy",  # MinHash is not SQL-expressible
         }, rows_only
 
 
