@@ -43,26 +43,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from logparse_rs_ray.pipelines import (
-        curation, dedup, logops, multimodal, relational, similarity, textops,
-        windows,
-    )
+    from logparse_rs_ray.pipelines import query_registry
 
-    q: dict[str, Callable[[str], Any]] = {}
-    for mod in (relational, logops, dedup, similarity, textops, multimodal,
-                windows, curation):
-        q.update(mod.QUERIES)
-    return q
+    return query_registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    from logparse_rs_ray.pipelines import (
-        curation, dedup, logops, multimodal, relational, similarity, textops,
-        windows,
-    )
+    from logparse_rs_ray.pipelines import oracle_registry
 
-    s: dict[str, str] = {}
-    for mod in (relational, logops, dedup, similarity, textops, multimodal,
-                windows, curation):
-        s.update(mod.ORACLE_SQL)
-    return s
+    return oracle_registry()

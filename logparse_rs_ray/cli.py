@@ -59,14 +59,9 @@ def _load_anon(path: str | None) -> dict | None:
 def _query_registry() -> dict:
     """The same merged registry ``__ray_entry__.queries()`` exposes,
     importable without the repo root on sys.path."""
-    import importlib
+    from .pipelines import query_registry
 
-    q: dict = {}
-    for m in ("relational", "logops", "dedup", "similarity", "textops",
-              "multimodal", "windows", "curation"):
-        q.update(importlib.import_module(
-            f"logparse_rs_ray.pipelines.{m}").QUERIES)
-    return q
+    return query_registry()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -125,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "query" and not args.name:
         p.error("query: a name is required (or --list)")
+    if args.cmd == "query" and args.name not in _query_registry():
+        # validate BEFORE paying Ray startup — the registry needs no session
+        print(f"unknown query {args.name!r} (see `query --list`)",
+              file=sys.stderr)
+        return 2
 
     import ray
 
@@ -183,12 +183,7 @@ def main(argv: list[str] | None = None) -> int:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            reg = _query_registry()
-            if args.name not in reg:
-                print(f"unknown query {args.name!r} (see `query --list`)",
-                      file=sys.stderr)
-                return 2
-            res = reg[args.name](args.sf_dir)
+            res = _query_registry()[args.name](args.sf_dir)
             if isinstance(res, pa.Table):
                 tbl = res
             elif hasattr(res, "to_arrow_refs") or hasattr(res, "iter_batches"):

@@ -1976,22 +1976,26 @@ def doc_soft_dedup_weights(sf_dir: str, *, mode: str = "auto",
     """
     from ..stages.shuffle import resolve_mode
 
+    from .. import tune_worker_threads
+
     mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def keyed(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
         h = fnv1a64_arrow(b["text"].combine_chunks()
                           if isinstance(b["text"], pa.ChunkedArray)
                           else b["text"])
         return pa.table({"text_hash": pa.array(h.astype(np.int64)),
                          "doc_id": b["doc_id"]})
 
-    if mode == "shuffle":
+    def shuffle_plan():
         part = hash_partition(
             ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
             ["text_hash"], num_partitions)
 
         def attach(b: pa.Table) -> pa.Table:
+            tune_worker_threads()
             if b.num_rows == 0:
                 return pa.table({"doc_id": pa.array([], pa.int64()),
                                  "dup_count": pa.array([], pa.int64())})
@@ -2004,6 +2008,9 @@ def doc_soft_dedup_weights(sf_dir: str, *, mode: str = "auto",
 
         return part.map_batches(attach, batch_format="pyarrow",
                                 batch_size=None)
+
+    if mode == "shuffle":
+        return shuffle_plan()
 
     # tree regime: bounded distinct-hash table -> broadcast count map
     import ray
@@ -2019,12 +2026,14 @@ def doc_soft_dedup_weights(sf_dir: str, *, mode: str = "auto",
         [pa.table({"text_hash": pa.array([], pa.int64()),
                    "cnt": pa.array([], pa.int64())})]).combine_chunks()
     if counts.num_rows > broadcast_max_keys:
-        raise ValueError(
-            "doc_soft_dedup_weights: distinct-hash table exceeds the "
-            "broadcast cap under tree mode — use mode='shuffle'")
+        # auto must pick a plan that works: a small-bytes input can still
+        # hold a broadcast-unfriendly distinct-hash set — fall back to the
+        # co-located shuffle plan instead of raising
+        return shuffle_plan()
     ref = ray.put(counts)
 
     def attach_bc(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
         counts = ray.get(ref)
         h = fnv1a64_arrow(b["text"].combine_chunks()
                           if isinstance(b["text"], pa.ChunkedArray)

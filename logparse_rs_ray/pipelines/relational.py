@@ -1964,6 +1964,12 @@ def q_rank_customers(sf_dir: str):
     partial = ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
     h = tree_merge(partial, ["c_mktsegment", "cents"], [("cnt", "sum")],
                    fanin=8).to_pandas()
+    if len(h) == 0:  # empty corpus: reduceat on a fabricated segment throws
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_mktsegment": pa.array([], pa.string()),
+                         "bal_rank": pa.array([], pa.int64()),
+                         "bal_dense_rank": pa.array([], pa.int64()),
+                         "n_seg": pa.array([], pa.int64())})
     h = h.sort_values(["c_mktsegment", "cents"]).reset_index(drop=True)
     segs = sorted(h.c_mktsegment.unique())
     seg_code = {s: i for i, s in enumerate(segs)}
@@ -2667,6 +2673,9 @@ def q12_linestatus_priority(sf_dir: str, *, num_partitions: int | None = None):
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus"])
 
     def li_agg(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         g = b.group_by(["l_orderkey", "l_linestatus"]).aggregate(
             [([], "count_all")])
         return g.rename_columns(["l_orderkey", "l_linestatus", "n"])
@@ -2918,14 +2927,16 @@ def q21_waiting_supplier(sf_dir: str, *, top: int = Q21_TOP,
                     columns=["l_orderkey", "l_suppkey", "l_returnflag"])
 
     def pair_partial(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         t = pa.table({
             "l_orderkey": b["l_orderkey"],
             "l_suppkey": b["l_suppkey"],
             "r": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64()),
         })
-        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
-            [("r", "sum"), ([], "count_all")])
-        return g.rename_columns(["l_orderkey", "l_suppkey", "n_r", "n_rows"])
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("r", "sum")])
+        return g.rename_columns(["l_orderkey", "l_suppkey", "n_r"])
 
     pairs = li.map_batches(pair_partial, batch_format="pyarrow",
                            batch_size=None)
@@ -2933,6 +2944,9 @@ def q21_waiting_supplier(sf_dir: str, *, top: int = Q21_TOP,
             if mode == "shuffle" else pairs.repartition(1))
 
     def blame(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         if b.num_rows == 0:
             return pa.table({"l_suppkey": pa.array([], pa.int64()),
                              "numwait": pa.array([], pa.int64())})
@@ -3186,6 +3200,9 @@ def q20_dominant_suppliers(sf_dir: str, *, num_partitions: int = 8,
                     columns=["l_partkey", "l_suppkey", "l_quantity"])
 
     def pair_partial(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         t = pa.table({"l_partkey": b["l_partkey"],
                       "l_suppkey": b["l_suppkey"],
                       "q": pc.cast(pc.round(b["l_quantity"]), pa.int64())})
@@ -3198,6 +3215,9 @@ def q20_dominant_suppliers(sf_dir: str, *, num_partitions: int = 8,
             if mode == "shuffle" else pairs.repartition(1))
 
     def dominate(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         if b.num_rows == 0:
             return pa.table({"l_suppkey": pa.array([], pa.int64()),
                              "n_dominated": pa.array([], pa.int64())})

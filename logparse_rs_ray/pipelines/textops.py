@@ -2368,6 +2368,9 @@ def doc_compressibility(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def compress(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         col = (b["text"].combine_chunks()
                if isinstance(b["text"], pa.ChunkedArray) else b["text"])
         raw = [t.encode() if t is not None else b"" for t in col.to_pylist()]
@@ -2410,6 +2413,9 @@ def doc_bm25_topk(sf_dir: str, *, terms: tuple = BM25_TERMS, k: int = BM25_K):
     term_arr = pa.array(list(terms), pa.string())
 
     def stats_partial(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         toks = pc.utf8_split_whitespace(pc.utf8_lower(b["text"]))
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()

@@ -70,6 +70,15 @@ class TestRankCustomers:
         assert got.bal_dense_rank.tolist() == [1, 1, 2, 3, 1]
         assert got.n_seg.tolist() == [4, 4, 4, 4, 1]
 
+    def test_empty_corpus_keeps_schema(self, tmp_path):
+        from logparse_rs_ray.pipelines.relational import q_rank_customers
+
+        _write(tmp_path, "customer", _customers([]))
+        got = q_rank_customers(str(tmp_path)).to_pandas()
+        assert len(got) == 0
+        assert list(got.columns) == ["c_custkey", "c_mktsegment", "bal_rank",
+                                     "bal_dense_rank", "n_seg"]
+
     def test_matches_duckdb_on_generated(self):
         from logparse_rs_ray.pipelines.relational import (
             Q_RANK_CUSTOMERS_SQL, q_rank_customers)
@@ -576,6 +585,18 @@ class TestSoftDedupWeights:
             got = (doc_soft_dedup_weights(str(tmp_path), mode=mode)
                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
             assert got.dup_count.tolist() == [3, 2, 3, 1, 3, 2]
+
+    def test_auto_falls_back_to_shuffle_over_broadcast_cap(self, tmp_path):
+        from logparse_rs_ray.pipelines.dedup import doc_soft_dedup_weights
+
+        # tree regime with a distinct-hash table over the cap must pick
+        # the co-located shuffle plan, not raise (review finding)
+        _write(tmp_path, "documents",
+               self._docs(["a", "b", "a", "c", "a", "b"]))
+        got = (doc_soft_dedup_weights(str(tmp_path), mode="tree",
+                                      broadcast_max_keys=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got.dup_count.tolist() == [3, 2, 3, 1, 3, 2]
 
     def test_matches_duckdb_on_generated(self):
         from logparse_rs_ray.pipelines.dedup import (
