@@ -1032,9 +1032,11 @@ ORDER BY gap_h
 FUNNEL_STAGES = [(0, "signup"), (1, "click"), (2, "purchase")]
 
 
-def funnel_census_kernel(b: pa.Table) -> pa.Table:
+def funnel_census_kernel(b: pa.Table, window_us: int | None = None) -> pa.Table:
     """Per-partition strict-order funnel census over compact (user_id,
     code, ts) rows; assumes all of a user's rows are co-located.
+    ``window_us`` bounds each stage to land within that interval of the
+    previous stage's timestamp (None = unbounded, the classic funnel).
     Module-level so hypothesis can drive it against a serial oracle."""
     import numpy as np
 
@@ -1061,8 +1063,12 @@ def funnel_census_kernel(b: pa.Table) -> pa.Table:
     # stages 2..n: first strictly-later event of the next code
     for code in range(1, len(stage_names)):
         gate = np.repeat(t_prev, seg_len)
-        t_prev = np.minimum.reduceat(
-            np.where((c == code) & (ts > gate), ts, sentinel), starts)
+        ok = (c == code) & (ts > gate)
+        if window_us is not None:
+            # guard the sentinel: gate+w would overflow for users who
+            # never reached the previous stage
+            ok &= (gate < sentinel) & (ts - gate <= window_us)
+        t_prev = np.minimum.reduceat(np.where(ok, ts, sentinel), starts)
         counts.append(int(np.count_nonzero(t_prev < sentinel)))
     return pa.table({
         "stage_idx": pa.array([i for i, _ in FUNNEL_STAGES], type=pa.int64()),
@@ -1107,6 +1113,69 @@ def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
                         fanin=8)
     return merged.select_columns(["stage_idx", "stage",
                                   "n_users"]).sort("stage_idx")
+
+
+FUNNEL_WINDOW_HOURS = 72
+
+
+def log_funnel_windowed(sf_dir: str, *,
+                        window_hours: int = FUNNEL_WINDOW_HOURS,
+                        num_partitions: int | None = None,
+                        mode: str = "auto"):
+    """(stage_idx, stage, n_users) — the TIME-BOUNDED conversion funnel:
+    like ``log_funnel`` but each stage must land within ``window_hours``
+    of the previous stage's timestamp (the form product analytics
+    actually ships — unbounded funnels overcount wandering-back users).
+
+    Scale shape: identical to ``log_funnel`` (one user-keyed exchange,
+    masked ``minimum.reduceat`` chain per partition, bounded census) —
+    the window is one extra vectorized mask in the shared kernel.
+    """
+    import functools
+
+    stage_names = [s for _, s in FUNNEL_STAGES]
+    w_us = int(window_hours) * 3_600_000_000
+
+    def compact(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.is_in(b["event_type"],
+                                 value_set=pa.array(stage_names)))
+        code = pc.index_in(keep["event_type"],
+                           value_set=pa.array(stage_names))
+        return pa.table({"user_id": keep["user_id"],
+                         "code": pc.cast(code, pa.int8()),
+                         "ts": keep["ts"]})
+
+    rows = _event_exchange(sf_dir, ["user_id", "ts", "event_type"],
+                           num_partitions, mode, transform=compact)
+    kernel = functools.partial(funnel_census_kernel, window_us=w_us)
+    partial = rows.map_batches(kernel, batch_format="pyarrow",
+                               batch_size=None)
+    merged = tree_merge(partial, ["stage_idx", "stage"], [("n_users", "sum")],
+                        fanin=8)
+    return merged.select_columns(["stage_idx", "stage",
+                                  "n_users"]).sort("stage_idx")
+
+
+LOG_FUNNEL_WINDOWED_SQL = f"""
+WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+        AND e.ts <= s.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'signup' AS stage,
+         (SELECT COUNT(*) FROM s) AS n_users
+  UNION ALL
+  SELECT 1, 'click', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT COUNT(*) FROM p)
+) ORDER BY stage_idx
+"""
 
 
 LOG_FUNNEL_SQL = """
@@ -1252,6 +1321,7 @@ ORDER BY user_id
 
 
 QUERIES = {
+    "log_funnel_windowed": log_funnel_windowed,
     "log_burst_census": log_burst_census,
     "log_streaming_window": log_streaming_window,
     "log_sliding_window_counts": log_sliding_window_counts,
@@ -1273,6 +1343,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_funnel_windowed": LOG_FUNNEL_WINDOWED_SQL,
     "log_burst_census": LOG_BURST_CENSUS_SQL,
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,
     "log_sliding_window_counts": LOG_SLIDING_WINDOW_SQL,

@@ -437,6 +437,50 @@ class TestBurstCensus:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWindowedFunnel:
+    def _events(self, rows):
+        """rows: (event_id, user_id, event_type, ts_us)."""
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[3] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+
+    def test_window_boundary_inclusive(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_funnel_windowed
+
+        base = 1_700_000_000_000_000
+        h = 3_600_000_000
+        rows = [
+            # user 1 converts exactly AT the 72h edge (inclusive <=)
+            (1, 1, "signup", base), (2, 1, "click", base + 72 * h),
+            # user 2 clicks one µs past the edge -> not converted
+            (3, 2, "signup", base), (4, 2, "click", base + 72 * h + 1),
+            # user 3 full chain inside windows
+            (5, 3, "signup", base), (6, 3, "click", base + h),
+            (7, 3, "purchase", base + 2 * h),
+        ]
+        pq.write_table(self._events(rows), tmp_path / "events.parquet")
+        for mode in ("tree", "shuffle"):
+            got = log_funnel_windowed(str(tmp_path), mode=mode).to_pandas()
+            assert got.n_users.tolist() == [3, 2, 1]
+
+    def test_window_tighter_than_unbounded_on_generated(self):
+        from logparse_rs_ray.pipelines.windows import (
+            LOG_FUNNEL_WINDOWED_SQL, log_funnel, log_funnel_windowed)
+
+        wf = log_funnel_windowed(SF).to_pandas()
+        want = _duck(SF, ["events"], LOG_FUNNEL_WINDOWED_SQL)
+        assert wf.values.tolist() == want.values.tolist()
+        uf = log_funnel(SF).to_pandas()
+        assert (wf.n_users <= uf.n_users).all()
+        assert wf.n_users.iloc[0] == uf.n_users.iloc[0]  # stage 1 unbounded
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestCompressibility:
     def test_matches_serial_zlib(self):
         import zlib
