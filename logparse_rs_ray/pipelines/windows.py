@@ -1263,49 +1263,57 @@ def log_burst_census(sf_dir: str, *, window_s: int = BURST_WINDOW_S,
     then a per-user ``maximum.reduceat``.  No per-user loop; output is
     per-user and sortless.
     """
-    import numpy as np
+    import functools
 
-    from .. import tune_worker_threads
     from ..stages.shuffle import hash_partition, resolve_mode
 
     mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     part = (hash_partition(ds, ["user_id"], num_partitions)
             if mode == "shuffle" else ds.repartition(1))
-    w_us = np.int64(window_s) * 1_000_000
+    kernel = functools.partial(burst_census_kernel,
+                               window_us=int(window_s) * 1_000_000)
+    return part.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
-    def burst(b: pa.Table) -> pa.Table:
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "max_burst": pa.array([], pa.int64())})
-        user = np.asarray(b["user_id"], dtype=np.int64)
-        ts = (b["ts"].combine_chunks()
-              if isinstance(b["ts"], pa.ChunkedArray)
-              else b["ts"]).cast(pa.int64()).to_numpy()
-        order = np.lexsort((ts, user))
-        u_s, t_s = user[order], ts[order]
-        t_rel = t_s - t_s.min()
-        span = np.int64(t_rel.max()) + w_us + 2
-        codes = np.cumsum(np.concatenate(([0], (u_s[1:] != u_s[:-1])
-                                          .astype(np.int64))))
-        n_users = int(codes[-1]) + 1
-        # int64 headroom guard: the composite pack needs codes*span < 2^63
-        if span > 0 and n_users > (np.iinfo(np.int64).max // span):
-            raise ValueError("log_burst_census: partition time span x "
-                             "distinct users overflows the composite key — "
-                             "raise num_partitions")
-        key = codes * span + t_rel
-        lo = np.searchsorted(key, key - w_us, side="left")
-        hi = np.searchsorted(key, key, side="right")
-        cnt = hi - lo
-        starts = np.concatenate(([True], u_s[1:] != u_s[:-1]))
-        seg_idx = np.nonzero(starts)[0]
-        mx = np.maximum.reduceat(cnt, seg_idx)
-        return pa.table({"user_id": pa.array(u_s[seg_idx]),
-                         "max_burst": pa.array(mx.astype(np.int64))})
 
-    return part.map_batches(burst, batch_format="pyarrow", batch_size=None)
+def burst_census_kernel(b: pa.Table, window_us: int) -> pa.Table:
+    """Per-partition trailing-window max-count kernel over co-located
+    (user_id, ts) rows (RANGE semantics incl. equal-ts peers).
+    Module-level so hypothesis can drive it against a brute-force oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    w_us = np.int64(window_us)
+    if b.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "max_burst": pa.array([], pa.int64())})
+    user = np.asarray(b["user_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks()
+          if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    order = np.lexsort((ts, user))
+    u_s, t_s = user[order], ts[order]
+    t_rel = t_s - t_s.min()
+    span = np.int64(t_rel.max()) + w_us + 2
+    codes = np.cumsum(np.concatenate(([0], (u_s[1:] != u_s[:-1])
+                                      .astype(np.int64))))
+    n_users = int(codes[-1]) + 1
+    # int64 headroom guard: the composite pack needs codes*span < 2^63
+    if span > 0 and n_users > (np.iinfo(np.int64).max // span):
+        raise ValueError("log_burst_census: partition time span x "
+                         "distinct users overflows the composite key — "
+                         "raise num_partitions")
+    key = codes * span + t_rel
+    lo = np.searchsorted(key, key - w_us, side="left")
+    hi = np.searchsorted(key, key, side="right")
+    cnt = hi - lo
+    starts = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+    seg_idx = np.nonzero(starts)[0]
+    mx = np.maximum.reduceat(cnt, seg_idx)
+    return pa.table({"user_id": pa.array(u_s[seg_idx]),
+                     "max_burst": pa.array(mx.astype(np.int64))})
 
 
 LOG_BURST_CENSUS_SQL = f"""

@@ -165,3 +165,29 @@ class TestPassageKernelProperties:
             assert list(pid[k:k + len(expect)]) == list(range(len(expect)))
             k += len(expect)
         assert k == len(flat)
+
+
+class TestBurstKernelProperties:
+    @given(st.lists(st.tuples(st.integers(0, 4),           # user
+                              st.integers(0, 200)),        # ts (µs scale)
+                    min_size=1, max_size=60),
+           st.integers(1, 50))                             # window µs
+    @settings(max_examples=120, deadline=None)
+    def test_burst_kernel_matches_brute_force(self, rows, w):
+        """Composite-key double-searchsorted RANGE counting == O(n²)
+        brute force, on arbitrary users/timestamps incl. equal-ts peers
+        and cross-user adjacency (the packing's leakage risk)."""
+        from logparse_rs_ray.pipelines.windows import burst_census_kernel
+
+        b = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        })
+        got = burst_census_kernel(b, window_us=w)
+        got_map = dict(zip(got["user_id"].to_pylist(),
+                           got["max_burst"].to_pylist()))
+        want: dict[int, int] = {}
+        for u, t in rows:
+            n = sum(1 for uu, tt in rows if uu == u and t - w <= tt <= t)
+            want[u] = max(want.get(u, 0), n)
+        assert got_map == want
