@@ -1631,42 +1631,50 @@ def q_range_window_revenue(sf_dir: str, *, window_days: int = RANGE_WINDOW_DAYS,
     part = (hash_partition(ds, ["o_custkey"], num_partitions)
             if mode == "shuffle" else ds.repartition(1))
 
-    day_shift = np.int64(1) << 22  # day index must stay below this
+    import functools
 
-    def window(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "o_custkey": pa.array([], pa.int64()),
-                             "rev30_cents": pa.array([], pa.int64())})
-        ok = np.asarray(b["o_orderkey"], dtype=np.int64)
-        cust = np.asarray(b["o_custkey"], dtype=np.int64)
-        ts = (b["o_orderdate"].combine_chunks()
-              if isinstance(b["o_orderdate"], pa.ChunkedArray)
-              else b["o_orderdate"]).cast(pa.int64()).to_numpy()
-        day = ts // 86_400_000_000  # midnight-exact dates -> exact day index
-        assert day.max() < day_shift and day.min() >= 0, "day index overflow"
-        assert cust.max() < (np.int64(1) << 40), "custkey overflows key pack"
-        cents = np.asarray(_cents(b["o_totalprice"]), dtype=np.int64)
-
-        order = np.lexsort((day, cust))
-        ok_s, cust_s, day_s, cents_s = (ok[order], cust[order], day[order],
-                                        cents[order])
-        key = cust_s * day_shift + day_s
-        cum = np.concatenate([[0], np.cumsum(cents_s)])
-        lo = np.searchsorted(key, cust_s * day_shift
-                             + np.maximum(day_s - window_days, 0), "left")
-        hi = np.searchsorted(key, key, "right")
-        rev = cum[hi] - cum[lo]
-        return pa.table({"o_orderkey": pa.array(ok_s),
-                         "o_custkey": pa.array(cust_s),
-                         "rev30_cents": pa.array(rev.astype(np.int64))})
-
+    kernel = functools.partial(range_window_kernel, window_days=window_days)
     # no trailing sort: one row per order — the gate compares
     # order-insensitively, a global sort would be an all-to-all for nothing
-    return part.map_batches(window, batch_format="pyarrow", batch_size=None)
+    return part.map_batches(kernel, batch_format="pyarrow", batch_size=None)
+
+
+def range_window_kernel(b: pa.Table, window_days: int) -> pa.Table:
+    """Per-partition trailing-RANGE revenue kernel over co-located
+    (orderkey, custkey, date, price) rows, date peers included.
+    Module-level so hypothesis can drive it against a brute-force oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    day_shift = np.int64(1) << 22  # day index must stay below this
+    if b.num_rows == 0:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64()),
+                         "rev30_cents": pa.array([], pa.int64())})
+    ok = np.asarray(b["o_orderkey"], dtype=np.int64)
+    cust = np.asarray(b["o_custkey"], dtype=np.int64)
+    ts = (b["o_orderdate"].combine_chunks()
+          if isinstance(b["o_orderdate"], pa.ChunkedArray)
+          else b["o_orderdate"]).cast(pa.int64()).to_numpy()
+    day = ts // 86_400_000_000  # midnight-exact dates -> exact day index
+    assert day.max() < day_shift and day.min() >= 0, "day index overflow"
+    assert cust.max() < (np.int64(1) << 40), "custkey overflows key pack"
+    cents = np.asarray(_cents(b["o_totalprice"]), dtype=np.int64)
+
+    order = np.lexsort((day, cust))
+    ok_s, cust_s, day_s, cents_s = (ok[order], cust[order], day[order],
+                                    cents[order])
+    key = cust_s * day_shift + day_s
+    cum = np.concatenate([[0], np.cumsum(cents_s)])
+    lo = np.searchsorted(key, cust_s * day_shift
+                         + np.maximum(day_s - window_days, 0), "left")
+    hi = np.searchsorted(key, key, "right")
+    rev = cum[hi] - cum[lo]
+    return pa.table({"o_orderkey": pa.array(ok_s),
+                     "o_custkey": pa.array(cust_s),
+                     "rev30_cents": pa.array(rev.astype(np.int64))})
 
 
 Q_RANGE_WINDOW_SQL = f"""
@@ -1932,6 +1940,42 @@ ORDER BY c.c_mktsegment
 
 # --- RANK / DENSE_RANK without a corpus sort --------------------------------
 
+def rank_maps_from_histogram(h):
+    """Descending RANK / DENSE_RANK / COUNT maps from a (segment, cents,
+    cnt) value histogram: for each distinct (segment, value) row, rank =
+    1 + rows-with-larger-value-in-segment, dense = distinct-larger + 1.
+    Returns (packed keys sorted asc, rank, dense, n_seg, segments).
+    Module-level so hypothesis can drive it against a brute-force oracle.
+    """
+    import numpy as np
+
+    h = h.sort_values(["c_mktsegment", "cents"]).reset_index(drop=True)
+    segs = sorted(h.c_mktsegment.unique())
+    seg_code = {s: i for i, s in enumerate(segs)}
+    cnt = h.cnt.to_numpy(dtype=np.int64)
+    si = h.c_mktsegment.map(seg_code).to_numpy(dtype=np.int64)
+    cents = h.cents.to_numpy(dtype=np.int64)
+    offset = np.int64(1) << 31
+    if cnt.size and (cents.max() + offset >= (1 << 32)
+                     or cents.min() + offset < 0):
+        raise ValueError("q_rank_customers: acctbal cents outside the "
+                         "(seg << 32) | (cents + 2^31) key packing range")
+    starts = np.concatenate(([True], si[1:] != si[:-1]))
+    seg_idx = np.nonzero(starts)[0]
+    n_seg = np.add.reduceat(cnt, seg_idx)[np.cumsum(starts) - 1]
+    cum = np.cumsum(cnt)                         # rows <= this value, global
+    grp_base = np.maximum.accumulate(np.where(starts, cum - cnt, 0))
+    cum_in_seg = cum - grp_base                  # rows <= value, in segment
+    rank = n_seg - cum_in_seg + 1                # 1 + larger-in-segment
+    pos_in_seg = np.arange(len(cnt)) - np.maximum.accumulate(
+        np.where(starts, np.arange(len(cnt)), 0))
+    n_distinct = np.add.reduceat(np.ones(len(cnt), dtype=np.int64),
+                                 seg_idx)[np.cumsum(starts) - 1]
+    dense = n_distinct - pos_in_seg              # distinct larger + 1
+    keys = (si << 32) | (cents + offset)
+    return keys, rank, dense, n_seg, segs
+
+
 def q_rank_customers(sf_dir: str):
     """(c_custkey, c_mktsegment, bal_rank, bal_dense_rank, n_seg) — RANK()
     and DENSE_RANK() of each customer's balance (descending) within its
@@ -1970,30 +2014,8 @@ def q_rank_customers(sf_dir: str):
                          "bal_rank": pa.array([], pa.int64()),
                          "bal_dense_rank": pa.array([], pa.int64()),
                          "n_seg": pa.array([], pa.int64())})
-    h = h.sort_values(["c_mktsegment", "cents"]).reset_index(drop=True)
-    segs = sorted(h.c_mktsegment.unique())
-    seg_code = {s: i for i, s in enumerate(segs)}
-    cnt = h.cnt.to_numpy(dtype=np.int64)
-    si = h.c_mktsegment.map(seg_code).to_numpy(dtype=np.int64)
-    cents = h.cents.to_numpy(dtype=np.int64)
-    offset = np.int64(1) << 31
-    if cnt.size and (cents.max() + offset >= (1 << 32)
-                     or cents.min() + offset < 0):
-        raise ValueError("q_rank_customers: acctbal cents outside the "
-                         "(seg << 32) | (cents + 2^31) key packing range")
-    starts = np.concatenate(([True], si[1:] != si[:-1]))
-    seg_idx = np.nonzero(starts)[0]
-    n_seg = np.add.reduceat(cnt, seg_idx)[np.cumsum(starts) - 1]
-    cum = np.cumsum(cnt)                         # rows <= this value, global
-    grp_base = np.maximum.accumulate(np.where(starts, cum - cnt, 0))
-    cum_in_seg = cum - grp_base                  # rows <= value, in segment
-    rank = n_seg - cum_in_seg + 1                # 1 + larger-in-segment
-    pos_in_seg = np.arange(len(cnt)) - np.maximum.accumulate(
-        np.where(starts, np.arange(len(cnt)), 0))
-    n_distinct = np.add.reduceat(starts.astype(np.int64) * 0 + 1, seg_idx)[
-        np.cumsum(starts) - 1]
-    dense = n_distinct - pos_in_seg              # distinct larger + 1
-    keys = (si << 32) | (cents + offset)
+    keys, rank, dense, n_seg, segs = rank_maps_from_histogram(h)
+    offset = np.int64(1) << 31  # must match rank_maps_from_histogram's pack
     ref = ray.put((keys, rank, dense, n_seg, segs))
 
     def assign(b: pa.Table) -> pa.Table:

@@ -191,3 +191,68 @@ class TestBurstKernelProperties:
             n = sum(1 for uu, tt in rows if uu == u and t - w <= tt <= t)
             want[u] = max(want.get(u, 0), n)
         assert got_map == want
+
+
+class TestRangeWindowKernelProperties:
+    @given(st.lists(st.tuples(st.integers(0, 3),            # custkey
+                              st.integers(0, 40),           # day index
+                              st.integers(0, 500)),         # price (cents/100)
+                    min_size=1, max_size=50),
+           st.integers(1, 15))                              # window days
+    @settings(max_examples=100, deadline=None)
+    def test_range_window_matches_brute_force(self, rows, w):
+        """Composite-key prefix-sum RANGE framing == O(n²) brute force,
+        incl. equal-date peers sharing one frame and adjacent customers."""
+        import datetime
+
+        from logparse_rs_ray.pipelines.relational import range_window_kernel
+
+        base = datetime.datetime(2020, 1, 1)
+        b = pa.table({
+            "o_orderkey": pa.array(range(len(rows)), type=pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "o_orderdate": pa.array(
+                [base + datetime.timedelta(days=r[1]) for r in rows],
+                type=pa.timestamp("us")),
+            "o_totalprice": pa.array([float(r[2]) for r in rows]),
+        })
+        got = range_window_kernel(b, window_days=w)
+        got_map = dict(zip(got["o_orderkey"].to_pylist(),
+                           got["rev30_cents"].to_pylist()))
+        for i, (cu, d, p) in enumerate(rows):
+            want = sum(pp * 100 for (cc, dd, pp) in rows
+                       if cc == cu and d - w <= dd <= d)
+            assert got_map[i] == want, (i, rows, w)
+
+
+class TestRankMapProperties:
+    @given(st.lists(st.tuples(st.sampled_from(["A", "B", "C"]),
+                              st.integers(-100, 100)),      # cents
+                    min_size=1, max_size=40))
+    @settings(max_examples=120, deadline=None)
+    def test_rank_maps_match_brute_force(self, rows):
+        """Histogram-derived descending RANK / DENSE_RANK / COUNT maps ==
+        per-row brute force, incl. ties, negatives and singleton segments."""
+        from collections import Counter
+
+        import pandas as pd
+
+        from logparse_rs_ray.pipelines.relational import \
+            rank_maps_from_histogram
+
+        hist = Counter(rows)
+        h = pd.DataFrame([(seg, cents, n)
+                          for (seg, cents), n in hist.items()],
+                         columns=["c_mktsegment", "cents", "cnt"])
+        keys, rank, dense, n_seg, segs = rank_maps_from_histogram(h)
+        seg_code = {s: i for i, s in enumerate(segs)}
+        offset = np.int64(1) << 31
+        for seg, cents in set(rows):
+            k = (np.int64(seg_code[seg]) << 32) | (cents + offset)
+            pos = np.searchsorted(keys, k)
+            in_seg = [c for s2, c in rows if s2 == seg]
+            want_rank = 1 + sum(1 for c in in_seg if c > cents)
+            want_dense = 1 + len({c for c in in_seg if c > cents})
+            assert rank[pos] == want_rank, (seg, cents, rows)
+            assert dense[pos] == want_dense, (seg, cents, rows)
+            assert n_seg[pos] == len(in_seg)
