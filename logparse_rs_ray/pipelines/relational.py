@@ -1620,7 +1620,7 @@ def q_range_window_revenue(sf_dir: str, *, window_days: int = RANGE_WINDOW_DAYS,
     vectorized ``searchsorted`` calls over composite ``cust * 2^22 + day``
     keys — no per-customer Python loop.  Output is corpus-∝ and sortless.
     """
-    import numpy as np
+    import functools
 
     from ..stages.shuffle import hash_partition, resolve_mode
 
@@ -1630,9 +1630,6 @@ def q_range_window_revenue(sf_dir: str, *, window_days: int = RANGE_WINDOW_DAYS,
                              "o_totalprice"])
     part = (hash_partition(ds, ["o_custkey"], num_partitions)
             if mode == "shuffle" else ds.repartition(1))
-
-    import functools
-
     kernel = functools.partial(range_window_kernel, window_days=window_days)
     # no trailing sort: one row per order — the gate compares
     # order-insensitively, a global sort would be an all-to-all for nothing

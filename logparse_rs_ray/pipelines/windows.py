@@ -1094,9 +1094,20 @@ def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
     3 rows per partition, tree-merged.  Below the auto-mode threshold the
     input collapses to one block (same kernel, no shuffle actors).
     """
+    return _funnel(sf_dir, None, num_partitions, mode)
+
+
+def _funnel(sf_dir: str, window_us: int | None, num_partitions, mode):
+    """Shared funnel pipeline: compact -> user exchange -> reduceat
+    kernel (optionally window-bounded) -> bounded census."""
+    import functools
+
     stage_names = [s for _, s in FUNNEL_STAGES]
 
     def compact(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         keep = b.filter(pc.is_in(b["event_type"],
                                  value_set=pa.array(stage_names)))
         code = pc.index_in(keep["event_type"],
@@ -1107,7 +1118,9 @@ def log_funnel(sf_dir: str, *, num_partitions: int | None = None,
 
     rows = _event_exchange(sf_dir, ["user_id", "ts", "event_type"],
                            num_partitions, mode, transform=compact)
-    partial = rows.map_batches(funnel_census_kernel, batch_format="pyarrow",
+    kernel = (funnel_census_kernel if window_us is None else
+              functools.partial(funnel_census_kernel, window_us=window_us))
+    partial = rows.map_batches(kernel, batch_format="pyarrow",
                                batch_size=None)
     merged = tree_merge(partial, ["stage_idx", "stage"], [("n_users", "sum")],
                         fanin=8)
@@ -1131,29 +1144,8 @@ def log_funnel_windowed(sf_dir: str, *,
     masked ``minimum.reduceat`` chain per partition, bounded census) —
     the window is one extra vectorized mask in the shared kernel.
     """
-    import functools
-
-    stage_names = [s for _, s in FUNNEL_STAGES]
-    w_us = int(window_hours) * 3_600_000_000
-
-    def compact(b: pa.Table) -> pa.Table:
-        keep = b.filter(pc.is_in(b["event_type"],
-                                 value_set=pa.array(stage_names)))
-        code = pc.index_in(keep["event_type"],
-                           value_set=pa.array(stage_names))
-        return pa.table({"user_id": keep["user_id"],
-                         "code": pc.cast(code, pa.int8()),
-                         "ts": keep["ts"]})
-
-    rows = _event_exchange(sf_dir, ["user_id", "ts", "event_type"],
-                           num_partitions, mode, transform=compact)
-    kernel = functools.partial(funnel_census_kernel, window_us=w_us)
-    partial = rows.map_batches(kernel, batch_format="pyarrow",
-                               batch_size=None)
-    merged = tree_merge(partial, ["stage_idx", "stage"], [("n_users", "sum")],
-                        fanin=8)
-    return merged.select_columns(["stage_idx", "stage",
-                                  "n_users"]).sort("stage_idx")
+    return _funnel(sf_dir, int(window_hours) * 3_600_000_000,
+                   num_partitions, mode)
 
 
 LOG_FUNNEL_WINDOWED_SQL = f"""
