@@ -2962,33 +2962,8 @@ def q21_waiting_supplier(sf_dir: str, *, top: int = Q21_TOP,
     part = (hash_partition(pairs, ["l_orderkey"], num_partitions)
             if mode == "shuffle" else pairs.repartition(1))
 
-    def blame(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({"l_suppkey": pa.array([], pa.int64()),
-                             "numwait": pa.array([], pa.int64())})
-        # finish the pair merge (co-located by orderkey)
-        g = b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
-            [("n_r", "sum")])
-        ok = np.asarray(g["l_orderkey"], dtype=np.int64)
-        sk = np.asarray(g["l_suppkey"], dtype=np.int64)
-        nr = np.asarray(g["n_r_sum"], dtype=np.int64)
-        order = np.argsort(ok, kind="stable")
-        ok, sk, nr = ok[order], sk[order], nr[order]
-        starts = np.concatenate(([True], ok[1:] != ok[:-1]))
-        seg = np.cumsum(starts) - 1
-        seg_idx = np.nonzero(starts)[0]
-        n_supp = np.add.reduceat(np.ones_like(ok), seg_idx)
-        n_supp_r = np.add.reduceat((nr > 0).astype(np.int64), seg_idx)
-        qual = (nr > 0) & (n_supp[seg] >= 2) & (n_supp_r[seg] == 1)
-        t = pa.table({"l_suppkey": pa.array(sk[qual]),
-                      "numwait": pa.array(nr[qual])})
-        g2 = t.group_by(["l_suppkey"]).aggregate([("numwait", "sum")])
-        return g2.rename_columns(["l_suppkey", "numwait"])
-
-    census = part.map_batches(blame, batch_format="pyarrow", batch_size=None)
+    census = part.map_batches(blame_census_kernel, batch_format="pyarrow",
+                              batch_size=None)
     merged = pa.concat_tables(list(
         tree_merge(census, ["l_suppkey"], [("numwait", "sum")], fanin=8)
         .iter_batches(batch_format="pyarrow", batch_size=None)) or
@@ -3001,6 +2976,39 @@ def q21_waiting_supplier(sf_dir: str, *, top: int = Q21_TOP,
     idx = pc.sort_indices(out, sort_keys=[("numwait", "descending"),
                                           ("s_name", "ascending")])
     return out.take(idx).slice(0, top)  # bounded; schema survives 0 rows
+
+
+def blame_census_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition Q21 blame kernel over co-located (orderkey, suppkey,
+    n_r) pair partials: a supplier is blamed for its returned rows in a
+    multi-supplier order where it is the ONLY supplier with a return.
+    Module-level so hypothesis can drive it against a brute-force oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                         "numwait": pa.array([], pa.int64())})
+    # finish the pair merge (co-located by orderkey)
+    g = b.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+        [("n_r", "sum")])
+    ok = np.asarray(g["l_orderkey"], dtype=np.int64)
+    sk = np.asarray(g["l_suppkey"], dtype=np.int64)
+    nr = np.asarray(g["n_r_sum"], dtype=np.int64)
+    order = np.argsort(ok, kind="stable")
+    ok, sk, nr = ok[order], sk[order], nr[order]
+    starts = np.concatenate(([True], ok[1:] != ok[:-1]))
+    seg = np.cumsum(starts) - 1
+    seg_idx = np.nonzero(starts)[0]
+    n_supp = np.add.reduceat(np.ones_like(ok), seg_idx)
+    n_supp_r = np.add.reduceat((nr > 0).astype(np.int64), seg_idx)
+    qual = (nr > 0) & (n_supp[seg] >= 2) & (n_supp_r[seg] == 1)
+    t = pa.table({"l_suppkey": pa.array(sk[qual]),
+                  "numwait": pa.array(nr[qual])})
+    g2 = t.group_by(["l_suppkey"]).aggregate([("numwait", "sum")])
+    return g2.rename_columns(["l_suppkey", "numwait"])
 
 
 Q21_WAITING_SUPPLIER_SQL = f"""
@@ -3233,33 +3241,8 @@ def q20_dominant_suppliers(sf_dir: str, *, num_partitions: int = 8,
     part = (hash_partition(pairs, ["l_partkey"], num_partitions)
             if mode == "shuffle" else pairs.repartition(1))
 
-    def dominate(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        if b.num_rows == 0:
-            return pa.table({"l_suppkey": pa.array([], pa.int64()),
-                             "n_dominated": pa.array([], pa.int64())})
-        g = b.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
-        pk = np.asarray(g["l_partkey"], dtype=np.int64)
-        sk = np.asarray(g["l_suppkey"], dtype=np.int64)
-        q = np.asarray(g["q_sum"], dtype=np.int64)
-        order = np.argsort(pk, kind="stable")
-        pk, sk, q = pk[order], sk[order], q[order]
-        starts = np.concatenate(([True], pk[1:] != pk[:-1]))
-        seg = np.cumsum(starts) - 1
-        seg_idx = np.nonzero(starts)[0]
-        tot = np.add.reduceat(q, seg_idx)
-        ns = np.add.reduceat(np.ones_like(q), seg_idx)
-        qual = q * ns[seg] > Q20_FAIR_MULT * tot[seg]
-        t = pa.table({"l_suppkey": pa.array(sk[qual]),
-                      "one": pa.array(np.ones(int(qual.sum()),
-                                              dtype=np.int64))})
-        g2 = t.group_by(["l_suppkey"]).aggregate([("one", "sum")])
-        return g2.rename_columns(["l_suppkey", "n_dominated"])
-
-    census = part.map_batches(dominate, batch_format="pyarrow",
-                              batch_size=None)
+    census = part.map_batches(dominate_census_kernel,
+                              batch_format="pyarrow", batch_size=None)
     merged = pa.concat_tables(list(
         tree_merge(census, ["l_suppkey"], [("n_dominated", "sum")], fanin=8)
         .iter_batches(batch_format="pyarrow", batch_size=None)) or
@@ -3273,6 +3256,38 @@ def q20_dominant_suppliers(sf_dir: str, *, num_partitions: int = 8,
     idx = pc.sort_indices(out, sort_keys=[("n_dominated", "descending"),
                                           ("s_suppkey", "ascending")])
     return out.take(idx)  # bounded; schema survives 0 rows
+
+
+def dominate_census_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition Q20 dominance kernel over co-located (partkey,
+    suppkey, q) pair partials: dominant = share above Q20_FAIR_MULT x the
+    fair 1/n share (``q * n_supp > MULT * total`` exact in integers).
+    Module-level so hypothesis can drive it against a brute-force oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                         "n_dominated": pa.array([], pa.int64())})
+    g = b.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+    pk = np.asarray(g["l_partkey"], dtype=np.int64)
+    sk = np.asarray(g["l_suppkey"], dtype=np.int64)
+    q = np.asarray(g["q_sum"], dtype=np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk, sk, q = pk[order], sk[order], q[order]
+    starts = np.concatenate(([True], pk[1:] != pk[:-1]))
+    seg = np.cumsum(starts) - 1
+    seg_idx = np.nonzero(starts)[0]
+    tot = np.add.reduceat(q, seg_idx)
+    ns = np.add.reduceat(np.ones_like(q), seg_idx)
+    qual = q * ns[seg] > Q20_FAIR_MULT * tot[seg]
+    t = pa.table({"l_suppkey": pa.array(sk[qual]),
+                  "one": pa.array(np.ones(int(qual.sum()),
+                                          dtype=np.int64))})
+    g2 = t.group_by(["l_suppkey"]).aggregate([("one", "sum")])
+    return g2.rename_columns(["l_suppkey", "n_dominated"])
 
 
 Q20_DOMINANT_SUPPLIERS_SQL = f"""

@@ -256,3 +256,70 @@ class TestRankMapProperties:
             assert rank[pos] == want_rank, (seg, cents, rows)
             assert dense[pos] == want_dense, (seg, cents, rows)
             assert n_seg[pos] == len(in_seg)
+
+
+class TestBlameDominateKernelProperties:
+    @given(st.lists(st.tuples(st.integers(0, 6),            # orderkey
+                              st.integers(0, 3),            # suppkey
+                              st.booleans()),               # returned?
+                    min_size=1, max_size=50))
+    @settings(max_examples=120, deadline=None)
+    def test_blame_kernel_matches_brute_force(self, rows):
+        """Q21 blame (sole returner in a multi-supplier order) == brute
+        force, incl. partial pair-merge inputs (duplicate pair rows)."""
+        from collections import Counter
+
+        from logparse_rs_ray.pipelines.relational import blame_census_kernel
+
+        b = pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_r": pa.array([int(r[2]) for r in rows], type=pa.int64()),
+        })
+        got = blame_census_kernel(b)
+        got_map = dict(zip(got["l_suppkey"].to_pylist(),
+                           got["numwait"].to_pylist()))
+        nr: Counter = Counter()
+        for o, s2, r in rows:
+            nr[(o, s2)] += int(r)
+        want: Counter = Counter()
+        orders = {o for o, _, _ in rows}
+        for o in orders:
+            supps = {s2 for (oo, s2) in nr if oo == o}
+            returners = [s2 for s2 in supps if nr[(o, s2)] > 0]
+            if len(supps) >= 2 and len(returners) == 1:
+                want[returners[0]] += nr[(o, returners[0])]
+        assert got_map == dict(want)
+
+    @given(st.lists(st.tuples(st.integers(0, 5),            # partkey
+                              st.integers(0, 3),            # suppkey
+                              st.integers(1, 20)),          # qty
+                    min_size=1, max_size=50))
+    @settings(max_examples=120, deadline=None)
+    def test_dominate_kernel_matches_brute_force(self, rows):
+        """Q20 fair-share dominance == brute force, incl. the exact
+        equality boundary (strict >) and partial pair-merge inputs."""
+        from collections import Counter
+
+        from logparse_rs_ray.pipelines.relational import (
+            Q20_FAIR_MULT, dominate_census_kernel)
+
+        b = pa.table({
+            "l_partkey": pa.array([r[0] for r in rows], type=pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], type=pa.int64()),
+            "q": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
+        got = dominate_census_kernel(b)
+        got_map = dict(zip(got["l_suppkey"].to_pylist(),
+                           got["n_dominated"].to_pylist()))
+        qsum: Counter = Counter()
+        for p2, s2, q in rows:
+            qsum[(p2, s2)] += q
+        want: Counter = Counter()
+        for p2 in {p for p, _, _ in rows}:
+            pairs = {s2: q for (pp, s2), q in qsum.items() if pp == p2}
+            tot = sum(pairs.values())
+            for s2, q in pairs.items():
+                if q * len(pairs) > Q20_FAIR_MULT * tot:
+                    want[s2] += 1
+        assert got_map == dict(want)
