@@ -323,3 +323,42 @@ class TestBlameDominateKernelProperties:
                 if q * len(pairs) > Q20_FAIR_MULT * tot:
                     want[s2] += 1
         assert got_map == dict(want)
+
+
+class TestFunnelKernelProperties:
+    @given(st.lists(st.tuples(st.integers(0, 3),            # user
+                              st.integers(0, 2),            # stage code
+                              st.integers(0, 100)),         # ts
+                    min_size=1, max_size=40),
+           st.one_of(st.none(), st.integers(1, 30)))        # window or None
+    @settings(max_examples=120, deadline=None)
+    def test_funnel_kernel_matches_brute_force(self, rows, w):
+        """Masked-reduceat funnel chain (unbounded AND windowed) == per-user
+        brute force, incl. same-ts stage collisions and missing stages."""
+        from logparse_rs_ray.pipelines.windows import funnel_census_kernel
+
+        b = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "code": pa.array([r[1] for r in rows], type=pa.int8()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        })
+        got = funnel_census_kernel(b, window_us=w)
+        got_counts = dict(zip(got["stage"].to_pylist(),
+                              got["n_users"].to_pylist()))
+        want = [0, 0, 0]
+        for u in {r[0] for r in rows}:
+            ev = [(c, t) for uu, c, t in rows if uu == u]
+            t_prev = min((t for c, t in ev if c == 0), default=None)
+            if t_prev is None:
+                continue
+            want[0] += 1
+            for stage in (1, 2):
+                cand = [t for c, t in ev if c == stage and t > t_prev
+                        and (w is None or t - t_prev <= w)]
+                if not cand:
+                    t_prev = None
+                    break
+                t_prev = min(cand)
+                want[stage] += 1
+        assert [got_counts["signup"], got_counts["click"],
+                got_counts["purchase"]] == want, (rows, w)
