@@ -2499,7 +2499,65 @@ def doc_bm25_topk(sf_dir: str, *, terms: tuple = BM25_TERMS, k: int = BM25_K):
                                            batch_size=None)
 
 
+# --- deterministic train/val/test split --------------------------------------
+
+SPLIT_SALT = 999
+SPLIT_TRAIN_PML = 800   # [0, 800) train
+SPLIT_VAL_PML = 900     # [800, 900) val, [900, 1000) test
+
+
+def doc_split_assign(sf_dir: str, *, salt: int = SPLIT_SALT):
+    """(doc_id, source, split) — deterministic 80/10/10 train/val/test
+    assignment by a salted Knuth hash of the doc id: the canonical
+    leakage-safe ML split (membership is a pure function of the id, so
+    every pipeline stage and engine re-derives the same split — no RNG
+    state, no split files to ship).
+
+    Scale shape: embarrassingly parallel, zero shuffle, one corpus pass,
+    per-doc sortless output.  Arithmetic stays in [0, 2^64) and mirrors
+    the SQL twin exactly (ids fold mod 2^32 before the multiply — the
+    ``doc_weighted_sample`` contract).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    mask32 = np.uint64((1 << 32) - 1)
+    names = pa.array(["train", "val", "test"], pa.string())
+
+    def assign(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        ids = np.asarray(b["doc_id"], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = (((ids + np.uint64(salt)) & mask32)
+                 * np.uint64(SHUFFLE_KNUTH)) & mask32
+        bucket = (h % np.uint64(1000)).astype(np.int64)
+        code = np.full(len(bucket), 2, dtype=np.int64)
+        code[bucket < SPLIT_VAL_PML] = 1
+        code[bucket < SPLIT_TRAIN_PML] = 0
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "split": pc.take(names, pa.array(code)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+DOC_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id, source,
+       CASE WHEN b < {SPLIT_TRAIN_PML} THEN 'train'
+            WHEN b < {SPLIT_VAL_PML} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             (CAST((doc_id + {SPLIT_SALT}) % 4294967296 AS HUGEINT)
+              * {SHUFFLE_KNUTH}) % 4294967296 % 1000 AS b
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_split_assign": doc_split_assign,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_compressibility": doc_compressibility,
     "doc_quality": doc_quality,
@@ -2535,6 +2593,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "doc_split_assign": DOC_SPLIT_ASSIGN_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_quality_classifier": DOC_QUALITY_CLASSIFIER_SQL,
     "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,

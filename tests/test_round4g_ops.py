@@ -610,6 +610,33 @@ class TestMinhashAccuracy:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSplitAssign:
+    def test_matches_duckdb_and_proportions(self):
+        from logparse_rs_ray.pipelines.textops import (
+            DOC_SPLIT_ASSIGN_SQL, doc_split_assign)
+
+        got = (doc_split_assign(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = _duck(SF, ["documents"], DOC_SPLIT_ASSIGN_SQL)
+        assert got.values.tolist() == want.values.tolist()
+        frac = got.split.value_counts(normalize=True)
+        assert 0.7 < frac.get("train", 0) < 0.9
+        assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+    def test_deterministic_and_salt_sensitive(self):
+        from logparse_rs_ray.pipelines.textops import doc_split_assign
+
+        a = (doc_split_assign(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (doc_split_assign(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)  # re-derivable without state
+        c = (doc_split_assign(SF, salt=1).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert not a.split.equals(c.split)  # salt actually enters the hash
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSoftDedupWeights:
     def _docs(self, texts):
         return pa.table({
