@@ -1320,7 +1320,93 @@ ORDER BY user_id
 """
 
 
+# --- last-touch attribution ---------------------------------------------------
+
+def log_attribution_last_touch(sf_dir: str, *, num_partitions: int | None = None,
+                               mode: str = "auto"):
+    """(event_type, n_attributed) — LAST-TOUCH attribution: each purchase
+    is credited to the user's most recent preceding non-purchase event
+    (LAG ... IGNORE NULLS semantics, (ts, event_id) ordering); purchases
+    with no prior touch are unattributed and dropped.
+
+    Scale shape: one user-keyed exchange of compact rows; per partition
+    one lexsort + a segment-reset ``maximum.accumulate`` finds every
+    purchase's predecessor index in O(n) — no per-user loop; the census
+    is bounded by the event-type set and tree-merges.
+    """
+    rows = _event_exchange(sf_dir, ["user_id", "ts", "event_id",
+                                    "event_type"], num_partitions, mode)
+    partial = rows.map_batches(last_touch_kernel, batch_format="pyarrow",
+                               batch_size=None)
+    merged = tree_merge(partial, ["event_type"], [("n_attributed", "sum")],
+                        fanin=8)
+    return merged.select_columns(["event_type",
+                                  "n_attributed"]).sort("event_type")
+
+
+def last_touch_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition last-touch credit over co-located user rows.
+    Module-level so hypothesis can drive it against a brute-force oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_attributed": pa.array([], pa.int64())})
+    u = np.asarray(b["user_id"], dtype=np.int64)
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    et = (b["event_type"].combine_chunks()
+          if isinstance(b["event_type"], pa.ChunkedArray)
+          else b["event_type"])
+    codes_arr = et.dictionary_encode()
+    code = np.asarray(codes_arr.indices, dtype=np.int64)
+    types = codes_arr.dictionary.to_pylist()
+    try:
+        pur = types.index("purchase")
+    except ValueError:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_attributed": pa.array([], pa.int64())})
+    order = np.lexsort((eid, ts, u))
+    u_s, c_s = u[order], code[order]
+    idx = np.arange(len(u_s))
+    nonpur = c_s != pur
+    # latest non-purchase index so far, reset at user boundaries: the
+    # accumulate can only carry indexes FORWARD, and a carried index from
+    # the previous user is rejected by the segment-start comparison
+    cand = np.maximum.accumulate(np.where(nonpur, idx, -1))
+    starts = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+    seg_start = np.maximum.accumulate(np.where(starts, idx, 0))
+    valid = (c_s == pur) & (cand >= seg_start)
+    credit = c_s[cand[valid]]
+    cnt = np.bincount(credit, minlength=len(types))
+    keep = np.nonzero(cnt)[0]
+    return pa.table({
+        "event_type": pa.array([types[i] for i in keep], pa.string()),
+        "n_attributed": pa.array(cnt[keep].astype(np.int64)),
+    })
+
+
+LOG_ATTRIBUTION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(CASE WHEN event_type <> 'purchase' THEN event_type END
+             IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+  FROM events)
+SELECT last_touch AS event_type, COUNT(*) AS n_attributed
+FROM ordered
+WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+GROUP BY last_touch
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "log_attribution_last_touch": log_attribution_last_touch,
     "log_funnel_windowed": log_funnel_windowed,
     "log_burst_census": log_burst_census,
     "log_streaming_window": log_streaming_window,
@@ -1343,6 +1429,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_attribution_last_touch": LOG_ATTRIBUTION_SQL,
     "log_funnel_windowed": LOG_FUNNEL_WINDOWED_SQL,
     "log_burst_census": LOG_BURST_CENSUS_SQL,
     "log_streaming_window": LOG_STREAMING_WINDOW_SQL,

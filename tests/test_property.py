@@ -362,3 +362,38 @@ class TestFunnelKernelProperties:
                 want[stage] += 1
         assert [got_counts["signup"], got_counts["click"],
                 got_counts["purchase"]] == want, (rows, w)
+
+
+class TestLastTouchKernelProperties:
+    @given(st.lists(st.tuples(st.integers(0, 3),              # user
+                              st.integers(0, 50),             # ts
+                              st.sampled_from(["view", "click", "purchase"])),
+                    min_size=1, max_size=40))
+    @settings(max_examples=120, deadline=None)
+    def test_last_touch_matches_brute_force(self, rows):
+        """Segment-reset maximum.accumulate credit == per-purchase brute
+        force, incl. equal-ts event_id tiebreaks, purchase-first users and
+        cross-user adjacency (carried-index rejection)."""
+        from collections import Counter
+
+        from logparse_rs_ray.pipelines.windows import last_touch_kernel
+
+        b = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+        })
+        got = last_touch_kernel(b)
+        got_map = dict(zip(got["event_type"].to_pylist(),
+                           got["n_attributed"].to_pylist()))
+        want: Counter = Counter()
+        for i, (u, t, ty) in enumerate(rows):
+            if ty != "purchase":
+                continue
+            prior = [(tt, j, tyj) for j, (uu, tt, tyj) in enumerate(rows)
+                     if uu == u and tyj != "purchase"
+                     and (tt, j) < (t, i)]
+            if prior:
+                want[max(prior)[2]] += 1
+        assert got_map == dict(want), rows
