@@ -1405,7 +1405,145 @@ ORDER BY event_type
 """
 
 
+# --- temporal-split next-event prediction accuracy ---------------------------
+
+PRED_SPLIT_TS = "2024-01-16"  # events span Jan 2024; mid-month holdout
+
+
+def log_next_event_accuracy(sf_dir: str, *, split_ts: str = PRED_SPLIT_TS,
+                            num_partitions: int | None = None,
+                            mode: str = "auto"):
+    """(event_type, n_eval, n_correct) — the model-eval-as-pipeline shape:
+    train a first-order next-event predictor (per current type, the most
+    frequent successor; ties to the lexicographically smaller type) on
+    transitions whose successor lands BEFORE ``split_ts``, then score it
+    on the held-out later transitions — the temporal train/eval split
+    every behavioral model ships with.
+
+    Scale shape: the whole computation reduces to ONE bounded census —
+    per-partition (current, next, is_train) transition counts (types² x 2
+    rows per block) through the combiner tree; the argmax model and the
+    accuracy read off that census driver-side.  One user-keyed exchange,
+    no second corpus pass, no broadcast-back.
+    """
+    import datetime as _dt
+    import functools
+
+    # the parquet stores naive timestamps as UTC epoch-µs — anchor the
+    # split the same way so both engines compare identical integers
+    split_us = int(_dt.datetime.fromisoformat(split_ts)
+                   .replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+    rows = _event_exchange(sf_dir, ["user_id", "ts", "event_id",
+                                    "event_type"], num_partitions, mode)
+    kernel = functools.partial(transition_split_kernel, split_us=split_us)
+    partial = rows.map_batches(kernel, batch_format="pyarrow",
+                               batch_size=None)
+    census = pa.concat_tables(list(
+        tree_merge(partial, ["cur", "nxt", "is_train"], [("n", "sum")],
+                   fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"cur": pa.array([], pa.string()),
+                   "nxt": pa.array([], pa.string()),
+                   "is_train": pa.array([], pa.int8()),
+                   "n": pa.array([], pa.int64())})]).combine_chunks()
+
+    cur = census["cur"].to_pylist()
+    nxt = census["nxt"].to_pylist()
+    trn = census["is_train"].to_pylist()
+    n = census["n"].to_pylist()
+    best: dict[str, tuple[int, str]] = {}
+    for c, x, t, k in zip(cur, nxt, trn, n):
+        if t == 1 and (c not in best or (-k, x) < (-best[c][0], best[c][1])):
+            best[c] = (k, x)
+    agg: dict[str, list[int]] = {}
+    for c, x, t, k in zip(cur, nxt, trn, n):
+        if t == 0 and c in best:
+            a = agg.setdefault(c, [0, 0])
+            a[0] += k
+            if x == best[c][1]:
+                a[1] += k
+    keys = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_eval": pa.array([agg[k][0] for k in keys], pa.int64()),
+        "n_correct": pa.array([agg[k][1] for k in keys], pa.int64()),
+    })
+
+
+def transition_split_kernel(b: pa.Table, split_us: int) -> pa.Table:
+    """Per-partition (current, next, is_train) transition census over
+    co-located user rows ((ts, event_id) ordering; a transition is train
+    iff its SUCCESSOR lands before the split)."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    empty = pa.table({"cur": pa.array([], pa.string()),
+                      "nxt": pa.array([], pa.string()),
+                      "is_train": pa.array([], pa.int8()),
+                      "n": pa.array([], pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    u = np.asarray(b["user_id"], dtype=np.int64)
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    et = (b["event_type"].combine_chunks()
+          if isinstance(b["event_type"], pa.ChunkedArray)
+          else b["event_type"])
+    d = et.dictionary_encode()
+    code = np.asarray(d.indices, dtype=np.int64)
+    types = d.dictionary.to_pylist()
+    order = np.lexsort((eid, ts, u))
+    u_s, c_s, t_s = u[order], code[order], ts[order]
+    same = u_s[1:] == u_s[:-1]
+    if not same.any():
+        return empty
+    cur = c_s[:-1][same]
+    nxt = c_s[1:][same]
+    train = (t_s[1:][same] < split_us).astype(np.int64)
+    nt = len(types)
+    key = (cur * nt + nxt) * 2 + train
+    cnt = np.bincount(key, minlength=nt * nt * 2)
+    keep = np.nonzero(cnt)[0]
+    return pa.table({
+        "cur": pa.array([types[k // 2 // nt] for k in keep], pa.string()),
+        "nxt": pa.array([types[(k // 2) % nt] for k in keep], pa.string()),
+        "is_train": pa.array([k % 2 for k in keep], pa.int8()),
+        "n": pa.array(cnt[keep].astype(np.int64)),
+    })
+
+
+LOG_NEXT_EVENT_ACCURACY_SQL = f"""
+WITH pairs AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER w AS nxt,
+         LEAD(ts) OVER w AS nts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+train AS (SELECT cur, nxt, COUNT(*) AS c FROM pairs
+          WHERE nxt IS NOT NULL AND nts < TIMESTAMP '{PRED_SPLIT_TS}'
+          GROUP BY cur, nxt),
+model AS (SELECT cur, nxt AS pred FROM (
+            SELECT cur, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY cur
+                                      ORDER BY c DESC, nxt) AS rn
+            FROM train) t WHERE rn = 1),
+ev AS (SELECT p.cur, p.nxt, m.pred FROM pairs p
+       JOIN model m ON p.cur = m.cur
+       WHERE p.nxt IS NOT NULL AND p.nts >= TIMESTAMP '{PRED_SPLIT_TS}')
+SELECT cur AS event_type, COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+FROM ev GROUP BY cur ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "log_next_event_accuracy": log_next_event_accuracy,
     "log_attribution_last_touch": log_attribution_last_touch,
     "log_funnel_windowed": log_funnel_windowed,
     "log_burst_census": log_burst_census,
@@ -1429,6 +1567,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_next_event_accuracy": LOG_NEXT_EVENT_ACCURACY_SQL,
     "log_attribution_last_touch": LOG_ATTRIBUTION_SQL,
     "log_funnel_windowed": LOG_FUNNEL_WINDOWED_SQL,
     "log_burst_census": LOG_BURST_CENSUS_SQL,

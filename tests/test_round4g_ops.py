@@ -481,6 +481,54 @@ class TestWindowedFunnel:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestNextEventAccuracy:
+    def test_split_boundary_and_tiebreak(self, tmp_path):
+        from logparse_rs_ray.pipelines.windows import log_next_event_accuracy
+
+        import datetime as dt
+
+        def t(day, h=0):
+            return dt.datetime(2024, 1, day, h)
+
+        # user 1 (train): view->click, view->error (tie 1-1: pred 'click'
+        # lexicographically); transition AT the split goes to EVAL (< is
+        # strict).  user 2 (eval): view->click (correct), view->error
+        # (wrong).
+        rows = [
+            (1, 1, "view", t(2)), (2, 1, "click", t(3)),
+            (3, 1, "view", t(4)), (4, 1, "error", t(5)),
+            (5, 1, "view", t(15, 23)), (6, 1, "click", t(16)),  # eval (==)
+            (7, 2, "view", t(20)), (8, 2, "click", t(21)),
+            (9, 2, "view", t(22)), (10, 2, "error", t(23)),
+        ]
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[3] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }), tmp_path / "events.parquet")
+        for mode in ("tree", "shuffle"):
+            got = log_next_event_accuracy(str(tmp_path), mode=mode) \
+                .to_pandas()
+            # model: view->click (1-1 tie, lexicographic), click->view,
+            # error->view.  eval: view 3 transitions (boundary ->click
+            # correct, ->click correct, ->error wrong) = 2/3; click 1
+            # transition ->view correct = 1/1; error has no eval rows.
+            assert got.values.tolist() == [["click", 1, 1], ["view", 3, 2]]
+
+    def test_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.windows import (
+            LOG_NEXT_EVENT_ACCURACY_SQL, log_next_event_accuracy)
+
+        got = log_next_event_accuracy(SF).to_pandas()
+        want = _duck(SF, ["events"], LOG_NEXT_EVENT_ACCURACY_SQL)
+        assert got.values.tolist() == want.values.tolist()
+        assert (got.n_correct <= got.n_eval).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestCompressibility:
     def test_matches_serial_zlib(self):
         import zlib
