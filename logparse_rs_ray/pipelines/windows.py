@@ -1542,7 +1542,89 @@ FROM ev GROUP BY cur ORDER BY event_type
 """
 
 
+# --- cohort retention matrix --------------------------------------------------
+
+WEEK_US = 7 * 24 * 3_600_000_000
+COHORT_MAX_OFFSET = 512  # epoch-week offsets must stay below this
+
+
+def log_cohort_matrix(sf_dir: str, *, num_partitions: int | None = None,
+                      mode: str = "auto"):
+    """(cohort_week, week_offset, n_active) — the classic cohort
+    retention heatmap: users grouped by the epoch-week of their FIRST
+    event, censused by how many are active N weeks later.
+
+    Scale shape: one user-keyed exchange of (user, ts) rows; per
+    partition one lexsort derives each user's cohort week and distinct
+    active weeks, and the bounded (cohort x offset) census partials
+    tree-merge.  Epoch-week flooring is integer µs arithmetic, identical
+    in both engines.
+    """
+    rows = _event_exchange(sf_dir, ["user_id", "ts"], num_partitions, mode)
+    partial = rows.map_batches(cohort_matrix_kernel, batch_format="pyarrow",
+                               batch_size=None)
+    merged = tree_merge(partial, ["cohort_week", "week_offset"],
+                        [("n_active", "sum")], fanin=8)
+    return merged.select_columns(["cohort_week", "week_offset",
+                                  "n_active"]).sort(["cohort_week",
+                                                     "week_offset"])
+
+
+def cohort_matrix_kernel(b: pa.Table) -> pa.Table:
+    """Per-partition cohort census over co-located user rows.
+    Module-level so hypothesis can drive it against a brute-force oracle."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({"cohort_week": pa.array([], pa.int64()),
+                         "week_offset": pa.array([], pa.int64()),
+                         "n_active": pa.array([], pa.int64())})
+    u = np.asarray(b["user_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    week = ts // WEEK_US
+    order = np.lexsort((week, u))
+    u_s, w_s = u[order], week[order]
+    starts = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+    seg = np.cumsum(starts) - 1
+    cohort = w_s[np.nonzero(starts)[0]][seg]   # each user's first week
+    # distinct (user, week) pairs only
+    first_pair = np.concatenate(([True], (u_s[1:] != u_s[:-1])
+                                 | (w_s[1:] != w_s[:-1])))
+    off = (w_s - cohort)[first_pair]
+    coh = cohort[first_pair]
+    if off.size and off.max() >= COHORT_MAX_OFFSET:
+        raise ValueError("log_cohort_matrix: week offset exceeds the "
+                         "census key packing bound")
+    key = coh * COHORT_MAX_OFFSET + off
+    uniq, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        "cohort_week": pa.array(uniq // COHORT_MAX_OFFSET),
+        "week_offset": pa.array(uniq % COHORT_MAX_OFFSET),
+        "n_active": pa.array(cnt.astype(np.int64)),
+    })
+
+
+LOG_COHORT_MATRIX_SQL = """
+WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id),
+w AS (SELECT e.user_id,
+             CAST(FLOOR(EPOCH(f.first_ts) / 604800) AS BIGINT)
+                 AS cohort_week,
+             CAST(FLOOR(EPOCH(e.ts) / 604800)
+                  - FLOOR(EPOCH(f.first_ts) / 604800) AS BIGINT)
+                 AS week_offset
+      FROM events e JOIN f USING (user_id))
+SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+FROM w GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
+    "log_cohort_matrix": log_cohort_matrix,
     "log_next_event_accuracy": log_next_event_accuracy,
     "log_attribution_last_touch": log_attribution_last_touch,
     "log_funnel_windowed": log_funnel_windowed,
@@ -1567,6 +1649,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_cohort_matrix": LOG_COHORT_MATRIX_SQL,
     "log_next_event_accuracy": LOG_NEXT_EVENT_ACCURACY_SQL,
     "log_attribution_last_touch": LOG_ATTRIBUTION_SQL,
     "log_funnel_windowed": LOG_FUNNEL_WINDOWED_SQL,

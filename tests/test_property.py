@@ -397,3 +397,36 @@ class TestLastTouchKernelProperties:
             if prior:
                 want[max(prior)[2]] += 1
         assert got_map == dict(want), rows
+
+
+class TestCohortKernelProperties:
+    @given(st.lists(st.tuples(st.integers(0, 4),             # user
+                              st.integers(0, 30)),           # day index
+                    min_size=1, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_cohort_kernel_matches_brute_force(self, rows):
+        """Lexsort cohort/offset census == per-user brute force, incl.
+        multi-event weeks (distinct-week dedup) and week boundaries."""
+        from collections import Counter
+
+        from logparse_rs_ray.pipelines.windows import (
+            WEEK_US, cohort_matrix_kernel)
+
+        day_us = 24 * 3_600_000_000
+        b = pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] * day_us for r in rows],
+                           type=pa.timestamp("us")),
+        })
+        got = cohort_matrix_kernel(b)
+        got_map = {(c, o): n for c, o, n in
+                   zip(got["cohort_week"].to_pylist(),
+                       got["week_offset"].to_pylist(),
+                       got["n_active"].to_pylist())}
+        want: Counter = Counter()
+        for u in {r[0] for r in rows}:
+            weeks = {(d * day_us) // WEEK_US for uu, d in rows if uu == u}
+            cohort = min(weeks)
+            for w in weeks:
+                want[(cohort, w - cohort)] += 1
+        assert got_map == dict(want), rows
