@@ -2556,7 +2556,165 @@ ORDER BY doc_id
 """
 
 
+# --- PMI collocation mining ---------------------------------------------------
+
+PMI_TOP_N = 30
+PMI_MIN_COUNT = 10
+
+
+def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
+                    min_count: int = PMI_MIN_COUNT, mode: str = "auto",
+                    num_partitions: int = 8):
+    """(bigram, n_ab, pmi_x1000) — top collocations by pointwise mutual
+    information (word2vec-style phrase detection: PMI ranks "new york"
+    above "of the" where raw counts cannot), count-floored to kill the
+    rare-pair PMI explosion.
+
+    Scale shape: unigram and bigram censuses are the existing
+    hash-merged passes; attaching the two unigram counts is size-gated —
+    below the threshold the unigram table broadcasts (``ray.put`` once),
+    above it the bigram table hash-JOINs the unigram table twice (w1
+    then w2 keyed exchanges; both sides are already merged compact
+    rows).  The top-N runs per disjoint partition then one tiny block.
+    Rows-only: PMI's log is float math; pytest pins a serial replica.
+    """
+    import math
+
+    from ..stages.shuffle import hash_merge, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        flat, _ = _flat_tokens(b)
+        t = pa.table({"term": pa.array(flat, type=pa.string())})
+        g = t.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "cnt"])
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        flat, doc_of = _flat_tokens(b)
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        adj = doc_of[1:] == doc_of[:-1]
+        t = pa.table({"w1": pa.array(flat[:-1][adj], type=pa.string()),
+                      "w2": pa.array(flat[1:][adj], type=pa.string())})
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "cnt"])
+
+    uni = hash_merge(ds.map_batches(uni_partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     ["term"], [("cnt", "sum")],
+                     num_partitions=num_partitions)
+    big = hash_merge(ds.map_batches(bi_partial, batch_format="pyarrow",
+                                    batch_size=None),
+                     ["w1", "w2"], [("cnt", "sum")],
+                     num_partitions=num_partitions)
+    # both censuses feed TWO consumers (join/attach + the totals funnel):
+    # materialize so the merged blocks stay in the object store instead of
+    # re-running the corpus passes per consumer
+    uni = uni.materialize()
+    big = big.map_batches(
+        lambda b: b.rename_columns(["w1", "w2", "n_ab"]),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    if mode == "shuffle":
+        from ..stages.join import hash_join
+
+        c1 = uni.map_batches(lambda b: b.rename_columns(["w1", "c1"]),
+                             batch_format="pyarrow", batch_size=None)
+        c2 = uni.map_batches(lambda b: b.rename_columns(["w2", "c2"]),
+                             batch_format="pyarrow", batch_size=None)
+        scored = hash_join(big, c1, on="w1", num_partitions=num_partitions)
+        scored = hash_join(scored, c2, on="w2",
+                           num_partitions=num_partitions)
+        uni_tbl = None
+    else:
+        import ray
+
+        uni_tbl = pa.concat_tables(list(uni.iter_batches(
+            batch_format="pyarrow", batch_size=None)) or
+            [pa.table({"term": pa.array([], pa.string()),
+                       "cnt": pa.array([], pa.int64())})]).combine_chunks()
+        ref = ray.put(uni_tbl)
+
+        def attach(b: pa.Table) -> pa.Table:
+            u = ray.get(ref)
+            p1 = pc.index_in(b["w1"], value_set=u["term"])
+            p2 = pc.index_in(b["w2"], value_set=u["term"])
+            return pa.table({"w1": b["w1"], "w2": b["w2"],
+                             "n_ab": b["n_ab"],
+                             "c1": pc.take(u["cnt"], p1),
+                             "c2": pc.take(u["cnt"], p2)})
+
+        scored = big.map_batches(attach, batch_format="pyarrow",
+                                 batch_size=None)
+
+    # totals: two scalars through a funnel over the merged unigram table
+    if uni_tbl is None:
+        uni_tbl = pa.concat_tables(list(uni.iter_batches(
+            batch_format="pyarrow", batch_size=None)) or
+            [pa.table({"term": pa.array([], pa.string()),
+                       "cnt": pa.array([], pa.int64())})]).combine_chunks()
+    n_uni = pc.sum(uni_tbl["cnt"]).as_py() or 0
+    big_totals = pa.concat_tables(list(
+        big.map_batches(lambda b: pa.table(
+            {"n": pa.array([pc.sum(b["n_ab"]).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"n": pa.array([], pa.int64())})])
+    n_big = pc.sum(big_totals["n"]).as_py() or 0
+    if n_big == 0 or n_uni == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n_ab": pa.array([], pa.int64()),
+                         "pmi_x1000": pa.array([], pa.int64())})
+    log_const = math.log(n_uni) * 2 - math.log(n_big)
+
+    def pmi_topn(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if "pmi_x1000" not in b.column_names:
+            b = b.filter(pc.greater_equal(b["n_ab"],
+                                          pa.scalar(min_count, pa.int64())))
+            if b.num_rows == 0:
+                return pa.table({"bigram": pa.array([], pa.string()),
+                                 "n_ab": pa.array([], pa.int64()),
+                                 "pmi_x1000": pa.array([], pa.int64())})
+            n_ab = np.asarray(b["n_ab"], dtype=np.float64)
+            c1 = np.asarray(b["c1"], dtype=np.float64)
+            c2 = np.asarray(b["c2"], dtype=np.float64)
+            pmi = np.log(n_ab) - np.log(c1) - np.log(c2) + log_const
+            w1 = b["w1"].to_pylist()
+            w2 = b["w2"].to_pylist()
+            b = pa.table({
+                "bigram": pa.array([f"{a} {c}" for a, c in zip(w1, w2)],
+                                   pa.string()),
+                "n_ab": b["n_ab"],
+                "pmi_x1000": pa.array(np.floor(pmi * 1000).astype(np.int64)),
+            })
+        if b.num_rows <= top_n:
+            return b
+        pmi = np.asarray(b["pmi_x1000"], dtype=np.int64)
+        name = np.asarray(b["bigram"].to_pylist(), dtype=object)
+        order = np.lexsort((name, -pmi))[:top_n]
+        return b.take(pa.array(order))
+
+    cand = scored.map_batches(pmi_topn, batch_format="pyarrow",
+                              batch_size=None)
+    return cand.repartition(1).map_batches(pmi_topn, batch_format="pyarrow",
+                                           batch_size=None)
+
+
 QUERIES = {
+    "doc_pmi_phrases": doc_pmi_phrases,
     "doc_split_assign": doc_split_assign,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_compressibility": doc_compressibility,

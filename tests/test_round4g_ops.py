@@ -658,6 +658,42 @@ class TestMinhashAccuracy:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPmiPhrases:
+    def test_matches_serial_replica_and_regimes_agree(self):
+        import math
+        from collections import Counter
+
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        from logparse_rs_ray.pipelines.textops import (
+            PMI_MIN_COUNT, PMI_TOP_N, doc_pmi_phrases)
+
+        tbl = _pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for t in tbl["text"].to_pylist():
+            toks = [w for w in t.lower().split() if w]
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        n_uni, n_big = sum(uni.values()), sum(big.values())
+        log_const = 2 * math.log(n_uni) - math.log(n_big)
+        rows = []
+        for (a, c), n in big.items():
+            if n < PMI_MIN_COUNT:
+                continue
+            pmi = (np.log(np.float64(n)) - np.log(np.float64(uni[a]))
+                   - np.log(np.float64(uni[c])) + log_const)
+            rows.append((f"{a} {c}", n,
+                         int(np.floor(pmi * 1000))))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        want = [list(r) for r in rows[:PMI_TOP_N]]
+        for mode in ("tree", "shuffle"):
+            got = doc_pmi_phrases(SF, mode=mode).to_pandas()
+            assert got.values.tolist() == want, mode
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSplitAssign:
     def test_matches_duckdb_and_proportions(self):
         from logparse_rs_ray.pipelines.textops import (
