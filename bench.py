@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "q10_returned_revenue",
     "q_rank_customers",
     "doc_soft_dedup_weights",
+    "log_attribution_last_touch",
+    "log_cohort_matrix",
+    "doc_pmi_phrases",
 ]
 
 
