@@ -1975,19 +1975,23 @@ def doc_bigram_phrases(sf_dir: str, *, top_n: int = 50,
     merged = hash_merge(partial, ["bigram"], [("cnt", "sum")],
                         num_partitions=num_partitions)
 
-    def local_topn(b: pa.Table) -> pa.Table:
-        if b.num_rows <= top_n:
+    def local_topn(b: pa.Table, *, final: bool = False) -> pa.Table:
+        # the final block must always rank: the prune-pass early return
+        # would leak partition-concatenation order on small corpora
+        if not final and b.num_rows <= top_n:
             return b
         cnt = np.asarray(b["cnt"], dtype=np.int64)
         big = np.asarray(b["bigram"].to_pylist(), dtype=object)
         order = np.lexsort((big, -cnt))[:top_n]
         return b.take(pa.array(order))
 
+    import functools
+
     cand = merged.map_batches(local_topn, batch_format="pyarrow",
                               batch_size=None)
-    return cand.repartition(1).map_batches(local_topn,
-                                           batch_format="pyarrow",
-                                           batch_size=None)
+    return cand.repartition(1).map_batches(
+        functools.partial(local_topn, final=True), batch_format="pyarrow",
+        batch_size=None)
 
 
 DOC_BIGRAM_PHRASES_SQL = """
@@ -2570,13 +2574,17 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
     above "of the" where raw counts cannot), count-floored to kill the
     rare-pair PMI explosion.
 
-    Scale shape: unigram and bigram censuses are the existing
-    hash-merged passes; attaching the two unigram counts is size-gated —
-    below the threshold the unigram table broadcasts (``ray.put`` once),
-    above it the bigram table hash-JOINs the unigram table twice (w1
-    then w2 keyed exchanges; both sides are already merged compact
-    rows).  The top-N runs per disjoint partition then one tiny block.
-    Rows-only: PMI's log is float math; pytest pins a serial replica.
+    Scale shape: ONE corpus pass emits a tagged union census — unigram
+    rows carry a null second word next to the bigram rows — so the text
+    is tokenized once and both vocabularies ride ONE hash-merged
+    exchange.  Attaching the two unigram counts is size-gated: below the
+    threshold the unigram slice broadcasts (``ray.put`` once), above it
+    the bigram slice hash-JOINs it twice (w1 then w2 keyed exchanges of
+    already-merged compact rows).  Totals are two scalars through
+    per-block sum funnels (nothing vocabulary-sized reaches the driver
+    in shuffle mode).  The top-N prunes per disjoint partition and the
+    final block is ALWAYS rank-ordered.  Rows-only: PMI's log is float
+    math; pytest pins a serial replica.
     """
     import math
 
@@ -2585,45 +2593,63 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
     mode = resolve_mode(mode, f"{sf_dir}/documents.parquet")
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def uni_partial(b: pa.Table) -> pa.Table:
-        from .. import tune_worker_threads
-
-        tune_worker_threads()
-        flat, _ = _flat_tokens(b)
-        t = pa.table({"term": pa.array(flat, type=pa.string())})
-        g = t.group_by(["term"]).aggregate([([], "count_all")])
-        return g.rename_columns(["term", "cnt"])
-
-    def bi_partial(b: pa.Table) -> pa.Table:
+    def mixed_partial(b: pa.Table) -> pa.Table:
         from .. import tune_worker_threads
 
         tune_worker_threads()
         flat, doc_of = _flat_tokens(b)
-        if len(flat) < 2:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        adj = doc_of[1:] == doc_of[:-1]
-        t = pa.table({"w1": pa.array(flat[:-1][adj], type=pa.string()),
-                      "w2": pa.array(flat[1:][adj], type=pa.string())})
+        uni = pa.table({"w1": pa.array(flat, type=pa.string()),
+                        "w2": pa.nulls(len(flat), pa.string())})
+        if len(flat) >= 2:
+            adj = doc_of[1:] == doc_of[:-1]
+            big = pa.table({"w1": pa.array(flat[:-1][adj], type=pa.string()),
+                            "w2": pa.array(flat[1:][adj], type=pa.string())})
+            t = pa.concat_tables([uni, big])
+        else:
+            t = uni
         g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
         return g.rename_columns(["w1", "w2", "cnt"])
 
-    uni = hash_merge(ds.map_batches(uni_partial, batch_format="pyarrow",
-                                    batch_size=None),
-                     ["term"], [("cnt", "sum")],
-                     num_partitions=num_partitions)
-    big = hash_merge(ds.map_batches(bi_partial, batch_format="pyarrow",
-                                    batch_size=None),
-                     ["w1", "w2"], [("cnt", "sum")],
-                     num_partitions=num_partitions)
-    # both censuses feed TWO consumers (join/attach + the totals funnel):
-    # materialize so the merged blocks stay in the object store instead of
-    # re-running the corpus passes per consumer
-    uni = uni.materialize()
-    big = big.map_batches(
-        lambda b: b.rename_columns(["w1", "w2", "n_ab"]),
-        batch_format="pyarrow", batch_size=None).materialize()
+    census = hash_merge(ds.map_batches(mixed_partial, batch_format="pyarrow",
+                                       batch_size=None),
+                        ["w1", "w2"], [("cnt", "sum")],
+                        num_partitions=num_partitions).materialize()
+
+    def uni_slice(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.is_null(b["w2"]))
+        return pa.table({"term": keep["w1"], "cnt": keep["cnt"]})
+
+    def big_slice(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.is_valid(b["w2"]))
+        return pa.table({"w1": keep["w1"], "w2": keep["w2"],
+                         "n_ab": keep["cnt"]})
+
+    uni = census.map_batches(uni_slice, batch_format="pyarrow",
+                             batch_size=None)
+    big = census.map_batches(big_slice, batch_format="pyarrow",
+                             batch_size=None)
+
+    def scalar_sum(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array(
+                [pc.sum(b[col]).as_py() or 0], pa.int64())})
+        return f
+
+    def funnel(d, col) -> int:
+        t = pa.concat_tables(list(
+            d.map_batches(scalar_sum(col), batch_format="pyarrow",
+                          batch_size=None)
+            .iter_batches(batch_format="pyarrow", batch_size=None)) or
+            [pa.table({"n": pa.array([], pa.int64())})])
+        return pc.sum(t["n"]).as_py() or 0
+
+    n_uni = funnel(uni, "cnt")
+    n_big = funnel(big, "n_ab")
+    if n_big == 0 or n_uni == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n_ab": pa.array([], pa.int64()),
+                         "pmi_x1000": pa.array([], pa.int64())})
+    log_const = math.log(n_uni) * 2 - math.log(n_big)
 
     if mode == "shuffle":
         from ..stages.join import hash_join
@@ -2635,7 +2661,6 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
         scored = hash_join(big, c1, on="w1", num_partitions=num_partitions)
         scored = hash_join(scored, c2, on="w2",
                            num_partitions=num_partitions)
-        uni_tbl = None
     else:
         import ray
 
@@ -2646,6 +2671,9 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
         ref = ray.put(uni_tbl)
 
         def attach(b: pa.Table) -> pa.Table:
+            from .. import tune_worker_threads
+
+            tune_worker_threads()
             u = ray.get(ref)
             p1 = pc.index_in(b["w1"], value_set=u["term"])
             p2 = pc.index_in(b["w2"], value_set=u["term"])
@@ -2657,27 +2685,7 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
         scored = big.map_batches(attach, batch_format="pyarrow",
                                  batch_size=None)
 
-    # totals: two scalars through a funnel over the merged unigram table
-    if uni_tbl is None:
-        uni_tbl = pa.concat_tables(list(uni.iter_batches(
-            batch_format="pyarrow", batch_size=None)) or
-            [pa.table({"term": pa.array([], pa.string()),
-                       "cnt": pa.array([], pa.int64())})]).combine_chunks()
-    n_uni = pc.sum(uni_tbl["cnt"]).as_py() or 0
-    big_totals = pa.concat_tables(list(
-        big.map_batches(lambda b: pa.table(
-            {"n": pa.array([pc.sum(b["n_ab"]).as_py() or 0], pa.int64())}),
-            batch_format="pyarrow", batch_size=None)
-        .iter_batches(batch_format="pyarrow", batch_size=None)) or
-        [pa.table({"n": pa.array([], pa.int64())})])
-    n_big = pc.sum(big_totals["n"]).as_py() or 0
-    if n_big == 0 or n_uni == 0:
-        return pa.table({"bigram": pa.array([], pa.string()),
-                         "n_ab": pa.array([], pa.int64()),
-                         "pmi_x1000": pa.array([], pa.int64())})
-    log_const = math.log(n_uni) * 2 - math.log(n_big)
-
-    def pmi_topn(b: pa.Table) -> pa.Table:
+    def pmi_topn(b: pa.Table, *, final: bool = False) -> pa.Table:
         from .. import tune_worker_threads
 
         tune_worker_threads()
@@ -2692,25 +2700,29 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
             c1 = np.asarray(b["c1"], dtype=np.float64)
             c2 = np.asarray(b["c2"], dtype=np.float64)
             pmi = np.log(n_ab) - np.log(c1) - np.log(c2) + log_const
-            w1 = b["w1"].to_pylist()
-            w2 = b["w2"].to_pylist()
+            joined = pc.binary_join_element_wise(
+                b["w1"].combine_chunks() if isinstance(b["w1"], pa.ChunkedArray) else b["w1"],
+                b["w2"].combine_chunks() if isinstance(b["w2"], pa.ChunkedArray) else b["w2"],
+                " ")
             b = pa.table({
-                "bigram": pa.array([f"{a} {c}" for a, c in zip(w1, w2)],
-                                   pa.string()),
+                "bigram": joined,
                 "n_ab": b["n_ab"],
                 "pmi_x1000": pa.array(np.floor(pmi * 1000).astype(np.int64)),
             })
-        if b.num_rows <= top_n:
+        if not final and b.num_rows <= top_n:
             return b
         pmi = np.asarray(b["pmi_x1000"], dtype=np.int64)
         name = np.asarray(b["bigram"].to_pylist(), dtype=object)
         order = np.lexsort((name, -pmi))[:top_n]
         return b.take(pa.array(order))
 
+    import functools
+
     cand = scored.map_batches(pmi_topn, batch_format="pyarrow",
                               batch_size=None)
-    return cand.repartition(1).map_batches(pmi_topn, batch_format="pyarrow",
-                                           batch_size=None)
+    return cand.repartition(1).map_batches(
+        functools.partial(pmi_topn, final=True), batch_format="pyarrow",
+        batch_size=None)
 
 
 QUERIES = {

@@ -693,6 +693,27 @@ class TestPmiPhrases:
             assert got.values.tolist() == want, mode
 
 
+    def test_small_corpus_is_still_rank_ordered(self, tmp_path):
+        from logparse_rs_ray.pipelines.textops import doc_pmi_phrases
+
+        # fewer qualifying bigrams than top_n: the final block must STILL
+        # come out (-pmi, bigram)-ordered (review finding: the early
+        # return leaked partition-concatenation order)
+        texts = (["alpha beta"] * 12 + ["gamma delta"] * 12 +
+                 ["alpha delta"] * 12 + ["alpha beta gamma delta"] * 12)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["w"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), tmp_path / "documents.parquet")
+        got = doc_pmi_phrases(str(tmp_path)).to_pandas()
+        assert 0 < len(got) < 30
+        ranks = list(zip(-got.pmi_x1000, got.bigram))
+        assert ranks == sorted(ranks)
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestSplitAssign:
     def test_matches_duckdb_and_proportions(self):
