@@ -1623,7 +1623,124 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# --- CUSUM change-point detection ---------------------------------------------
+
+CUSUM_K_CENTS = 6000    # drift allowance per event (cents)
+CUSUM_H_CENTS = 50000   # alarm threshold on the accumulated excess
+
+
+def log_value_cusum(sf_dir: str, *, k_cents: int = CUSUM_K_CENTS,
+                    h_cents: int = CUSUM_H_CENTS,
+                    num_partitions: int = 8, mode: str = "auto"):
+    """(event_type, n_events, n_alarms, max_s) — one-sided CUSUM
+    change-point detection per event type: the classic upward-drift
+    alarm (S_i = max(0, S_{i-1} + x_i - k), alarm on crossing h) next to
+    the EWMA detector.  Unlike EWMA's float recursion, the reset-at-zero
+    CUSUM has a closed form — S_i = C_i - min(0, min_{j<=i} C_j) over the
+    running sum C — so the whole series is EXACT integer arithmetic and
+    carries a real SQL oracle.
+
+    Scale shape: one type-keyed exchange co-locates each type's full
+    ordered series (sequential-state family, like EWMA); per segment the
+    closed form is one cumsum + one minimum.accumulate (the per-segment
+    loop is bounded by the TYPE count, not rows); only the bounded
+    census leaves each block.
+    """
+    import functools
+
+    from ..stages.shuffle import hash_partition, resolve_mode
+
+    mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "event_id", "value"])
+    part = (hash_partition(ds, ["event_type"], num_partitions)
+            if mode == "shuffle" else ds.repartition(1))
+    kernel = functools.partial(cusum_census_kernel, k_cents=k_cents,
+                               h_cents=h_cents)
+    partial = part.map_batches(kernel, batch_format="pyarrow",
+                               batch_size=None)
+    merged = tree_merge(partial, ["event_type"],
+                        [("n_events", "sum"), ("n_alarms", "sum"),
+                         ("max_s", "max")], fanin=8)
+    return merged.select_columns(["event_type", "n_events", "n_alarms",
+                                  "max_s"]).sort("event_type")
+
+
+def cusum_census_kernel(b: pa.Table, k_cents: int, h_cents: int) -> pa.Table:
+    """Per-partition CUSUM census over co-located type series.
+    Module-level so hypothesis can drive it against a serial recursion."""
+    import numpy as np
+
+    from .. import tune_worker_threads
+
+    tune_worker_threads()
+    if b.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_alarms": pa.array([], pa.int64()),
+                         "max_s": pa.array([], pa.int64())})
+    et = (b["event_type"].combine_chunks()
+          if isinstance(b["event_type"], pa.ChunkedArray)
+          else b["event_type"])
+    d = et.dictionary_encode()
+    code = np.asarray(d.indices, dtype=np.int64)
+    types = d.dictionary.to_pylist()
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    cents = np.asarray(
+        pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64()), dtype=np.int64)
+    order = np.lexsort((eid, ts, code))
+    c_s, x_s = code[order], cents[order]
+    starts = np.nonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))[0]
+    ends = np.append(starts[1:], len(c_s))
+    out_t, out_n, out_a, out_m = [], [], [], []
+    for st, en in zip(starts, ends):     # loop bounded by TYPE count
+        dd = x_s[st:en] - k_cents
+        c = np.cumsum(dd)
+        m = np.minimum.accumulate(c)
+        s = c - np.minimum(m, 0)
+        s_prev = np.concatenate(([0], s[:-1]))
+        out_t.append(types[c_s[st]])
+        out_n.append(en - st)
+        out_a.append(int(((s > h_cents) & (s_prev <= h_cents)).sum()))
+        out_m.append(int(s.max()))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "n_events": pa.array(out_n, pa.int64()),
+                     "n_alarms": pa.array(out_a, pa.int64()),
+                     "max_s": pa.array(out_m, pa.int64())})
+
+
+LOG_VALUE_CUSUM_SQL = f"""
+WITH d AS (SELECT event_type, ts, event_id,
+                  CAST(ROUND(value * 100) AS BIGINT) - {CUSUM_K_CENTS} AS d
+           FROM events),
+c AS (SELECT event_type, ts, event_id,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+s AS (SELECT event_type, ts, event_id,
+             cum - LEAST(0, MIN(cum) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)) AS s
+      FROM c),
+x AS (SELECT event_type, s,
+             LAG(s, 1, 0) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS s_prev
+      FROM s)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN s > {CUSUM_H_CENTS} AND s_prev <= {CUSUM_H_CENTS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_s
+FROM x GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "log_value_cusum": log_value_cusum,
     "log_cohort_matrix": log_cohort_matrix,
     "log_next_event_accuracy": log_next_event_accuracy,
     "log_attribution_last_touch": log_attribution_last_touch,
@@ -1649,6 +1766,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_value_cusum": LOG_VALUE_CUSUM_SQL,
     "log_cohort_matrix": LOG_COHORT_MATRIX_SQL,
     "log_next_event_accuracy": LOG_NEXT_EVENT_ACCURACY_SQL,
     "log_attribution_last_touch": LOG_ATTRIBUTION_SQL,

@@ -430,3 +430,47 @@ class TestCohortKernelProperties:
             for w in weeks:
                 want[(cohort, w - cohort)] += 1
         assert got_map == dict(want), rows
+
+
+class TestCusumKernelProperties:
+    @given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                              st.integers(0, 50),           # ts
+                              st.integers(0, 200)),         # value cents/100
+                    min_size=1, max_size=40),
+           st.integers(0, 100),                             # k (cents)
+           st.integers(1, 300))                             # h (cents)
+    @settings(max_examples=120, deadline=None)
+    def test_closed_form_matches_serial_recursion(self, rows, k, h):
+        """S_i = C_i - min(0, min C_j) closed form == the textbook
+        max(0, S_prev + d) recursion, incl. alarm crossings and max_s."""
+        from collections import defaultdict
+
+        from logparse_rs_ray.pipelines.windows import cusum_census_kernel
+
+        b = pa.table({
+            "event_type": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "value": pa.array([r[2] / 100.0 for r in rows]),
+        })
+        got = cusum_census_kernel(b, k_cents=k, h_cents=h)
+        got_map = {t: (n, a, m) for t, n, a, m in
+                   zip(got["event_type"].to_pylist(),
+                       got["n_events"].to_pylist(),
+                       got["n_alarms"].to_pylist(),
+                       got["max_s"].to_pylist())}
+        series = defaultdict(list)
+        for i, (t, ts_, v) in enumerate(rows):
+            series[t].append((ts_, i, v))
+        want = {}
+        for t, evs in series.items():
+            evs.sort()
+            s, alarms, mx = 0, 0, 0
+            for _, _, v in evs:
+                prev = s
+                s = max(0, s + v - k)
+                mx = max(mx, s)
+                if s > h and prev <= h:
+                    alarms += 1
+            want[t] = (len(evs), alarms, mx)
+        assert got_map == want, (rows, k, h)
