@@ -869,7 +869,74 @@ ORDER BY event_type
 """
 
 
+# --- seasonal-naive forecast evaluation --------------------------------------
+
+SEASONAL_LAG_HOURS = 168  # one week
+
+
+def log_seasonal_naive_eval(sf_dir: str, *,
+                            lag_hours: int = SEASONAL_LAG_HOURS):
+    """(n_hours, abs_err_sum, actual_sum) — the forecast-baseline eval
+    every capacity-planning pipeline runs: predict each hour's event
+    count with the same hour one week earlier and census the total
+    absolute error (integer-exact; the MAE and relative error are the
+    reader's one division).  Hours whose baseline hour had no events are
+    skipped, matching the SQL inner join.
+
+    Scale shape: the hourly count census is time-span-bounded (per-block
+    partials through the combiner tree); the lag join runs driver-side
+    on that compact table with one searchsorted.  No corpus-sized
+    exchange anywhere.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import tree_merge
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def hourly(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        hour = pc.cast(pc.floor_temporal(b["ts"], unit="hour"), pa.int64())
+        t = pa.table({"hour_us": hour})
+        g = t.group_by(["hour_us"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hour_us", "n"])
+
+    census = pa.concat_tables(list(
+        tree_merge(ds.map_batches(hourly, batch_format="pyarrow",
+                                  batch_size=None),
+                   ["hour_us"], [("n", "sum")], fanin=8)
+        .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"hour_us": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64())})]).combine_chunks()
+    h = np.asarray(census["hour_us"], dtype=np.int64)
+    n = np.asarray(census["n"], dtype=np.int64)
+    order = np.argsort(h)
+    h, n = h[order], n[order]
+    lag_us = np.int64(lag_hours) * 3_600_000_000
+    pos = np.searchsorted(h, h - lag_us)
+    valid = (pos < len(h)) & (h[np.minimum(pos, len(h) - 1)] == h - lag_us)
+    err = np.abs(n[valid] - n[pos[valid]])
+    return pa.table({
+        "n_hours": pa.array([int(valid.sum())], pa.int64()),
+        "abs_err_sum": pa.array([int(err.sum())], pa.int64()),
+        "actual_sum": pa.array([int(n[valid].sum())], pa.int64()),
+    })
+
+
+LOG_SEASONAL_NAIVE_SQL = f"""
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+           FROM events GROUP BY 1)
+SELECT COUNT(*) AS n_hours,
+       CAST(COALESCE(SUM(ABS(a.n - b.n)), 0) AS BIGINT) AS abs_err_sum,
+       CAST(COALESCE(SUM(a.n), 0) AS BIGINT) AS actual_sum
+FROM h a JOIN h b ON a.hour = b.hour + INTERVAL {SEASONAL_LAG_HOURS} HOUR
+"""
+
+
 QUERIES = {
+    "log_seasonal_naive_eval": log_seasonal_naive_eval,
     "approx_distinct_parts": approx_distinct_parts,
     "log_value_mad_outliers": log_value_mad_outliers,
     "log_event_user_hll": log_event_user_hll,
@@ -891,6 +958,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_seasonal_naive_eval": LOG_SEASONAL_NAIVE_SQL,
     "log_redact_pii": LOG_REDACT_PII_SQL,
     "log_value_mad_outliers": LOG_VALUE_MAD_SQL,
     "log_event_user_distinct": LOG_EVENT_USER_DISTINCT_SQL,

@@ -529,6 +529,39 @@ class TestNextEventAccuracy:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSeasonalNaiveEval:
+    def test_lag_join_and_missing_baseline(self, tmp_path):
+        import datetime as dt
+
+        from logparse_rs_ray.pipelines.logops import log_seasonal_naive_eval
+
+        base = dt.datetime(2024, 1, 1, 0)
+        week = dt.timedelta(hours=168)
+        # hour H: 3 events; hour H+1w: 1 event (err 2); hour H2+1w has NO
+        # baseline hour -> skipped
+        rows = ([base] * 3 + [base + week] * 1 +
+                [base + week + dt.timedelta(hours=5)] * 4)
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(rows, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }), tmp_path / "events.parquet")
+        got = log_seasonal_naive_eval(str(tmp_path)).to_pandas()
+        assert got.values.tolist() == [[1, 2, 1]]
+
+    def test_matches_duckdb_on_generated(self):
+        from logparse_rs_ray.pipelines.logops import (
+            LOG_SEASONAL_NAIVE_SQL, log_seasonal_naive_eval)
+
+        got = log_seasonal_naive_eval(SF).to_pandas()
+        want = _duck(SF, ["events"], LOG_SEASONAL_NAIVE_SQL)
+        assert got.values.tolist() == want.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestCompressibility:
     def test_matches_serial_zlib(self):
         import zlib
