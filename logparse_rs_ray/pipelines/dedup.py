@@ -2059,7 +2059,8 @@ ORDER BY d.doc_id
 
 def dedup_minhash_accuracy(sf_dir: str, *, num_perm: int = 64,
                            bands: int = 16, k: int = 3, mode: str = "auto",
-                           num_partitions: int = 8):
+                           num_partitions: int = 8,
+                           b_bits: int | None = None):
     """(doc_a, doc_b, true_pct, est_pct, abs_err_pct) — sketch-quality
     monitoring (the dedup twin of ``ann_recall_census``): for every LSH
     candidate pair, the MinHash-estimated Jaccard (matching permutation
@@ -2128,7 +2129,17 @@ def dedup_minhash_accuracy(sf_dir: str, *, num_perm: int = 64,
     pos = {int(d): i for i, d in enumerate(sid)}
     ia = np.array([pos[int(d)] for d in da], dtype=np.int64)
     ib = np.array([pos[int(d)] for d in db], dtype=np.int64)
-    est = (smat[ia] == smat[ib]).sum(axis=1) * 100 // num_perm
+    if b_bits is None:
+        est = (smat[ia] == smat[ib]).sum(axis=1) * 100 // num_perm
+    else:
+        # b-bit minhash (Li & Koenig): keep only the low b bits of each
+        # permutation's min; unrelated pairs still match with prob 2^-b,
+        # so the raw match fraction m is debiased as (m - c) / (1 - c)
+        mask = (1 << b_bits) - 1
+        m = ((smat[ia] & mask) == (smat[ib] & mask)).mean(axis=1)
+        c = 2.0 ** -b_bits
+        est = np.clip((m - c) / (1.0 - c), 0.0, 1.0)
+        est = np.floor(est * 100).astype(np.int64)
     true = np.asarray(pairs["jaccard_pct"], dtype=np.int64)
     return pa.table({
         "doc_a": pa.array(da), "doc_b": pa.array(db),
@@ -2138,7 +2149,18 @@ def dedup_minhash_accuracy(sf_dir: str, *, num_perm: int = 64,
     })
 
 
+def dedup_minhash_bbit_accuracy(sf_dir: str, *, b_bits: int = 1, **kw):
+    """(doc_a, doc_b, true_pct, est_pct, abs_err_pct) — the b-BIT MinHash
+    variant of the accuracy census: each permutation keeps only its low
+    ``b_bits`` (a 64x storage cut at b=1) and the match fraction is
+    debiased for the 2^-b accidental-collision floor — the estimator that
+    makes sketch storage feasible at 100 TB, with its (larger) error
+    measured next to the full-width sketch's."""
+    return dedup_minhash_accuracy(sf_dir, b_bits=b_bits, **kw)
+
+
 QUERIES = {
+    "dedup_minhash_bbit_accuracy": dedup_minhash_bbit_accuracy,
     "dedup_minhash_accuracy": dedup_minhash_accuracy,
     "doc_soft_dedup_weights": doc_soft_dedup_weights,
     "dedup_minhash_keep_best": dedup_minhash_keep_best,

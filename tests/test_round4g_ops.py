@@ -689,6 +689,32 @@ class TestMinhashAccuracy:
         assert df.abs_err_pct.mean() <= 15
         assert (df.abs_err_pct == (df.est_pct - df.true_pct).abs()).all()
 
+    def test_bbit_variant_pins_dups_and_bounds_error(self, tmp_path):
+        from logparse_rs_ray.pipelines.dedup import (
+            dedup_minhash_accuracy, dedup_minhash_bbit_accuracy)
+
+        # exact dup pair: every low bit matches -> m=1 -> debiased est 100
+        text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        other = "one two three four five six seven eight nine ten " * 4
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([text, text, other]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["w"] * 3),
+            "n_chars": pa.array([len(text), len(text), len(other)],
+                                pa.int64()),
+        }), tmp_path / "documents.parquet")
+        got = dedup_minhash_bbit_accuracy(str(tmp_path)).to_pandas()
+        dup = got[(got.doc_a == 1) & (got.doc_b == 2)]
+        assert dup.est_pct.iloc[0] == 100 and dup.abs_err_pct.iloc[0] == 0
+        # generated corpus: 1-bit estimator is noisier than full-width but
+        # still debiased — bound, don't pin
+        df = dedup_minhash_bbit_accuracy(SF).to_pandas()
+        full = dedup_minhash_accuracy(SF).to_pandas()
+        assert len(df) == len(full)
+        assert df.est_pct.between(0, 100).all()
+        assert df.abs_err_pct.mean() <= 30
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestPmiPhrases:

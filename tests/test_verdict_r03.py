@@ -803,6 +803,7 @@ class TestQueryRegistry:
             "doc_compressibility", "ann_recall_census",
             "doc_bm25_topk",  # float log/division, not SQL-bit-exact
             "dedup_minhash_accuracy",  # MinHash is not SQL-expressible
+            "dedup_minhash_bbit_accuracy",
             "doc_pmi_phrases",  # PMI log is float math, not SQL-bit-exact
         }, rows_only
 
