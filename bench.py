@@ -4,8 +4,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": <headline sec = best of BENCH_REPEAT runs>,
    "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
    "docs": n, "docs_per_sec": r, "estimator": "min_of_N",
-   "raw_runs_sec": [...], "ab_vs_r3": {interleaved fresh-process A/B vs
-   the pinned round-3 commit — the artifact's own noise control}, ...}
+   "raw_runs_sec": [...], "ab_vs_r4": {interleaved fresh-process A/B vs
+   the round-4 final commit — the artifact's own noise control}, ...}
 
 Env:
   GRAFT_SF_DIR   test-table dir (default /root/testdata/sf0.1)
@@ -32,8 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = "/tmp/logparse_bench_cache"
-# round-3 HEAD: the in-artifact A/B baseline (VERDICT r03 item 1)
-AB_BASE_REF = "4a44022"
+# round-4 final commit (the tree VERDICT r04 graded): the in-artifact A/B
+# baseline (VERDICT r04 item 8 — base the embedded A/B on the commit the
+# previous VERDICT graded, not a late-round intermediate)
+AB_BASE_REF = "19c1045"
 
 
 def _sf_from_dir(d: str) -> float:
@@ -237,8 +239,8 @@ def run_bench() -> dict:
     else:
         domain_routed = None
 
-    # in-artifact interleaved A/B vs the pinned round-3 commit (VERDICT r03
-    # item 1): the driver's own bench JSON carries a same-window relative
+    # in-artifact interleaved A/B vs the round-4 final commit (VERDICT r04
+    # item 8): the driver's own bench JSON carries a same-window relative
     # number, so cross-round headline drift is attributable to the code,
     # not the hour this process happened to run in.  Skipped in child
     # processes (BENCH_SKIP_AB guards recursion) and when the ref is absent.
@@ -282,7 +284,7 @@ def run_bench() -> dict:
         "stats": stats,
     }
     if ab_summary is not None:
-        out["ab_vs_r3"] = ab_summary
+        out["ab_vs_r4"] = ab_summary
     if domain_routed is not None:
         out["domain_routed_sec"] = round(domain_routed, 3)
         out["domain_routed_docs_per_sec"] = round(N_DOCS / domain_routed, 1)

@@ -52,6 +52,29 @@ def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     return np.arange(n_queries, dtype=np.int64), _normalize(q)
 
 
+def _finalize_topk(partial, k: int, *, score_col: str = "cos",
+                   out_col: str = "cos_pct", scale: int = 1000):
+    """Shared bounded-top-k finalizer (VERDICT r04 item 7): merge the
+    per-block local-top-k partials (<= blocks x queries x k rows) on one
+    task, keep the global per-query top-k with the deterministic
+    (score desc, vec_id asc) tie-break, and emit the integer-scaled score
+    column.  The output is bounded (n_queries x k), so the trailing sort
+    is fine under the sortless-plan rule."""
+
+    def global_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["query_id", score_col, "vec_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", as_index=False).head(k)
+        df[out_col] = np.floor(df[score_col] * scale).astype(np.int64)
+        return pa.Table.from_pandas(df[["query_id", "vec_id", out_col]],
+                                    preserve_index=False)
+
+    return partial.repartition(1).map_batches(
+        global_topk, batch_format="pyarrow",
+        batch_size=None).sort(["query_id", "vec_id"])
+
+
 def ann_topk_cosine(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES):
     """Exact top-k cosine neighbors (excluding self) for the query set.
 
@@ -83,17 +106,7 @@ def ann_topk_cosine(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES):
         })
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
-
-    def global_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
-        df = df.groupby("query_id", as_index=False).head(k)
-        df["cos_pct"] = np.floor(df["cos"] * 1000).astype(np.int64)
-        return pa.Table.from_pandas(df[["query_id", "vec_id", "cos_pct"]],
-                                    preserve_index=False)
-
-    return partial.repartition(1).map_batches(global_topk, batch_format="pyarrow",
-                                              batch_size=None).sort(["query_id", "vec_id"])
+    return _finalize_topk(partial, k)
 
 
 ANN_TOPK_SQL = f"""
@@ -184,17 +197,7 @@ def ann_ivf_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
         })
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
-
-    def global_topk(batch: pa.Table) -> pa.Table:
-        df2 = batch.to_pandas()
-        df2 = df2.sort_values(["query_id", "cos", "vec_id"], ascending=[True, False, True])
-        df2 = df2.groupby("query_id", as_index=False).head(k)
-        df2["cos_pct"] = np.floor(df2["cos"] * 1000).astype(np.int64)
-        return pa.Table.from_pandas(df2[["query_id", "vec_id", "cos_pct"]],
-                                    preserve_index=False)
-
-    return partial.repartition(1).map_batches(global_topk, batch_format="pyarrow",
-                                              batch_size=None).sort(["query_id", "vec_id"])
+    return _finalize_topk(partial, k)
 
 
 def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
@@ -263,19 +266,7 @@ def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
         })
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
-
-    def global_topk(batch: pa.Table) -> pa.Table:
-        df2 = batch.to_pandas()
-        df2 = df2.sort_values(["query_id", "cos", "vec_id"],
-                              ascending=[True, False, True])
-        df2 = df2.groupby("query_id", as_index=False).head(k)
-        df2["cos_pct"] = np.floor(df2["cos"] * 1000).astype(np.int64)
-        return pa.Table.from_pandas(df2[["query_id", "vec_id", "cos_pct"]],
-                                    preserve_index=False)
-
-    return partial.repartition(1).map_batches(
-        global_topk, batch_format="pyarrow",
-        batch_size=None).sort(["query_id", "vec_id"])
+    return _finalize_topk(partial, k)
 
 
 def _pq_train_codebooks(sample: np.ndarray, n_sub: int, ks: int,
@@ -388,19 +379,7 @@ def ann_pq_topk(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES,
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow",
                              batch_size=None)
-
-    def global_topk(batch: pa.Table) -> pa.Table:
-        df2 = batch.to_pandas()
-        df2 = df2.sort_values(["query_id", "cos", "vec_id"],
-                              ascending=[True, False, True])
-        df2 = df2.groupby("query_id", as_index=False).head(k)
-        df2["cos_pct"] = np.floor(df2["cos"] * 1000).astype(np.int64)
-        return pa.Table.from_pandas(df2[["query_id", "vec_id", "cos_pct"]],
-                                    preserve_index=False)
-
-    return partial.repartition(1).map_batches(
-        global_topk, batch_format="pyarrow",
-        batch_size=None).sort(["query_id", "vec_id"])
+    return _finalize_topk(partial, k)
 
 
 N_SEEDS = 8  # seeds = embeddings of vec_id 0..N_SEEDS-1 (deterministic)
@@ -727,20 +706,8 @@ def ann_topk_int8(sf_dir: str, *, k: int = TOP_K, n_queries: int = N_QUERIES):
         })
 
     partial = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
-
-    def global_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["query_id", "score", "vec_id"],
-                            ascending=[True, False, True])
-        df = df.groupby("query_id", as_index=False).head(k)
-        df["score_x1e6"] = np.floor(df["score"] * 1_000_000).astype(np.int64)
-        return pa.Table.from_pandas(df[["query_id", "vec_id", "score_x1e6"]],
-                                    preserve_index=False)
-
-    # bounded output (n_queries x k): the trailing sort is fine
-    return partial.repartition(1).map_batches(
-        global_topk, batch_format="pyarrow",
-        batch_size=None).sort(["query_id", "vec_id"])
+    return _finalize_topk(partial, k, score_col="score",
+                          out_col="score_x1e6", scale=1_000_000)
 
 
 # --- distributed PCA (power iteration over integer-exact Gram partials) ------
