@@ -33,6 +33,11 @@ __all__ = [
     "extract_type_subtype",
     "load_schema",
     "load_embedded_schema",
+    "get_schema_status",
+    "parse_many",
+    "parse_file",
+    "parse_many_parallel",
+    "parse_file_parallel",
     "parse_kv",
     "parse_kv_with_schema",
     "parse_kv_enriched",
@@ -48,6 +53,9 @@ __all__ = [
 TYPE_INDEX = 3
 
 _SCHEMA: CompiledSchema | None = None
+_SCHEMA_SOURCE: str | None = None  # "embedded" | "file" | None
+_SCHEMA_PATH: str | None = None
+_SCHEMA_MTIME_MS: int | None = None
 _CACHE = SchemaCache()
 
 
@@ -73,8 +81,13 @@ def extract_type_subtype(line: str) -> tuple[str | None, str | None]:
 
 def load_schema(schema_path: str) -> bool:
     """Load + compile a reference-format schema JSON into module state."""
-    global _SCHEMA
+    global _SCHEMA, _SCHEMA_SOURCE, _SCHEMA_PATH, _SCHEMA_MTIME_MS
     _SCHEMA = _load_schema_file(schema_path)
+    _SCHEMA_SOURCE, _SCHEMA_PATH = "file", schema_path
+    try:
+        _SCHEMA_MTIME_MS = int(os.stat(schema_path).st_mtime * 1000)
+    except OSError:
+        _SCHEMA_MTIME_MS = None
     return True
 
 
@@ -82,11 +95,25 @@ def load_embedded_schema() -> bool:
     """Load the packaged default (PAN-style) schema — the reference's
     ``--features embed_schema`` build (rust_accel.py:72-78) without the
     compile-time gate: this package always ships its default schema."""
-    global _SCHEMA
+    global _SCHEMA, _SCHEMA_SOURCE, _SCHEMA_PATH, _SCHEMA_MTIME_MS
     from .webtext import pan_schema
 
     _SCHEMA = pan_schema()
+    _SCHEMA_SOURCE, _SCHEMA_PATH, _SCHEMA_MTIME_MS = "embedded", None, None
     return True
+
+
+def get_schema_status() -> dict[str, object]:
+    """Runtime schema status (reference docs/python/api.md:32-33;
+    rust_accel.py:448-468).  Keys: ``loaded`` (bool), ``source``
+    ("embedded"|"file"|None), ``path`` (str|None), ``mtime_epoch_ms``
+    (int|None)."""
+    return {
+        "loaded": _SCHEMA is not None,
+        "source": _SCHEMA_SOURCE if _SCHEMA is not None else None,
+        "path": _SCHEMA_PATH if _SCHEMA is not None else None,
+        "mtime_epoch_ms": _SCHEMA_MTIME_MS if _SCHEMA is not None else None,
+    }
 
 
 def _require_schema() -> CompiledSchema:
@@ -251,16 +278,150 @@ def parse_kv_enriched_with_schema_anon(line: str, schema_path: str,
         lambda: parse_kv_with_schema(line, schema_path, include_all), line)
 
 
-# import-time preload, reference order (rust_accel.py:79-92): embedded wins
-# when explicitly requested, else an env-named schema file; failures are
-# swallowed to keep import robust, exactly like the reference
+# --- streaming generator surface (reference rust_accel.py:473-564 — the
+# convenience API the reference's own examples/test_parser.py:8-17 drives)
+
+
+def parse_many(lines, *, anonymized: bool = False, include_all: bool = False,
+               schema_path: str | None = None):
+    """Parse an iterable of log lines, yielding one enriched dict per
+    line (rust_accel.py:473-507).  Falsy lines are skipped; each line is
+    ``rstrip("\\n")``-ed; the anonymized variant routes through the global
+    anonymizer engine exactly like ``parse_kv_enriched_anon``."""
+    if anonymized:
+        if schema_path:
+            for line in lines:
+                if not line:
+                    continue
+                yield parse_kv_enriched_with_schema_anon(
+                    line.rstrip("\n"), schema_path, include_all=include_all)
+        else:
+            for line in lines:
+                if not line:
+                    continue
+                yield parse_kv_enriched_anon(line.rstrip("\n"),
+                                             include_all=include_all)
+    else:
+        if schema_path:
+            for line in lines:
+                if not line:
+                    continue
+                yield parse_kv_enriched_with_schema(
+                    line.rstrip("\n"), schema_path, include_all=include_all)
+        else:
+            for line in lines:
+                if not line:
+                    continue
+                yield parse_kv_enriched(line.rstrip("\n"),
+                                        include_all=include_all)
+
+
+def parse_file(path: str, *, anonymized: bool = False,
+               include_all: bool = False, schema_path: str | None = None,
+               encoding: str = "utf-8", errors: str = "ignore"):
+    """Stream-parse a file of log lines (rust_accel.py:509-525): a thin
+    ``parse_many`` over the opened file — memory stays one line deep."""
+    with open(path, encoding=encoding, errors=errors) as f:
+        yield from parse_many(f, anonymized=anonymized,
+                              include_all=include_all,
+                              schema_path=schema_path)
+
+
+def _parse_batch_enriched(buf: list[str], include_all: bool):
+    """Vectorized batch analog of the reference's Rayon batch fast path
+    (rust_accel.py:528-551): one ``WebtextParser`` pass over the buffered
+    lines (Arrow split + per-column takes — no per-row Python in the
+    parse), then per-line enriched dicts off the columnar result.  Output
+    is pinned equal to the sequential ``parse_many`` by pytest."""
+    import pyarrow as pa
+
+    from .stages.parse import WebtextParser
+
+    schema = _require_schema()
+    parser = WebtextParser(schema, on_error="skip",
+                           strip_syslog_prefix=False,
+                           include_all=include_all)
+    t = parser(pa.table({"text": pa.array(buf, type=pa.string())}))
+    errs = t["_error"].to_pylist()
+    types = t["log_type"].to_pylist()
+    for i, e in enumerate(errs):
+        if e == "no_type_at_index_3":
+            raise ValueError("Could not extract log type at index 3")
+        if e == "unknown_log_type":
+            raise ValueError(f"Unknown log type in schema: {types[i]}")
+    hashes = t["hash64"].to_pylist()
+    excerpts = t["raw_excerpt"].to_pylist()
+    cols = {c: t[c].to_pylist() for c in schema.union_columns}
+    all_fields = t["all_fields"].to_pylist() if include_all else None
+    for i, line_type in enumerate(types):
+        parsed: dict[str, str | None] = {}
+        for name in schema.type_to_fields[line_type]:
+            parsed[name] = cols[name][i]
+        if include_all:
+            for j, v in enumerate(all_fields[i]):
+                k = f"field_{j}"
+                if k not in parsed:
+                    parsed[k] = v
+        yield {"parsed": parsed, "raw_excerpt": excerpts[i],
+               "hash64": hashes[i]}
+
+
+def parse_many_parallel(lines, *, batch_size: int = 1024,
+                        include_all: bool = False,
+                        schema_path: str | None = None):
+    """Batched parse of an iterable (rust_accel.py:528-551): lines buffer
+    to ``batch_size`` and run through the vectorized Arrow batch kernel —
+    the repo's stand-in for the reference's Rayon thread pool (same
+    buffer/flush protocol, same yielded records as ``parse_many``).
+    Unlike the reference's fast path, ``include_all`` is honored."""
+    if schema_path:
+        load_schema(schema_path)
+    _require_schema()
+    buf: list[str] = []
+    for line in lines:
+        if not line:
+            continue
+        buf.append(line.rstrip("\n"))
+        if len(buf) >= batch_size:
+            yield from _parse_batch_enriched(buf, include_all)
+            buf = []
+    if buf:
+        yield from _parse_batch_enriched(buf, include_all)
+
+
+def parse_file_parallel(path: str, *, batch_size: int = 1024,
+                        encoding: str = "utf-8", errors: str = "ignore",
+                        schema_path: str | None = None):
+    """Read a file and parse through the batched kernel
+    (rust_accel.py:554-560)."""
+    with open(path, encoding=encoding, errors=errors) as f:
+        yield from parse_many_parallel(f, batch_size=batch_size,
+                                       include_all=False,
+                                       schema_path=schema_path)
+
+
+# import-time preload, reference order (rust_accel.py:79-92 + lib.rs:505-514):
+# embedded wins when explicitly requested, else an env-named schema file
+# (generic then legacy names); failures are swallowed to keep import robust,
+# exactly like the reference
 try:
     if os.getenv("LOGPARSE_USE_EMBEDDED") == "1":
         load_embedded_schema()
     else:
         _pre = (os.getenv("LOGPARSE_PRELOAD_SCHEMA")
-                or os.getenv("SCHEMA_JSON_PATH"))
+                or os.getenv("SCHEMA_JSON_PATH")
+                or os.getenv("PAN_RUST_PRELOAD_SCHEMA"))
         if _pre:
             load_schema(_pre)
+except Exception:
+    pass
+
+# import-time anonymizer preload (reference lib.rs:516-526, generic + legacy
+# env names; VERDICT r04 item 3 — previously only the CLI honored these)
+try:
+    _anon_pre = (os.getenv("LOGPARSE_ANON_CONFIG")
+                 or os.getenv("PAN_RUST_ANON_CONFIG"))
+    if _anon_pre:
+        load_anonymizer(_anon_pre)
 except Exception:
     pass

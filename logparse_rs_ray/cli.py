@@ -187,9 +187,21 @@ def main(argv: list[str] | None = None) -> int:
             if isinstance(res, pa.Table):
                 tbl = res
             elif hasattr(res, "to_arrow_refs") or hasattr(res, "iter_batches"):
-                tbl = pa.concat_tables(list(res.iter_batches(
-                    batch_format="pyarrow", batch_size=None)) or
-                    [pa.table({})])
+                parts = list(res.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+                if parts:
+                    tbl = pa.concat_tables(parts)
+                else:
+                    # all-empty Dataset: recover the column names/types from
+                    # the Dataset schema so the printed head / written
+                    # parquet keeps a typed zero-row table instead of
+                    # silently collapsing to zero columns (ADVICE r04)
+                    try:
+                        sch = res.schema()
+                        arrow_sch = getattr(sch, "base_schema", None) or sch
+                        tbl = arrow_sch.empty_table()
+                    except Exception:
+                        tbl = pa.table({})
             else:  # pandas
                 tbl = pa.Table.from_pandas(res, preserve_index=False)
             if args.output:

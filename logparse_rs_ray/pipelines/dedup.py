@@ -1963,6 +1963,15 @@ def doc_soft_dedup_weights(sf_dir: str, *, mode: str = "auto",
     the integer count is emitted — the driver's hash contract forbids
     float columns).
 
+    Accepted risk (ADVICE r04): clusters are keyed by the 64-bit FNV-1a
+    hash of ``text`` while the DuckDB oracle groups by the exact text —
+    a 64-bit collision would merge two distinct texts' counts and diverge
+    from the oracle.  This is the same accepted trade as the whole
+    exact-dedup family (collision odds ~n²/2⁶⁵; at the gate scales it is
+    ~10⁻⁹), kept because shipping hashes instead of text across the
+    exchange is the entire scale story; a paranoid deployment can add the
+    survivor ops' text-equality verification pass.
+
     Scale shape (size-gated like the other exact dedups):
 
     * ``shuffle`` regime (corpus-sized key sets): ONE exchange of compact

@@ -2634,6 +2634,11 @@ def q4_order_priority(sf_dir: str, *, qty_thr: int = Q4_QTY_THR,
     keys — lineitem rows never reach the join), an orderkey-keyed hash
     semi-join against the pruned orders columns, and a bounded priority
     census through the combiner tree.
+
+    CONSTRAINT: the quantity-filtered key set feeds ``hash_join`` — a
+    ``qty_thr`` above the quantity domain empties it and trips the join's
+    documented zero-block schema limitation (fine on real data; see
+    stages/join.py).
     """
     from ..stages.join import auto_join_partitions
     from ..stages.shuffle import resolve_mode

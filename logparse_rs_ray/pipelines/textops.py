@@ -2499,8 +2499,15 @@ def doc_bm25_topk(sf_dir: str, *, terms: tuple = BM25_TERMS, k: int = BM25_K):
         return pa.table({"doc_id": pa.array(ids[order]),
                          "score_x1e6": pa.array(sx[order])})
 
-    return cand.repartition(1).map_batches(final, batch_format="pyarrow",
-                                           batch_size=None)
+    # bounded candidates (<= k per block): finalize DRIVER-side so an
+    # all-empty candidate set still returns a typed table instead of a
+    # schema-less empty Dataset (ADVICE r04; Ray drops 0-row blocks so a
+    # repartition(1) final stage would simply never run)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_x1e6": pa.array([], pa.int64())})
+    merged = pa.concat_tables([empty] + list(cand.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    return final(merged)
 
 
 # --- deterministic train/val/test split --------------------------------------
@@ -2716,13 +2723,19 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
         order = np.lexsort((name, -pmi))[:top_n]
         return b.take(pa.array(order))
 
-    import functools
-
     cand = scored.map_batches(pmi_topn, batch_format="pyarrow",
                               batch_size=None)
-    return cand.repartition(1).map_batches(
-        functools.partial(pmi_topn, final=True), batch_format="pyarrow",
-        batch_size=None)
+    # bounded candidates (<= top_n per partition): finalize DRIVER-side so
+    # an all-pruned candidate set (every bigram under min_count) still
+    # returns a typed empty table instead of a schema-less empty Dataset
+    # (ADVICE r04; Ray drops 0-row blocks so a repartition(1) final stage
+    # would simply never run)
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "n_ab": pa.array([], pa.int64()),
+                      "pmi_x1000": pa.array([], pa.int64())})
+    merged = pa.concat_tables([empty] + list(cand.iter_batches(
+        batch_format="pyarrow", batch_size=None)))
+    return pmi_topn(merged, final=True)
 
 
 QUERIES = {
