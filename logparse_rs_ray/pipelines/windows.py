@@ -826,28 +826,98 @@ EWMA_K = 3.0
 EWMA_WARMUP = 10
 
 
+EWMA_BUCKET_SECS = 86400  # chunk width: one (type, day) series per task
+
+
+def _ewm(arr, alpha: float):
+    """pandas' adjust=False EWMA recursion (y_0 = x_0;
+    y_t = (1-a) y_{t-1} + a x_t) — the serial reference kernel."""
+    import pandas as pd
+
+    return pd.Series(arr).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+
+
+def _ewma_chunks(b: pa.Table):
+    """(code, types, bucket, sorted (start, end) chunk slices, v sorted)
+    shared by the three EWMA scan kernels: dictionary-encode the type,
+    lexsort by (type, bucket, ts, event_id), and cut chunk boundaries
+    where (type, bucket) changes."""
+    import numpy as np
+
+    et = (b["event_type"].combine_chunks()
+          if isinstance(b["event_type"], pa.ChunkedArray)
+          else b["event_type"])
+    d = et.dictionary_encode()
+    code = np.asarray(d.indices, dtype=np.int64)
+    types = d.dictionary.to_pylist()
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    ts = (b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray)
+          else b["ts"]).cast(pa.int64()).to_numpy()
+    bucket = np.asarray(b["bucket"], dtype=np.int64)
+    order = np.lexsort((eid, ts, bucket, code))
+    c_s, bk_s = code[order], bucket[order]
+    v_s = np.asarray(b["value"], dtype=np.float64)[order]
+    change = (c_s[1:] != c_s[:-1]) | (bk_s[1:] != bk_s[:-1])
+    starts = np.nonzero(np.concatenate(([True], change)))[0]
+    ends = np.append(starts[1:], len(c_s))
+    return c_s, types, bk_s, starts, ends, v_s
+
+
+def _ewma_chunk_mprev(v, alpha: float, m_in: float):
+    """Per-element prior-EWMA inside one chunk.  ``m_in`` is the exact
+    running mean entering the chunk; NaN marks the series-first chunk
+    (whose first element has no prior — d stays NaN there, matching the
+    serial ``shift(1)``).  The prepend trick keeps the in-chunk arithmetic
+    the exact pandas recursion: ewm over [state] + values continues the
+    recursion bitwise."""
+    import numpy as np
+
+    if np.isnan(m_in):
+        y = _ewm(v, alpha)
+        return np.concatenate(([np.nan], y[:-1]))
+    return _ewm(np.concatenate(([m_in], v)), alpha)[:-1]
+
+
 def log_value_ewma_anomaly(sf_dir: str, *, alpha: float = EWMA_ALPHA,
                            k: float = EWMA_K, warmup: int = EWMA_WARMUP,
-                           num_partitions: int = 8, mode: str = "auto"):
+                           num_partitions: int = 8, mode: str = "auto",
+                           bucket_secs: int = EWMA_BUCKET_SECS):
     """(event_type, n_events, n_anomalies) — EWMA-based value anomaly
     census per event type: an event is anomalous when its value deviates
     from the type's exponentially-weighted running mean by more than
     ``k`` x the running mean absolute deviation (both ``adjust=False``
     recursions over the (ts, event_id)-ordered series), after ``warmup``
-    events of history.  The classic stateful streaming detector — the
-    recursion is NOT associative, so this is a sequential-scan family op
-    like sessionize, not an aggregation.
+    events of history.  The classic stateful streaming detector.
 
-    Scale shape: one type-keyed hash exchange co-locates each type's FULL
-    ordered series (types are few, sequences are long — the exchange is
-    the whole corpus once, unavoidable for exact sequential state); the
-    per-type recursion runs in pandas' C ewm kernel (no Python loop), and
-    only the bounded per-type census leaves each block.  Rows-only gate
-    entry (recursive state is not SQL-expressible); pytest pins it
-    against a serial replica on the same ordered series.
+    Scale shape (VERDICT r04 item 2 — no task ever holds a full per-type
+    series): the recursion is non-associative element-wise but IS a
+    linear recurrence, so it decomposes into a SEGMENTED SCAN over
+    (event_type, time-bucket) chunks — m_out = (1-a)^n * m_in + wsum with
+    wsum = a * sum (1-a)^(n-1-i) v_i — and likewise for the deviation
+    EWMA s over d = |v - m_prev|:
+
+    * ONE (type, bucket)-keyed hash exchange co-locates each chunk
+      (max task state = one type's events per ``bucket_secs`` window —
+      tune the width down as event rates grow), materialized once
+      (compact numeric columns only) and scanned three times;
+    * pass A: per-chunk (n, decay, wsum, from-scratch m_out) summaries;
+      the driver composes the per-type prefix states in bucket order —
+      driver memory is O(types x time buckets), time-derived and
+      corpus-INdependent;
+    * pass B: with the broadcast m_in states, per-chunk d series and its
+      (decay, wsum, from-scratch s_out) summaries; driver composes s_in;
+    * pass C: with (m_in, s_in, global offset) per chunk, count
+      anomalies; bounded per-type census through the combiner tree.
+
+    The in-chunk arithmetic is the exact pandas recursion (prepend
+    trick), so a single-chunk run is bitwise the serial replica; across
+    chunks the closed-form state composition can differ from the serial
+    recursion by float rounding — pytest pins census equality on the
+    test corpora and a forced multi-chunk regime.  The ``tree`` regime
+    (small inputs) keeps the one-task pandas path.  Rows-only gate entry
+    (recursive state is not SQL-expressible).
     """
     import numpy as np
-    import pandas as pd
 
     from ..stages.aggregate import tree_merge
     from ..stages.shuffle import hash_partition, resolve_mode
@@ -855,8 +925,156 @@ def log_value_ewma_anomaly(sf_dir: str, *, alpha: float = EWMA_ALPHA,
     mode = resolve_mode(mode, f"{sf_dir}/events.parquet")
     ds = read_table(sf_dir, "events",
                     columns=["event_type", "ts", "event_id", "value"])
-    part = (hash_partition(ds, ["event_type"], num_partitions)
-            if mode == "shuffle" else ds.repartition(1))
+    bucket_us = int(bucket_secs) * 1_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].combine_chunks()
+              if isinstance(b["ts"], pa.ChunkedArray)
+              else b["ts"]).cast(pa.int64())
+        # int64 division truncates toward zero == floor for the epoch-us
+        # timestamps here (all positive) — exact, no float round-trip
+        bk = pc.divide(ts, pa.scalar(bucket_us, pa.int64()))
+        return b.append_column("bucket", bk)
+
+    if mode != "shuffle":
+        # small-input regime: whole series in one task, pure pandas —
+        # the bitwise serial reference path
+        part = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              batch_size=None).repartition(1)
+        kernel = _make_ewma_census(alpha, k, warmup, None)
+        partial = part.map_batches(kernel, batch_format="pyarrow",
+                                   batch_size=None)
+        out = tree_merge(partial, ["event_type"],
+                         [("n_events", "sum"), ("n_anomalies", "sum")])
+        return out.sort("event_type")
+
+    part = hash_partition(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None),
+        ["event_type", "bucket"], num_partitions).materialize()
+
+    # pass A: per-chunk linear-map summaries for the mean recursion
+    def m_summary(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "decay": pa.array([], pa.float64()),
+                             "wsum": pa.array([], pa.float64()),
+                             "m_first": pa.array([], pa.float64())})
+        c_s, types, bk_s, starts, ends, v_s = _ewma_chunks(b)
+        out = {"event_type": [], "bucket": [], "n": [], "decay": [],
+               "wsum": [], "m_first": []}
+        for st, en in zip(starts, ends):  # loop bounded by chunks/partition
+            v = v_s[st:en]
+            n = en - st
+            w = alpha * (1.0 - alpha) ** (n - 1 - np.arange(n))
+            out["event_type"].append(types[c_s[st]])
+            out["bucket"].append(int(bk_s[st]))
+            out["n"].append(int(n))
+            out["decay"].append(float((1.0 - alpha) ** n))
+            out["wsum"].append(float(w @ v))
+            out["m_first"].append(float(_ewm(v, alpha)[-1]))
+        return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                         "bucket": pa.array(out["bucket"], pa.int64()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "decay": pa.array(out["decay"], pa.float64()),
+                         "wsum": pa.array(out["wsum"], pa.float64()),
+                         "m_first": pa.array(out["m_first"], pa.float64())})
+
+    summaries = pa.concat_tables(list(
+        part.map_batches(m_summary, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_format="pyarrow", batch_size=None)) or
+        [pa.table({"event_type": pa.array([], pa.string())})])
+    if summaries.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_anomalies": pa.array([], pa.int64())})
+    sdf = summaries.to_pandas().sort_values(["event_type", "bucket"],
+                                            kind="mergesort")
+
+    # driver-side prefix composition (O(types x buckets) rows)
+    m_in: dict[tuple, float] = {}
+    off: dict[tuple, int] = {}
+    state, cum, cur_t = np.nan, 0, None
+    for r in sdf.itertuples(index=False):
+        key = (r.event_type, r.bucket)
+        if r.event_type != cur_t:
+            cur_t, state, cum = r.event_type, np.nan, 0
+        m_in[key], off[key] = state, cum
+        state = (r.m_first if np.isnan(state)
+                 else r.decay * state + r.wsum)
+        cum += r.n
+
+    # pass B: deviation-series summaries given the broadcast m states
+    def s_summary(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "decay": pa.array([], pa.float64()),
+                             "wsum": pa.array([], pa.float64()),
+                             "s_first": pa.array([], pa.float64())})
+        c_s, types, bk_s, starts, ends, v_s = _ewma_chunks(b)
+        out = {"event_type": [], "bucket": [], "decay": [], "wsum": [],
+               "s_first": []}
+        for st, en in zip(starts, ends):
+            v = v_s[st:en]
+            n = en - st
+            key = (types[c_s[st]], int(bk_s[st]))
+            d = np.nan_to_num(np.abs(v - _ewma_chunk_mprev(v, alpha,
+                                                           m_in[key])))
+            w = alpha * (1.0 - alpha) ** (n - 1 - np.arange(n))
+            out["event_type"].append(key[0])
+            out["bucket"].append(key[1])
+            out["decay"].append(float((1.0 - alpha) ** n))
+            out["wsum"].append(float(w @ d))
+            out["s_first"].append(float(_ewm(d, alpha)[-1]))
+        return pa.table({"event_type": pa.array(out["event_type"], pa.string()),
+                         "bucket": pa.array(out["bucket"], pa.int64()),
+                         "decay": pa.array(out["decay"], pa.float64()),
+                         "wsum": pa.array(out["wsum"], pa.float64()),
+                         "s_first": pa.array(out["s_first"], pa.float64())})
+
+    s_sum = pa.concat_tables(list(
+        part.map_batches(s_summary, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_format="pyarrow", batch_size=None)))
+    ssdf = s_sum.to_pandas().sort_values(["event_type", "bucket"],
+                                         kind="mergesort")
+    s_in: dict[tuple, float] = {}
+    state, cur_t = np.nan, None
+    for r in ssdf.itertuples(index=False):
+        key = (r.event_type, r.bucket)
+        if r.event_type != cur_t:
+            cur_t, state = r.event_type, np.nan
+        s_in[key] = state
+        state = (r.s_first if np.isnan(state)
+                 else r.decay * state + r.wsum)
+
+    # pass C: anomaly census with full (m_in, s_in, offset) state
+    kernel = _make_ewma_census(alpha, k, warmup,
+                               {key: (m_in[key], s_in[key], off[key])
+                                for key in m_in})
+    partial = part.map_batches(kernel, batch_format="pyarrow",
+                               batch_size=None)
+    out = tree_merge(partial, ["event_type"],
+                     [("n_events", "sum"), ("n_anomalies", "sum")])
+    return out.sort("event_type")
+
+
+def _make_ewma_census(alpha: float, k: float, warmup: int,
+                      state_map: dict | None):
+    """Census kernel over co-located (type, bucket) chunks.  With
+    ``state_map=None`` every chunk is treated as a series start (the
+    one-task tree regime, where each type occupies exactly one chunk
+    per bucket but the whole series is co-located — chunks chain through
+    the SAME composition driver-side in shuffle mode).  Module-level so
+    hypothesis can drive it directly."""
+    import numpy as np
 
     def census(b: pa.Table) -> pa.Table:
         from .. import tune_worker_threads
@@ -867,35 +1085,45 @@ def log_value_ewma_anomaly(sf_dir: str, *, alpha: float = EWMA_ALPHA,
                           "n_anomalies": pa.array([], pa.int64())})
         if b.num_rows == 0:
             return empty
-        df = pd.DataFrame({
-            "event_type": b["event_type"].to_pandas(),
-            "ts": np.asarray((b["ts"].combine_chunks()
-                              if isinstance(b["ts"], pa.ChunkedArray)
-                              else b["ts"]).cast(pa.int64())),
-            "event_id": np.asarray(b["event_id"], dtype=np.int64),
-            "value": np.asarray(b["value"], dtype=np.float64),
-        }).sort_values(["event_type", "ts", "event_id"], kind="mergesort")
-        out_t, out_n, out_a = [], [], []
-        for et, g in df.groupby("event_type", sort=True):
-            v = g["value"].reset_index(drop=True)
-            m_prev = v.ewm(alpha=alpha, adjust=False).mean().shift(1)
-            d = (v - m_prev).abs()
-            s_prev = d.fillna(0.0).ewm(alpha=alpha, adjust=False) \
-                      .mean().shift(1)
-            idx = np.arange(len(v))
-            anom = (idx >= warmup) & (d.to_numpy() > k * s_prev.to_numpy())
-            out_t.append(et)
-            out_n.append(len(v))
-            out_a.append(int(anom.sum()))
-        return pa.table({"event_type": pa.array(out_t, pa.string()),
-                         "n_events": pa.array(out_n, pa.int64()),
-                         "n_anomalies": pa.array(out_a, pa.int64())})
+        if state_map is None:
+            # whole-series regime: chunk boundaries are per (type, bucket)
+            # but the partition holds every chunk of a type contiguously —
+            # collapse buckets so the recursion runs unbroken per type
+            b = b.set_column(b.column_names.index("bucket"), "bucket",
+                             pa.array(np.zeros(b.num_rows, dtype=np.int64)))
+        c_s, types, bk_s, starts, ends, v_s = _ewma_chunks(b)
+        agg: dict[str, list[int]] = {}
+        for st, en in zip(starts, ends):
+            v = v_s[st:en]
+            n = en - st
+            key = (types[c_s[st]], int(bk_s[st]))
+            if state_map is None:
+                mi, si, base = np.nan, np.nan, 0
+            else:
+                mi, si, base = state_map[key]
+            d = np.abs(v - _ewma_chunk_mprev(v, alpha, mi))
+            ds_ = np.nan_to_num(d)
+            if np.isnan(si):
+                ys = _ewm(ds_, alpha)
+                s_prev = np.concatenate(([np.nan], ys[:-1]))
+            else:
+                s_prev = _ewm(np.concatenate(([si], ds_)), alpha)[:-1]
+            idx = base + np.arange(n)
+            with np.errstate(invalid="ignore"):
+                anom = (idx >= warmup) & (d > k * s_prev)
+            t = key[0]
+            cur = agg.get(t, [0, 0])
+            cur[0] += int(n)
+            cur[1] += int(anom.sum())
+            agg[t] = cur
+        keys = sorted(agg)
+        return pa.table({"event_type": pa.array(keys, pa.string()),
+                         "n_events": pa.array([agg[t][0] for t in keys],
+                                              pa.int64()),
+                         "n_anomalies": pa.array([agg[t][1] for t in keys],
+                                                 pa.int64())})
 
-    partial = part.map_batches(census, batch_format="pyarrow",
-                               batch_size=None)
-    out = tree_merge(partial, ["event_type"],
-                     [("n_events", "sum"), ("n_anomalies", "sum")])
-    return out.sort("event_type")
+    return census
 
 
 def log_event_transitions(sf_dir: str, *, num_partitions: int | None = None,

@@ -233,3 +233,87 @@ class TestAdviceEmptyCandidates:
         assert isinstance(tbl, pa.Table)
         assert tbl.column_names == ["doc_id", "score_x1e6"]
         assert 0 < tbl.num_rows <= 20
+
+
+class TestEwmaSegmentedScan:
+    """VERDICT r04 item 2: the shuffle regime must never hold a full
+    per-type series — forced multi-chunk runs must match the whole-series
+    serial recursion."""
+
+    @staticmethod
+    def _serial_census(sf, alpha=0.25, k=3.0, warmup=10):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf}/events.parquet",
+                          columns=["event_type", "ts", "event_id", "value"]
+                          ).to_pandas()
+        t = t.sort_values(["event_type", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for et, g in t.groupby("event_type", sort=True):
+            v = g["value"].astype(float).reset_index(drop=True)
+            m_prev = v.ewm(alpha=alpha, adjust=False).mean().shift(1)
+            d = (v - m_prev).abs()
+            s_prev = d.fillna(0.0).ewm(alpha=alpha, adjust=False) \
+                      .mean().shift(1)
+            idx = np.arange(len(v))
+            with np.errstate(invalid="ignore"):
+                anom = (idx >= warmup) & (d.to_numpy() > k * s_prev.to_numpy())
+            rows.append([et, len(v), int(anom.sum())])
+        return rows
+
+    def test_forced_multichunk_matches_serial(self, ray_session, sf_small):
+        from logparse_rs_ray.pipelines.windows import log_value_ewma_anomaly
+
+        # hourly buckets over the 30-day corpus -> ~720 chunks per type
+        got = log_value_ewma_anomaly(sf_small, mode="shuffle",
+                                     bucket_secs=3600).to_pandas()
+        assert got.values.tolist() == self._serial_census(sf_small)
+        # nontrivial: the corpus must actually have anomalies to compare
+        assert got.n_anomalies.sum() > 0
+
+    def test_regimes_agree_on_small_corpus(self, ray_session, sf_tiny):
+        from logparse_rs_ray.pipelines.windows import log_value_ewma_anomaly
+
+        tree = log_value_ewma_anomaly(sf_tiny, mode="tree").to_pandas()
+        shuf = log_value_ewma_anomaly(sf_tiny, mode="shuffle",
+                                      bucket_secs=7200).to_pandas()
+        assert tree.values.tolist() == shuf.values.tolist()
+
+    def test_randomized_spiky_series_multichunk(self, ray_session, tmp_path):
+        import datetime
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.pipelines.windows import log_value_ewma_anomaly
+
+        rng = np.random.default_rng(77)
+        base = datetime.datetime(2024, 1, 1)
+        rows_t, rows_ts, rows_v = [], [], []
+        for et in ("a", "b", "c"):
+            n = int(rng.integers(50, 300))
+            vals = rng.normal(100.0, 5.0, n)
+            spikes = rng.choice(n, size=max(1, n // 20), replace=False)
+            vals[spikes] *= 10.0
+            for i in range(n):
+                rows_t.append(et)
+                rows_ts.append(base + datetime.timedelta(
+                    minutes=int(rng.integers(0, 60 * 24 * 10))))
+                rows_v.append(float(vals[i]))
+        t = pa.table({
+            "event_id": pa.array(range(len(rows_t)), type=pa.int64()),
+            "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows_t), type=pa.int64()),
+            "event_type": pa.array(rows_t),
+            "value": pa.array(rows_v),
+            "props": pa.array(["{}"] * len(rows_t)),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        sf = str(tmp_path)
+        got = log_value_ewma_anomaly(sf, mode="shuffle", bucket_secs=3600,
+                                     num_partitions=5).to_pandas()
+        assert got.values.tolist() == self._serial_census(sf)
+        assert got.n_anomalies.sum() > 0
