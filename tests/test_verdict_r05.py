@@ -317,3 +317,151 @@ class TestEwmaSegmentedScan:
                                      num_partitions=5).to_pandas()
         assert got.values.tolist() == self._serial_census(sf)
         assert got.n_anomalies.sum() > 0
+
+
+class TestPngCodec:
+    """VERDICT r04 item 6: a real codec behind the multimodal actor
+    interface — baseline PNG via stdlib zlib (core/png.py)."""
+
+    def test_roundtrip_all_filters_and_shapes(self):
+        import numpy as np
+
+        from logparse_rs_ray.core.png import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for shape in [(5, 7), (5, 7, 3), (1, 1), (12, 16, 3), (3, 1, 3)]:
+            arr = rng.integers(0, 256, shape, dtype=np.uint8)
+            for f in range(5):
+                filts = np.full(shape[0], f)
+                assert (decode_png(encode_png(arr, row_filters=filts))
+                        == arr).all(), (shape, f)
+            mixed = rng.integers(0, 5, shape[0])
+            assert (decode_png(encode_png(arr, row_filters=mixed))
+                    == arr).all()
+
+    def test_crc_corruption_rejected(self):
+        import numpy as np
+
+        from logparse_rs_ray.core.png import encode_png, decode_png
+
+        data = bytearray(encode_png(np.zeros((4, 4), dtype=np.uint8)))
+        data[40] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError):
+            decode_png(bytes(data))
+
+    def test_non_png_rejected(self):
+        from logparse_rs_ray.core.png import decode_png
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"plain text payload")
+
+
+class TestPngActorStages:
+    @staticmethod
+    def _mixed_batch():
+        import numpy as np
+        import pyarrow as pa
+
+        from logparse_rs_ray.core.png import encode_png
+
+        img0 = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+        img1 = (np.arange(5 * 9, dtype=np.uint8) * 7 % 256).astype(
+            np.uint8).reshape(5, 9)  # greyscale
+        corrupt = bytearray(encode_png(img0))
+        corrupt[41] ^= 0xAA
+        payloads = [encode_png(img0), b"just text", encode_png(img1),
+                    bytes(corrupt)]
+        return pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }), img0, img1
+
+    def test_decode_stage_real_and_fallback(self):
+        import numpy as np
+
+        from logparse_rs_ray.pipelines.multimodal import ImageDecodeStub
+
+        batch, img0, img1 = self._mixed_batch()
+        out = ImageDecodeStub()(batch).to_pandas()
+        # row 0: real RGB decode — IHDR dims, pixel histogram, pixel sum
+        assert list(out.loc[0, ["width", "height", "channels"]]) == [6, 8, 3]
+        assert out.loc[0, "pix_sum"] == int(img0.sum(dtype=np.int64))
+        assert (np.array(out.loc[0, "features"]) ==
+                np.bincount(img0.reshape(-1) >> 4, minlength=16)).all()
+        # row 2: real greyscale decode
+        assert list(out.loc[2, ["width", "height", "channels"]]) == [9, 5, 1]
+        assert out.loc[2, "pix_sum"] == int(img1.sum(dtype=np.int64))
+        # rows 1 (text) and 3 (corrupt PNG): stub fallback — dims from
+        # byte length, histogram/sum over payload bytes
+        for i in (1, 3):
+            nb = out.loc[i, "n_bytes"]
+            assert out.loc[i, "width"] == nb % 640
+            assert out.loc[i, "height"] == nb % 480
+            assert out.loc[i, "channels"] == 3
+
+    def test_thumbnail_stage_real_resize(self):
+        import numpy as np
+
+        from logparse_rs_ray.pipelines.multimodal import ThumbnailStub
+
+        batch, img0, img1 = self._mixed_batch()
+        st = ThumbnailStub(width=4, height=4)
+        out = st(batch).to_pandas()
+
+        def nn(img):
+            h, w = img.shape[:2]
+            rows = (np.arange(4) * h) // 4
+            cols = (np.arange(4) * w) // 4
+            flat = img[rows][:, cols].reshape(-1)[:ThumbnailStub.TH_BYTES]
+            buf = np.zeros(ThumbnailStub.TH_BYTES, dtype=np.uint8)
+            buf[:len(flat)] = flat
+            return buf.tobytes()
+
+        assert bytes(out.loc[0, "thumb"]) == nn(img0)
+        assert bytes(out.loc[2, "thumb"]) == nn(img1)
+        # stub rows: first TH_BYTES payload bytes zero-padded
+        want = b"just text" + b"\x00" * (ThumbnailStub.TH_BYTES - 9)
+        assert bytes(out.loc[1, "thumb"]) == want
+
+    def test_batch_size_bounds_decode_batches(self, ray_session, sf_tiny):
+        """The explicit batch_size must actually bound per-batch payload
+        memory in the running pipeline."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from logparse_rs_ray.pipelines.multimodal import attach_png_payload
+        from logparse_rs_ray.sources import read_table
+
+        ds = read_table(sf_tiny, "documents", columns=["doc_id"])
+        ds = ds.map_batches(attach_png_payload, batch_format="pyarrow",
+                            batch_size=None)
+        sizes = ds.map_batches(
+            lambda b: pa.table({"rows": pa.array([b.num_rows])}),
+            batch_format="pyarrow", batch_size=64).to_pandas()
+        assert sizes.rows.max() <= 64
+        assert sizes.rows.sum() == 500
+
+    def test_png_thumbs_pipeline_matches_serial(self, ray_session, sf_tiny):
+        import numpy as np
+
+        from logparse_rs_ray.core.png import decode_png
+        from logparse_rs_ray.pipelines.multimodal import (
+            ThumbnailStub, attach_png_payload, mm_png_thumbs)
+        from logparse_rs_ray.sources import read_table
+
+        got = mm_png_thumbs(sf_tiny).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        ids = read_table(sf_tiny, "documents", columns=["doc_id"]) \
+            .to_pandas().sort_values("doc_id")
+        import pyarrow as pa
+
+        batch = pa.table({"doc_id": pa.array(ids.doc_id.to_numpy())})
+        payloads = attach_png_payload(batch)
+        st = ThumbnailStub()
+        for row_i in (0, 7, 123, 499):
+            raw = payloads["payload"][row_i].as_py()
+            img = decode_png(raw)
+            flat = st._resize(img).reshape(-1)[:ThumbnailStub.TH_BYTES]
+            buf = np.zeros(ThumbnailStub.TH_BYTES, dtype=np.uint8)
+            buf[:len(flat)] = flat
+            assert got.loc[row_i, "thumb_hex"] == buf.tobytes().hex()
