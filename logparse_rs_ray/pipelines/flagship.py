@@ -45,6 +45,34 @@ __all__ = [
 ]
 
 INTEGRITY = Enricher.INTEGRITY_TYPE
+SIDE_BUCKETS = 8  # FLOOR for the side-sink bucket count (see auto_side_buckets)
+
+
+def auto_side_buckets() -> int:
+    """Side-sink bucket count, scaled to the cluster (VERDICT r04 item 1):
+    consolidation runs ONE merge task per bucket and its work (dedup/merge
+    of per-block partial rows whose keys are near-unique per doc) is
+    corpus-proportional, so a fixed count pins the phase's parallelism.
+    cpus/4 balances merge parallelism against the hive fan-out cost of the
+    routed write (each write task opens one file per bucket dir; measured
+    round-5: nb=16 at 32 CPUs cost +1.5 s of write for ~0 merge gain on
+    this box, so the knob stays conservative — consolidation also splits
+    integrity|report into separate tasks, doubling parallelism per
+    bucket).  Capped at 32 — past that, shard by run partition
+    (state/checkpoint), which multiplies merge parallelism without
+    widening any single write.
+    """
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            if cpus:
+                return max(SIDE_BUCKETS, min(32, cpus // 4))
+    except Exception:
+        pass
+    return SIDE_BUCKETS
+
 
 REPORT_DIMS = {
     "by_log_type": "log_type",
@@ -67,11 +95,13 @@ def parse_webtext(ds, schema: CompiledSchema | None = None, **map_kwargs):
 
 
 def enrich_webtext(parsed_ds, anon_cfg: AnonConfig | None = None, *,
-                   emit_integrity_rows: bool = False, **map_kwargs):
+                   emit_integrity_rows: bool = False,
+                   integrity_buckets: int = SIDE_BUCKETS, **map_kwargs):
     if anon_cfg is None:
         anon_cfg = load_anon_config(default_anon_config_json())
     return parsed_ds.map_batches(
-        Enricher(anon_cfg, LANG_REGION, emit_integrity_rows=emit_integrity_rows),
+        Enricher(anon_cfg, LANG_REGION, emit_integrity_rows=emit_integrity_rows,
+                 integrity_buckets=integrity_buckets),
         batch_format="pyarrow", batch_size=None, **map_kwargs,
     )
 
@@ -97,18 +127,20 @@ def _report_prep(batch: pa.Table) -> pa.Table:
 
 
 REPORT_SINK = "_report"
-SIDE_BUCKETS = 8  # per-bucket merge parallelism for report/integrity sinks
 
 
-def append_report_rows(batch: pa.Table) -> pa.Table:
+def append_report_rows(batch: pa.Table, *,
+                       n_buckets: int = SIDE_BUCKETS) -> pa.Table:
     """Append this block's report partial counts as side rows
     (``sink="_reportNN"``, ``_rep_dim/_rep_key/_rep_count`` set, data
     columns null) — the same zero-extra-pass trick as the integrity pairs.
-    NN = FNV(dim ++ key) % SIDE_BUCKETS, so the hive-partitioned write
+
+    NN = FNV(dim ++ key) % n_buckets, so the hive-partitioned write
     hash-partitions the partials on disk and the report merge becomes one
     independent task per bucket (a filesystem shuffle — no object-store
     all-to-all, and per-bucket results are globally correct because buckets
-    partition the key space)."""
+    partition the key space).  Callers pass ``auto_side_buckets()`` so the
+    merge parallelism follows the cluster."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -132,8 +164,8 @@ def append_report_rows(batch: pa.Table) -> pa.Table:
     m = tall.num_rows
     joined = pc.binary_join_element_wise(tall["dim"].combine_chunks(),
                                          tall["key"].combine_chunks(), "\x00")
-    bucket = (fnv1a64_arrow(joined) % np.uint64(SIDE_BUCKETS)).astype(np.int64)
-    pool = np.array([f"{REPORT_SINK}{b:02d}" for b in range(SIDE_BUCKETS)],
+    bucket = (fnv1a64_arrow(joined) % np.uint64(n_buckets)).astype(np.int64)
+    pool = np.array([f"{REPORT_SINK}{b:02d}" for b in range(n_buckets)],
                     dtype=object)
     sink_names = pool[bucket]
     cols: dict[str, pa.Array] = {}
@@ -184,18 +216,29 @@ def _bucket_dirs(out_dir: str, prefix: str) -> list[str]:
 
 def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
                       k: int = 10) -> dict:
-    """Integrity dedup + report merge over bucketed side sinks, in ONE Ray
-    execution: one task per bucket handles both that bucket's integrity
-    directories (dedup -> idempotent per-bucket parquet under
-    ``integrity_dest``) and its report directories (merged counts -> per-dim
+    """Integrity dedup + report merge over the bucketed side sinks, in ONE
+    Ray execution: one task per bucket handles both that bucket's
+    integrity files (dedup -> idempotent per-bucket parquet under
+    ``integrity_dest``) and its report files (merged counts -> per-dim
     totals + top-k candidate rows).
 
     Buckets partition their key spaces, so per-bucket results are globally
-    exact: the global top-k is the top-k of the union of per-bucket top-k's,
-    and per-bucket integrity tables are disjoint.  Data reaches the tasks
-    through the bucket directories the routed write already produced — a
-    filesystem shuffle, no object-store all-to-all.  ``sink_roots`` may span
-    multiple partition runs (checkpointed executions).
+    exact: the global top-k is the top-k of the union of per-bucket
+    top-k's, and per-bucket integrity tables are disjoint.  Data reaches
+    the tasks through the bucket directories the routed write already
+    produced — a FILESYSTEM shuffle.  This was measured (VERDICT r04
+    item 1 diagnosis, BASELINE.md round-5) against the object-store
+    alternative: a ``hash_merge`` exchange of the same partial rows ran
+    4-17x slower (Ray's hash shuffle moves these ~0.5 GB of compact rows
+    at ~30 MB/s on this box), so the dir-hash co-location stays.  The
+    anonymized-value/report key sets are near-unique per doc — the merge
+    is corpus-proportional work, so the bucket count (the merge
+    parallelism) scales with the cluster via ``auto_side_buckets``.
+    Bucket ids are discovered from the directories, but every root
+    consolidated together must share one bucket count (keys partition by
+    hash mod n) — ``run_flagship`` resolves it once per run and the
+    checkpointed flow pins it in ``side_buckets.json``.  ``sink_roots``
+    may span multiple partition runs (checkpointed executions).
     """
     import glob as _glob
     import json as _json
@@ -204,19 +247,29 @@ def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
     import ray.data as rd
 
     _os.makedirs(integrity_dest, exist_ok=True)
+    bucket_ids: set[int] = set()
+    for root in sink_roots:
+        for prefix in (INTEGRITY, REPORT_SINK):
+            for d in _glob.glob(f"{root}/sink={prefix}[0-9][0-9]"):
+                bucket_ids.add(int(d[-2:]))
+    # ONE item per (bucket, kind): the integrity dedup and the report merge
+    # of a bucket are independent, so splitting them doubles consolidation
+    # parallelism at zero extra file reads (round-5 diagnosis)
     items = []
-    for b in range(SIDE_BUCKETS):
+    for b in sorted(bucket_ids):
         idirs = [d for root in sink_roots
                  for d in sorted(_glob.glob(f"{root}/sink={INTEGRITY}{b:02d}"))]
         rdirs = [d for root in sink_roots
                  for d in sorted(_glob.glob(f"{root}/sink={REPORT_SINK}{b:02d}"))]
-        if idirs or rdirs:
+        if idirs:
             items.append({"bucket": b, "integrity_dirs": _json.dumps(idirs),
+                          "report_dirs": _json.dumps([])})
+        if rdirs:
+            items.append({"bucket": b, "integrity_dirs": _json.dumps([]),
                           "report_dirs": _json.dumps(rdirs)})
 
     def merge_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        import pyarrow.dataset as pads
         import pyarrow.parquet as pq
 
         from .. import tune_worker_threads
@@ -228,6 +281,13 @@ def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
             return [f for d in dirs
                     for f in sorted(_glob.glob(f"{d}/**/*.parquet", recursive=True))]
 
+        def read_cols(flist, columns, names):
+            # per-file pq reads skip pyarrow.dataset's per-fragment schema
+            # unification — these files all share the routed write's schema,
+            # and the file count grows with upstream write parallelism
+            parts = [pq.ParquetFile(f).read(columns=columns) for f in flist]
+            return pa.concat_tables(parts).rename_columns(names)
+
         outs = []
         for row in batch.to_pylist():
             b = row["bucket"]
@@ -235,9 +295,10 @@ def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
             if ifiles:
                 final = f"{integrity_dest}/{INTEGRITY}{b:02d}.parquet"
                 if not _os.path.exists(final):  # resumable per-bucket output
-                    t = pads.dataset(ifiles).to_table(
-                        columns=["_pair_field", "_pair_original", "_pair_replacement"]
-                    ).rename_columns(["field", "original", "replacement"])
+                    t = read_cols(ifiles,
+                                  ["_pair_field", "_pair_original",
+                                   "_pair_replacement"],
+                                  ["field", "original", "replacement"])
                     g = t.group_by(["field", "original"]).aggregate(
                         [("replacement", "min")]
                     ).rename_columns(["field", "original", "replacement"])
@@ -246,9 +307,8 @@ def consolidate_sinks(sink_roots: list[str], integrity_dest: str, *,
                     _os.replace(tmp, final)  # atomic publish
             rfiles = files(_json.loads(row["report_dirs"]))
             if rfiles:
-                t = pads.dataset(rfiles).to_table(
-                    columns=["_rep_dim", "_rep_key", "_rep_count"]
-                ).rename_columns(["dim", "key", "count"])
+                t = read_cols(rfiles, ["_rep_dim", "_rep_key", "_rep_count"],
+                              ["dim", "key", "count"])
                 g = t.group_by(["dim", "key"]).aggregate([("count", "sum")])
                 g = g.rename_columns(["dim", "key", "count"])
                 keep = []
@@ -474,15 +534,21 @@ def run_flagship(
     shutil.rmtree(f"{out_dir}/sinks", ignore_errors=True)
     shutil.rmtree(f"{out_dir}/integrity", ignore_errors=True)
 
+    n_buckets = auto_side_buckets()
     parsed = parse_webtext(webtext_ds, schema, **mk)
-    enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=write_integrity, **mk)
+    enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=write_integrity,
+                              integrity_buckets=n_buckets, **mk)
 
     def route(b: pa.Table) -> pa.Table:
         return add_sink_column(b, key_col=route_key, hot_keys=hot_keys,
                                num_salts=num_salts)
 
+    import functools
+
     routed = enriched.map_batches(route, batch_format="pyarrow", batch_size=None, **mk)
-    routed = routed.map_batches(append_report_rows, batch_format="pyarrow", batch_size=None, **mk)
+    routed = routed.map_batches(
+        functools.partial(append_report_rows, n_buckets=n_buckets),
+        batch_format="pyarrow", batch_size=None, **mk)
     partition_cols = ["sink", "salt"] if hot_keys else ["sink"]
     routed.write_parquet(f"{out_dir}/sinks", partition_cols=partition_cols)
     if stats_sink is not None:

@@ -122,10 +122,14 @@ def run_partitioned_flagship(
     The report/integrity consolidation only runs when every partition is
     done.
     """
+    import functools
+    import json as _json
+
     import ray.data as rd
 
     from ..core.anonymize import load_anon_config
-    from ..pipelines.flagship import append_report_rows, enrich_webtext, parse_webtext
+    from ..pipelines.flagship import (append_report_rows, auto_side_buckets,
+                                      enrich_webtext, parse_webtext)
     from ..stages.route import add_sink_column
     from ..webtext import default_anon_config_json, pan_schema
 
@@ -139,6 +143,19 @@ def run_partitioned_flagship(
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest.load(os.path.join(out_dir, "manifest.jsonl"))
+
+    # side-sink bucket count pinned PER OUT_DIR on first invocation: buckets
+    # hash-partition the key space, so every partition root consolidated
+    # together must share the count even when a resume runs on a
+    # different-size cluster (flagship.auto_side_buckets note)
+    sb_path = os.path.join(out_dir, "side_buckets.json")
+    if os.path.exists(sb_path):
+        with open(sb_path, encoding="utf-8") as fh:
+            side_buckets = int(_json.load(fh)["side_buckets"])
+    else:
+        side_buckets = auto_side_buckets()
+        with open(sb_path, "w", encoding="utf-8") as fh:
+            _json.dump({"side_buckets": side_buckets}, fh)
 
     # partition dirs beyond the current grouping (e.g. --partitions shrank)
     # would otherwise leak stale data into the consolidation glob
@@ -160,11 +177,13 @@ def run_partitioned_flagship(
         t0 = time.perf_counter()
         ds = rd.read_parquet(group)
         parsed = parse_webtext(ds, schema)
-        enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=True)
+        enriched = enrich_webtext(parsed, cfg, emit_integrity_rows=True,
+                                  integrity_buckets=side_buckets)
         routed = enriched.map_batches(add_sink_column, batch_format="pyarrow",
                                       batch_size=None)
-        routed = routed.map_batches(append_report_rows, batch_format="pyarrow",
-                                    batch_size=None)
+        routed = routed.map_batches(
+            functools.partial(append_report_rows, n_buckets=side_buckets),
+            batch_format="pyarrow", batch_size=None)
         routed.write_parquet(f"{tmp}/sinks", partition_cols=["sink"])
         os.replace(tmp, pdir)  # atomic publish: partition done
         wall = time.perf_counter() - t0
