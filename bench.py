@@ -303,14 +303,26 @@ def run_scaling() -> dict:
 
     Uses 4x the default row count (unless WEBTEXT_ROWS overrides) so compute
     dominates the fixed per-execution overhead.
+
+    ``SCALE_WEAK=1`` switches to WEAK scaling (the cluster-realistic shape:
+    4N nodes arrive with 4x the data AND 4x the disks/memory buses): the hi
+    level processes ``hi/lo`` times the lo level's docs, and efficiency is
+    ``t_lo / t_hi`` (1.0 = perfect).  Each child also reports its warm
+    read+scan-only wall (``io_scan_s``) — the no-UDF hardware ceiling of the
+    box — so the output decomposes pipeline efficiency against the
+    shared-memory-bus ceiling a single machine imposes on the strong-scaling
+    proxy (BASELINE.md round-5 diagnosis).
     """
     n_docs = int(os.environ.get("WEBTEXT_ROWS", str(8 * N_DOCS)))
     lo_cpus = int(os.environ.get("SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("SCALE_HI", str(4 * lo_cpus)))
+    weak = os.environ.get("SCALE_WEAK") == "1"
+    ratio = hi_cpus / lo_cpus
+    hi_docs = int(n_docs * ratio) if weak else n_docs
 
-    def run_at(ncpu: int) -> dict:
+    def run_at(ncpu: int, docs: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   WEBTEXT_ROWS=str(n_docs), BENCH_SKIP_QUERIES="1",
+                   WEBTEXT_ROWS=str(docs), BENCH_SKIP_QUERIES="1",
                    BENCH_SKIP_AB="1",
                    BENCH_REPEAT=os.environ.get("BENCH_REPEAT", "3"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
@@ -326,13 +338,18 @@ def run_scaling() -> dict:
     rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
     lo_runs, hi_runs = [], []
     for _ in range(rounds):
-        lo_runs.append(run_at(lo_cpus))
-        hi_runs.append(run_at(hi_cpus))
+        lo_runs.append(run_at(lo_cpus, n_docs))
+        hi_runs.append(run_at(hi_cpus, hi_docs))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
-    return {
-        "metric": f"scaling efficiency ({lo_cpus} -> {hi_cpus} CPUs, same input)",
+    if weak:
+        eff = lo["value"] / hi["value"]
+    else:
+        eff = (lo["value"] / hi["value"]) / ratio
+    out = {
+        "metric": (f"{'weak' if weak else 'strong'} scaling efficiency "
+                   f"({lo_cpus} -> {hi_cpus} CPUs"
+                   + (", input scaled with CPUs)" if weak else ", same input)")),
         f"sec_{lo_cpus}cpu": lo["value"],
         f"sec_{hi_cpus}cpu": hi["value"],
         f"docs_per_sec_{lo_cpus}cpu": lo["docs_per_sec"],
@@ -345,6 +362,21 @@ def run_scaling() -> dict:
         "docs": n_docs,
         "sf": SF,
     }
+    if weak:
+        out[f"docs_{lo_cpus}cpu"] = n_docs
+        out[f"docs_{hi_cpus}cpu"] = hi_docs
+    # decomposition vs the no-UDF scan ceiling: the pure parquet read+scan
+    # (zero Python, zero write) measures the box's shared memory-bus limit;
+    # pipeline efficiency is graded against that ceiling, not against the
+    # unreachable ideal of a single machine acting like 4x the machines
+    scan_lo = min((r["stats"]["io_scan_s"] for r in lo_runs), default=None)
+    scan_hi = min((r["stats"]["io_scan_s"] for r in hi_runs), default=None)
+    if scan_lo and scan_hi and not weak:
+        scan_eff = (scan_lo / scan_hi) / ratio
+        out["io_scan_s"] = {f"{lo_cpus}cpu": scan_lo, f"{hi_cpus}cpu": scan_hi}
+        out["scan_ceiling_efficiency"] = round(scan_eff, 3)
+        out["efficiency_vs_scan_ceiling"] = round(eff / scan_eff, 3)
+    return out
 
 
 def run_ab(base_ref: str, rounds: int | None = None) -> dict:
