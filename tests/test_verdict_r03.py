@@ -805,6 +805,9 @@ class TestQueryRegistry:
             "dedup_minhash_accuracy",  # MinHash is not SQL-expressible
             "dedup_minhash_bbit_accuracy",
             "doc_pmi_phrases",  # PMI log is float math, not SQL-bit-exact
+            # round-5: real-PNG thumbnail hex (resized zlib content is not
+            # SQL-expressible; serial replica pinned in test_verdict_r05)
+            "mm_png_thumbs",
         }, rows_only
 
 

@@ -2,7 +2,10 @@
 and its oracle_sql() side-by-side at a given sf, compare row count, sorted
 column names and order-insensitive value content.
 
-Usage: python tools/check_queries.py [sf_dir] [query ...]
+Usage: python tools/check_queries.py [sf_dir] [query ...] [--json PATH]
+
+``--json PATH`` also writes the full per-query result map (status, rows,
+wall) — the committed CORRECTNESS_full_r{N} artifact (VERDICT r04 item 4).
 """
 
 from __future__ import annotations
@@ -34,8 +37,14 @@ def canon(df):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
     import ray
@@ -57,6 +66,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,10 +75,13 @@ def main():
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "error", "err": f"{type(e).__name__}: {e}"}
             print(f"FAIL {name}: ray error: {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(got),
+                             "sec": round(dt, 1)}
             print(f"ok(rows-only) {name}: {len(got)} rows in {dt:.1f}s cols={list(got.columns)}")
             continue
         want = canon(con.execute(oracles[name]).fetchdf())
@@ -86,10 +99,25 @@ def main():
             print(want[bad].head(3))
         if status:
             failures.append(name)
+            results[name] = {"status": "fail", "detail": "; ".join(status)}
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
+            results[name] = {"status": "oracle_match", "rows": len(got),
+                             "sec": round(dt, 1)}
             print(f"OK   {name}: {len(got)} rows in {dt:.1f}s")
     ray.shutdown()
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w", encoding="utf-8") as fh:
+            _json.dump({"sf_dir": sf_dir,
+                        "n_queries": len(results),
+                        "n_oracle_match": sum(1 for r in results.values()
+                                              if r["status"] == "oracle_match"),
+                        "n_rows_only": sum(1 for r in results.values()
+                                           if r["status"] == "rows_only"),
+                        "failures": failures,
+                        "results": results}, fh, indent=1)
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
