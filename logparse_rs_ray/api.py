@@ -344,16 +344,21 @@ def _parse_batch_enriched(buf: list[str], include_all: bool):
     t = parser(pa.table({"text": pa.array(buf, type=pa.string())}))
     errs = t["_error"].to_pylist()
     types = t["log_type"].to_pylist()
+    # record-for-record parity with the sequential generator: yield every
+    # record BEFORE the first bad line, then raise its scalar-style error
+    # (round-5 review: raising before yielding dropped the batch's good
+    # prefix, which parse_many would have delivered)
+    n_ok = len(errs)
+    first_err = None
     for i, e in enumerate(errs):
-        if e == "no_type_at_index_3":
-            raise ValueError("Could not extract log type at index 3")
-        if e == "unknown_log_type":
-            raise ValueError(f"Unknown log type in schema: {types[i]}")
+        if e:
+            n_ok, first_err = i, (e, types[i])
+            break
     hashes = t["hash64"].to_pylist()
     excerpts = t["raw_excerpt"].to_pylist()
     cols = {c: t[c].to_pylist() for c in schema.union_columns}
     all_fields = t["all_fields"].to_pylist() if include_all else None
-    for i, line_type in enumerate(types):
+    for i, line_type in enumerate(types[:n_ok]):
         parsed: dict[str, str | None] = {}
         for name in schema.type_to_fields[line_type]:
             parsed[name] = cols[name][i]
@@ -364,6 +369,11 @@ def _parse_batch_enriched(buf: list[str], include_all: bool):
                     parsed[k] = v
         yield {"parsed": parsed, "raw_excerpt": excerpts[i],
                "hash64": hashes[i]}
+    if first_err is not None:
+        err, line_type = first_err
+        if err == "no_type_at_index_3":
+            raise ValueError("Could not extract log type at index 3")
+        raise ValueError(f"Unknown log type in schema: {line_type}")
 
 
 def parse_many_parallel(lines, *, batch_size: int = 1024,

@@ -99,20 +99,31 @@ def decode_png(data: bytes) -> np.ndarray:
 
     Supports 8-bit greyscale (color 0) and RGB (color 2), non-interlaced,
     all five filters; verifies every chunk CRC.  Raises ValueError on
-    anything else — callers fall back to their stub path.
+    anything else — callers fall back to their stub path, so EVERY
+    malformed-input path (magic-prefixed garbage, mid-chunk truncation,
+    corrupt deflate stream) must surface as ValueError, never as a raw
+    struct/zlib error that would escape the callers' except clause and
+    kill the Ray task (round-5 review finding).
     """
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, idat = 8, []
     w = h = nch = None
     while pos + 12 <= len(data):
-        (ln,) = struct.unpack(">I", data[pos:pos + 4])
-        tag = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + ln]
-        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        try:
+            (ln,) = struct.unpack(">I", data[pos:pos + 4])
+            tag = data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + ln]
+            (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        except struct.error as e:  # truncated mid-chunk / garbage length
+            raise ValueError(f"truncated PNG chunk: {e}") from e
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk body")
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError("PNG chunk CRC mismatch")
         if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError("bad IHDR length")
             w, h, depth, color, _comp, _filt, inter = struct.unpack(
                 ">IIBBBBB", body)
             if depth != 8 or color not in (0, 2) or inter != 0:
@@ -125,7 +136,10 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("truncated PNG")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("bad PNG payload size")

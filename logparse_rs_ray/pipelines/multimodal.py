@@ -45,8 +45,9 @@ class ImageDecodeStub:
     deterministic stub.  Both emit the same layout: width/height/channels
     (IHDR truth for PNGs, byte-length-derived for stubs), a 16-bin byte
     histogram feature vector (over decoded PIXELS for PNGs, payload bytes
-    for stubs), and ``pix_sum`` (decoded-stream byte total — the column
-    the PNG oracle checks against the synthesis rule).
+    for stubs), and ``pix_sum`` (decoded-raster byte total for PNGs — the
+    column the PNG oracle checks against the synthesis rule; 0 for stub
+    rows, which decode nothing).
     """
 
     FEATURE_DIM = 16
@@ -86,8 +87,11 @@ class ImageDecodeStub:
             doc_of * self.FEATURE_DIM + bins,
             minlength=len(payload) * self.FEATURE_DIM,
         ).astype(np.int64).reshape(len(payload), self.FEATURE_DIM)
-        pix_sum = np.bincount(doc_of, weights=data.astype(np.float64),
-                              minlength=len(payload)).astype(np.int64)
+        # pix_sum is a DECODED-raster statistic: 0 for stub rows (the stub
+        # decodes nothing), filled per PNG below.  Computing a payload-byte
+        # sum for stub rows doubled the hot stage's per-byte work for a
+        # column the text pipelines immediately drop (round-5 review).
+        pix_sum = np.zeros(len(payload), dtype=np.int64)
         # real-codec path: per-item decode (codecs are inherently per-item;
         # the explicit small batch_size bounds per-batch decoded memory)
         is_png = np.asarray(
@@ -562,8 +566,10 @@ def attach_png_payload(batch: pa.Table) -> pa.Table:
     rows cycle filters 0/1/2 so the decoder's vectorized unfilter paths all
     run.  Per-row encode is corpus SYNTHESIS (the test stand-in for bytes
     arriving from a crawl), not a pipeline kernel."""
+    from .. import tune_worker_threads
     from ..core.png import encode_png
 
+    tune_worker_threads()
     ids = np.asarray(batch["doc_id"], dtype=np.int64)
     payloads = []
     for i in ids:

@@ -928,6 +928,9 @@ def log_value_ewma_anomaly(sf_dir: str, *, alpha: float = EWMA_ALPHA,
     bucket_us = int(bucket_secs) * 1_000_000
 
     def add_bucket(b: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
         ts = (b["ts"].combine_chunks()
               if isinstance(b["ts"], pa.ChunkedArray)
               else b["ts"]).cast(pa.int64())

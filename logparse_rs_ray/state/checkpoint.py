@@ -154,8 +154,12 @@ def run_partitioned_flagship(
             side_buckets = int(_json.load(fh)["side_buckets"])
     else:
         side_buckets = auto_side_buckets()
-        with open(sb_path, "w", encoding="utf-8") as fh:
+        # atomic publish like every other checkpoint state: a crash
+        # mid-write must never leave a truncated file that bricks resume
+        tmp_sb = sb_path + ".tmp"
+        with open(tmp_sb, "w", encoding="utf-8") as fh:
             _json.dump({"side_buckets": side_buckets}, fh)
+        os.replace(tmp_sb, sb_path)
 
     # partition dirs beyond the current grouping (e.g. --partitions shrank)
     # would otherwise leak stale data into the consolidation glob

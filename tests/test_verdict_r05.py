@@ -465,3 +465,80 @@ class TestPngActorStages:
             buf = np.zeros(ThumbnailStub.TH_BYTES, dtype=np.uint8)
             buf[:len(flat)] = flat
             assert got.loc[row_i, "thumb_hex"] == buf.tobytes().hex()
+
+
+class TestRound5ReviewRegressions:
+    """Round-5 code-review findings."""
+
+    def test_magic_prefixed_garbage_falls_back_to_stub(self):
+        """decode_png must raise ValueError (not struct/zlib errors) on
+        magic-prefixed garbage so the actor stages' stub fallback engages
+        instead of the Ray task dying."""
+        import numpy as np
+        import pyarrow as pa
+
+        from logparse_rs_ray.core.png import PNG_MAGIC, decode_png
+        from logparse_rs_ray.pipelines.multimodal import ImageDecodeStub
+
+        for bad in (PNG_MAGIC + b"The quick brown fox", PNG_MAGIC,
+                    PNG_MAGIC + b"\xff\xff\xff\xffXXXX"):
+            with pytest.raises(ValueError):
+                decode_png(bad)
+        batch = pa.table({
+            "doc_id": pa.array([0], type=pa.int64()),
+            "payload": pa.array([PNG_MAGIC + b"just text"],
+                                type=pa.binary()),
+        })
+        out = ImageDecodeStub()(batch).to_pandas()
+        nb = out.loc[0, "n_bytes"]
+        assert out.loc[0, "width"] == nb % 640  # stub values stand
+        assert out.loc[0, "pix_sum"] == 0       # stub rows decode nothing
+
+    def test_parallel_yields_good_prefix_before_error(self):
+        """parse_many_parallel must deliver every record preceding the
+        first bad line in a batch, exactly like the sequential generator,
+        THEN raise the same error."""
+        api.load_embedded_schema()
+        lines = _parseable_lines(50)
+        mixed = lines[:5] + ["a,b,c,NOPE,x"] + lines[5:8]
+
+        def drain(gen):
+            got, err = [], None
+            try:
+                for rec in gen:
+                    got.append(rec)
+            except ValueError as e:
+                err = str(e)
+            return got, err
+
+        seq_got, seq_err = drain(api.parse_many(mixed))
+        par_got, par_err = drain(api.parse_many_parallel(mixed,
+                                                         batch_size=1024))
+        assert seq_err == par_err and "Unknown log type" in par_err
+        assert par_got == seq_got
+        assert len(par_got) == 5
+
+    def test_side_buckets_file_atomic_and_pinned(self, ray_session,
+                                                 tmp_path):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_ray.state.checkpoint import run_partitioned_flagship
+        from logparse_rs_ray.webtext import generate_webtext_table
+
+        src = tmp_path / "in"
+        src.mkdir()
+        pq.write_table(generate_webtext_table(500, seed=3),
+                       src / "part0.parquet")
+        out = tmp_path / "out"
+        run_partitioned_flagship(str(src), str(out), num_partitions=1)
+        sb = json.load(open(out / "side_buckets.json"))
+        assert sb["side_buckets"] >= 8
+        assert not (out / "side_buckets.json.tmp").exists()
+        # resume reuses the pinned value even if the cluster answer changes
+        sb2 = json.load(open(out / "side_buckets.json"))
+        res = run_partitioned_flagship(str(src), str(out), num_partitions=1)
+        assert res["skipped"] == 1
+        assert json.load(open(out / "side_buckets.json")) == sb2
