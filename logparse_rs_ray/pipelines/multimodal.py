@@ -4,8 +4,10 @@ No image/audio LIBRARY ships in this container, but PNG is simple enough
 to implement from the public spec — so the image stages now carry a REAL
 codec path (``core/png.py``: zlib inflate, CRC checks, scanline
 unfiltering) selected by magic bytes, with the deterministic stub as the
-fallback for every other payload (VERDICT r04 item 6).  Audio/video decode
-remains stubbed.  Everything Ray-side is real and tested either way:
+fallback for every other payload (VERDICT r04 item 6).  Audio likewise
+carries a real RIFF/WAVE PCM codec path (``core/wav.py``: container walk,
+format validation, int16 frame deinterleave) behind ``AudioDecode``.
+Video decode remains stubbed.  Everything Ray-side is real and tested:
 binary columns flow zero-copy through Arrow batches, decoders are
 actor-pool stages (codec init once per actor in ``__init__``), batch
 sizes are kept small so per-batch decoded memory stays bounded, and the
@@ -638,8 +640,142 @@ def mm_png_thumbs(sf_dir: str):
                               batch_size=None)
 
 
+# --- real-WAV decode pipeline (audio counterpart of the PNG path) ------------
+
+WAV_MAX_N = 64  # frames per doc: 16 + doc_id % 49 -> [16, 64]
+
+
+def attach_wav_payload(batch: pa.Table) -> pa.Table:
+    """Deterministic real-WAV payload per doc: frame count, sample rate,
+    channel count and every int16 sample derive from doc_id alone
+    (partition-independent, like the webtext generator); docs alternate
+    mono/stereo so the decoder's frame-deinterleave path runs.  Per-row
+    encode is corpus SYNTHESIS (the stand-in for bytes arriving from a
+    crawl), not a pipeline kernel."""
+    from .. import tune_worker_threads
+    from ..core.wav import encode_wav
+
+    tune_worker_threads()
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    payloads = []
+    for i in ids:
+        i = int(i)
+        n = 16 + i % 49
+        ch = 1 + i % 2
+        rate = 8000 + (i % 4) * 4000
+        fr = np.arange(n, dtype=np.int64)[:, None]
+        cc = np.arange(ch, dtype=np.int64)[None, :]
+        samples = (((i * 131 + fr * 17 + cc * 29) % 4096) - 2048).astype(np.int16)
+        payloads.append(encode_wav(samples, rate))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class AudioDecode:
+    """Actor-pool audio decode stage with a REAL RIFF/WAVE path: payloads
+    with the RIFF magic go through the in-repo PCM codec (``core/wav.py``
+    — genuine container walk, format validation, int16 frame
+    deinterleave); everything else (and any malformed WAV) takes the
+    deterministic stub (byte-length-derived frame count, zero stats), the
+    same fallback contract as ImageDecodeStub.  Output per doc:
+    frame count, sample rate, channel count, and two integer-exact decoded
+    stats (sum and max of |sample|) the DuckDB oracle recomputes from the
+    synthesis rule."""
+
+    def __init__(self):
+        # the codec "load": a real deployment swaps in torchaudio/soundfile
+        from ..core.wav import WAV_MAGIC, decode_wav
+
+        self._magic = WAV_MAGIC
+        self._codec = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(payload)
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32,
+                                count=n + 1,
+                                offset=payload.offset * 4).astype(np.int64)
+        data = (np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+                if payload.buffers()[2] is not None else np.empty(0, np.uint8))
+        n_bytes = np.diff(offsets)
+        # stub defaults: frame count from byte length, zero decoded stats
+        n_samples = n_bytes // 2
+        sample_rate = np.zeros(n, dtype=np.int64)
+        channels = np.ones(n, dtype=np.int64)
+        abs_sum = np.zeros(n, dtype=np.int64)
+        peak = np.zeros(n, dtype=np.int64)
+        is_wav = np.asarray(
+            pc.equal(pc.binary_slice(payload, 0, len(self._magic)),
+                     pa.scalar(self._magic, pa.binary())), dtype=bool)
+        for i in np.nonzero(is_wav)[0]:  # codecs are inherently per-item
+            raw = data[offsets[i]:offsets[i + 1]].tobytes()
+            try:
+                samples, rate = self._codec(raw)
+            except ValueError:
+                continue  # corrupt/unsupported: stub values stand
+            mag = np.abs(samples.astype(np.int64))
+            n_samples[i] = samples.shape[0]
+            sample_rate[i] = rate
+            channels[i] = samples.shape[1]
+            abs_sum[i] = int(mag.sum())
+            peak[i] = int(mag.max()) if mag.size else 0
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_samples": pa.array(n_samples),
+            "sample_rate": pa.array(sample_rate),
+            "channels": pa.array(channels),
+            "abs_sum": pa.array(abs_sum),
+            "peak": pa.array(peak),
+        })
+
+
+def mm_wav_decode(sf_dir: str):
+    """(doc_id, n_samples, sample_rate, channels, abs_sum, peak) — REAL
+    RIFF/WAVE PCM decode through the actor pool (core/wav.py): container
+    walk + fmt validation + int16 frame deinterleave per payload.  The
+    DuckDB oracle recomputes every column — including the decoded-sample
+    statistics — from the synthesis rule via a lateral-filtered frame
+    grid, so a wrong chunk walk or sample reinterpretation fails the
+    value hash.  Explicit ``batch_size`` bounds per-batch decoded
+    memory."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(attach_wav_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(AudioDecode, batch_format="pyarrow",
+                          batch_size=2048, concurrency=auto_pool_size())
+
+
+# fixed (max-frames x max-channels) grid filtered per doc — this DuckDB
+# build has no correlated generate_series (same shape as MM_PNG_DECODE_SQL)
+MM_WAV_DECODE_SQL = f"""
+WITH grid AS (
+  SELECT f.f, c.c
+  FROM generate_series(0, {WAV_MAX_N - 1}) f(f),
+       generate_series(0, 1) c(c)
+)
+SELECT d.doc_id,
+       CAST(16 + d.doc_id % 49 AS BIGINT) AS n_samples,
+       CAST(8000 + (d.doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       CAST(1 + d.doc_id % 2 AS BIGINT) AS channels,
+       CAST(SUM(ABS((d.doc_id * 131 + g.f * 17 + g.c * 29) % 4096 - 2048))
+            AS BIGINT) AS abs_sum,
+       CAST(MAX(ABS((d.doc_id * 131 + g.f * 17 + g.c * 29) % 4096 - 2048))
+            AS BIGINT) AS peak
+FROM documents d
+JOIN grid g ON g.f < 16 + d.doc_id % 49 AND g.c < 1 + d.doc_id % 2
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "mm_png_decode": mm_png_decode,
+    "mm_wav_decode": mm_wav_decode,
     "mm_png_thumbs": mm_png_thumbs,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_decode_meta": mm_decode_meta,
@@ -684,6 +820,7 @@ MM_FEATURE_AGG_SQL = _mm_feature_agg_sql()
 
 ORACLE_SQL = {
     "mm_png_decode": MM_PNG_DECODE_SQL,
+    "mm_wav_decode": MM_WAV_DECODE_SQL,
     "mm_decode_meta": MM_DECODE_SQL,
     "mm_modality_route": MM_MODALITY_ROUTE_SQL,
     "mm_thumbnails": MM_THUMBNAILS_SQL,
