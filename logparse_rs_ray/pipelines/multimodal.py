@@ -6,8 +6,10 @@ codec path (``core/png.py``: zlib inflate, CRC checks, scanline
 unfiltering) selected by magic bytes, with the deterministic stub as the
 fallback for every other payload (VERDICT r04 item 6).  Audio likewise
 carries a real RIFF/WAVE PCM codec path (``core/wav.py``: container walk,
-format validation, int16 frame deinterleave) behind ``AudioDecode``.
-Video decode remains stubbed.  Everything Ray-side is real and tested:
+format validation, int16 frame deinterleave) behind ``AudioDecode``, and
+video a real ISO-BMFF container walker (``core/mp4.py``) behind
+``VideoProbe`` — frame decode itself stays stubbed.  Everything Ray-side
+is real and tested:
 binary columns flow zero-copy through Arrow batches, decoders are
 actor-pool stages (codec init once per actor in ``__init__``), batch
 sizes are kept small so per-batch decoded memory stays bounded, and the
@@ -773,9 +775,131 @@ ORDER BY d.doc_id
 """
 
 
+# --- real-MP4 container probe pipeline (video counterpart) -------------------
+
+MP4_MAX_TRACKS = 3   # 1 + doc_id % 3
+MP4_MAX_SAMPLES = 16  # per track: 4 + (doc_id + t) % 13 -> [4, 16]
+
+
+def attach_mp4_payload(batch: pa.Table) -> pa.Table:
+    """Deterministic real-MP4 payload per doc: brand, mvhd version (0/1
+    alternating — both header widths run), timescale, duration, track
+    count and every per-track stsz sample size derive from doc_id alone.
+    Per-row encode is corpus SYNTHESIS, not a pipeline kernel."""
+    from .. import tune_worker_threads
+    from ..core.mp4 import encode_mp4
+
+    tune_worker_threads()
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    payloads = []
+    for i in ids:
+        i = int(i)
+        sizes = [[100 + (i * 7 + t * 11 + j * 3) % 900
+                  for j in range(4 + (i + t) % 13)]
+                 for t in range(1 + i % 3)]
+        payloads.append(encode_mp4(
+            timescale=600 * (1 + i % 4), duration=1200 + i % 1000,
+            sample_sizes=sizes,
+            brand=b"isom" if i % 2 == 0 else b"mp42",
+            mvhd_version=i % 2))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class VideoProbe:
+    """Actor-pool video CONTAINER probe with a REAL ISO-BMFF path:
+    payloads with `ftyp` at offset 4 go through the in-repo box walker
+    (``core/mp4.py`` — size-honest nested traversal, mvhd v0/v1, stsz
+    tables); everything else (and any malformed file) takes the
+    deterministic stub (zeros + brand "unknown"), the same fallback
+    contract as ImageDecodeStub/AudioDecode.  Probing the container is
+    the real pre-decode stage of a video pipeline (routing, duration
+    filters, sample accounting); frame decode itself stays stubbed."""
+
+    def __init__(self):
+        # a real deployment swaps in PyAV/ffprobe here
+        from ..core.mp4 import MP4_MAGIC_AT_4, probe_mp4
+
+        self._magic = MP4_MAGIC_AT_4
+        self._probe = probe_mp4
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(payload)
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32,
+                                count=n + 1,
+                                offset=payload.offset * 4).astype(np.int64)
+        data = (np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+                if payload.buffers()[2] is not None else np.empty(0, np.uint8))
+        brand = np.full(n, "unknown", dtype=object)
+        out = {k: np.zeros(n, dtype=np.int64)
+               for k in ("timescale", "duration", "n_tracks", "n_samples",
+                         "media_bytes")}
+        is_mp4 = np.asarray(
+            pc.equal(pc.binary_slice(payload, 4, 8),
+                     pa.scalar(self._magic, pa.binary())), dtype=bool)
+        for i in np.nonzero(is_mp4)[0]:  # container walks are per-item
+            raw = data[offsets[i]:offsets[i + 1]].tobytes()
+            try:
+                meta = self._probe(raw)
+            except ValueError:
+                continue  # corrupt/unsupported: stub values stand
+            brand[i] = meta["brand"]
+            for k in out:
+                out[k][i] = meta[k]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "brand": pa.array(brand, type=pa.string()),
+            **{k: pa.array(v) for k, v in out.items()},
+        })
+
+
+def mm_mp4_probe(sf_dir: str):
+    """(doc_id, brand, timescale, duration, n_tracks, n_samples,
+    media_bytes) — REAL ISO-BMFF container probe through the actor pool
+    (core/mp4.py): size-honest box walk, mvhd v0/v1 headers, summed stsz
+    sample tables.  The DuckDB oracle recomputes every column from the
+    synthesis rule via a lateral-filtered (track, sample) grid, so a
+    wrong box walk or sample-table parse fails the value hash."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(attach_mp4_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(VideoProbe, batch_format="pyarrow",
+                          batch_size=2048, concurrency=auto_pool_size())
+
+
+MM_MP4_PROBE_SQL = f"""
+WITH grid AS (
+  SELECT t.t, j.j
+  FROM generate_series(0, {MP4_MAX_TRACKS - 1}) t(t),
+       generate_series(0, {MP4_MAX_SAMPLES - 1}) j(j)
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+       CAST(600 * (1 + d.doc_id % 4) AS BIGINT) AS timescale,
+       CAST(1200 + d.doc_id % 1000 AS BIGINT) AS duration,
+       CAST(1 + d.doc_id % 3 AS BIGINT) AS n_tracks,
+       CAST(SUM(CASE WHEN g.j = 0 THEN 4 + (d.doc_id + g.t) % 13
+                     ELSE 0 END) AS BIGINT) AS n_samples,
+       CAST(SUM(100 + (d.doc_id * 7 + g.t * 11 + g.j * 3) % 900)
+            AS BIGINT) AS media_bytes
+FROM documents d
+JOIN grid g ON g.t < 1 + d.doc_id % 3
+           AND g.j < 4 + (d.doc_id + g.t) % 13
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "mm_png_decode": mm_png_decode,
     "mm_wav_decode": mm_wav_decode,
+    "mm_mp4_probe": mm_mp4_probe,
     "mm_png_thumbs": mm_png_thumbs,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_decode_meta": mm_decode_meta,
@@ -821,6 +945,7 @@ MM_FEATURE_AGG_SQL = _mm_feature_agg_sql()
 ORACLE_SQL = {
     "mm_png_decode": MM_PNG_DECODE_SQL,
     "mm_wav_decode": MM_WAV_DECODE_SQL,
+    "mm_mp4_probe": MM_MP4_PROBE_SQL,
     "mm_decode_meta": MM_DECODE_SQL,
     "mm_modality_route": MM_MODALITY_ROUTE_SQL,
     "mm_thumbnails": MM_THUMBNAILS_SQL,
