@@ -896,10 +896,193 @@ ORDER BY d.doc_id
 """
 
 
+# --- mixed-media dispatch over ALL THREE real parsers ------------------------
+
+
+def attach_mixed_payload(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL mixed-media payload per doc: doc_id % 3 picks the
+    modality, and the payload is a genuine file in that format — PNG under
+    the mm_png_decode synthesis rule, WAV under mm_wav_decode's, MP4 under
+    mm_mp4_probe's — so the dispatch stage downstream exercises every real
+    parser over one corpus.  Per-row encode is corpus SYNTHESIS."""
+    from .. import tune_worker_threads
+    from ..core.mp4 import encode_mp4
+    from ..core.png import encode_png
+    from ..core.wav import encode_wav
+
+    tune_worker_threads()
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)
+    payloads = []
+    for i in ids:
+        i = int(i)
+        m = i % 3
+        if m == 0:
+            w, h = 8 + i % 9, 8 + i % 7
+            r = np.arange(h, dtype=np.int64)[:, None, None]
+            c = np.arange(w, dtype=np.int64)[None, :, None]
+            ch = np.arange(3, dtype=np.int64)[None, None, :]
+            arr = ((i * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(np.uint8)
+            payloads.append(encode_png(arr, row_filters=np.arange(h) % 3))
+        elif m == 1:
+            n, nch = 16 + i % 49, 1 + i % 2
+            fr = np.arange(n, dtype=np.int64)[:, None]
+            cc = np.arange(nch, dtype=np.int64)[None, :]
+            s = (((i * 131 + fr * 17 + cc * 29) % 4096) - 2048).astype(np.int16)
+            payloads.append(encode_wav(s, 8000 + (i % 4) * 4000))
+        else:
+            sizes = [[100 + (i * 7 + t * 11 + j * 3) % 900
+                      for j in range(4 + (i + t) % 13)]
+                     for t in range(1 + i % 3)]
+            payloads.append(encode_mp4(
+                timescale=600 * (1 + i % 4), duration=1200 + i % 1000,
+                sample_sizes=sizes,
+                brand=b"isom" if i % 2 == 0 else b"mp42",
+                mvhd_version=i % 2))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+class MixedMediaProbe:
+    """Actor-pool dispatch stage over ALL THREE real parsers: route each
+    payload by magic bytes to the PNG codec, the WAV codec, or the MP4
+    box walker (each loaded once per actor in ``__init__``), and emit one
+    unified layout — ``modality``, ``n_units`` (pixels decoded / PCM
+    samples / container samples) and ``checksum`` (raster byte total /
+    |sample| total / media byte total).  Unroutable or malformed payloads
+    take the zeros-and-"unknown" stub row, the shared fallback contract.
+    This is the architecture of a mixed crawl's decode tier: one schema
+    out, per-modality codecs behind it."""
+
+    def __init__(self):
+        from ..core.mp4 import MP4_MAGIC_AT_4, probe_mp4
+        from ..core.png import PNG_MAGIC, decode_png
+        from ..core.wav import WAV_MAGIC, decode_wav
+
+        self._png_magic, self._png = PNG_MAGIC, decode_png
+        self._wav_magic, self._wav = WAV_MAGIC, decode_wav
+        self._mp4_magic, self._mp4 = MP4_MAGIC_AT_4, probe_mp4
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        n = len(payload)
+        offsets = np.frombuffer(payload.buffers()[1], dtype=np.int32,
+                                count=n + 1,
+                                offset=payload.offset * 4).astype(np.int64)
+        data = (np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+                if payload.buffers()[2] is not None else np.empty(0, np.uint8))
+        modality = np.full(n, "unknown", dtype=object)
+        n_units = np.zeros(n, dtype=np.int64)
+        checksum = np.zeros(n, dtype=np.int64)
+
+        def _match(sl_start, sl_end, magic):
+            return np.asarray(
+                pc.equal(pc.binary_slice(payload, sl_start, sl_end),
+                         pa.scalar(magic, pa.binary())), dtype=bool)
+
+        routes = [
+            (_match(0, len(self._png_magic), self._png_magic), self._run_png),
+            (_match(0, len(self._wav_magic), self._wav_magic), self._run_wav),
+            (_match(4, 8, self._mp4_magic), self._run_mp4),
+        ]
+        for mask, fn in routes:
+            for i in np.nonzero(mask)[0]:
+                raw = data[offsets[i]:offsets[i + 1]].tobytes()
+                try:
+                    modality[i], n_units[i], checksum[i] = fn(raw)
+                except ValueError:
+                    continue  # corrupt: the unknown/zeros stub row stands
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "modality": pa.array(modality, type=pa.string()),
+            "n_units": pa.array(n_units),
+            "checksum": pa.array(checksum),
+        })
+
+    def _run_png(self, raw: bytes):
+        img = self._png(raw)
+        return "image", img.size, int(img.reshape(-1).sum(dtype=np.int64))
+
+    def _run_wav(self, raw: bytes):
+        samples, _rate = self._wav(raw)
+        return ("audio", samples.size,
+                int(np.abs(samples.astype(np.int64)).sum()))
+
+    def _run_mp4(self, raw: bytes):
+        meta = self._mp4(raw)
+        return "video", meta["n_samples"], meta["media_bytes"]
+
+
+def mm_mixed_decode(sf_dir: str):
+    """(doc_id, modality, n_units, checksum) — ONE dispatch stage routing a
+    mixed real-media corpus (PNG / WAV / MP4 by doc_id % 3, every payload
+    a genuine file) through all three in-repo parsers.  The DuckDB oracle
+    recomputes each modality's branch from its synthesis rule and UNIONs
+    them, so a misroute, a wrong parser, or a cross-modality schema drift
+    fails the value hash.  Explicit ``batch_size`` bounds per-batch
+    decoded memory."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(attach_mixed_payload, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(MixedMediaProbe, batch_format="pyarrow",
+                          batch_size=2048, concurrency=auto_pool_size())
+
+
+MM_MIXED_DECODE_SQL = f"""
+WITH png_grid AS (
+  SELECT r.r, c.c, ch.ch
+  FROM generate_series(0, {PNG_MAX_H - 1}) r(r),
+       generate_series(0, {PNG_MAX_W - 1}) c(c),
+       generate_series(0, 2) ch(ch)
+), wav_grid AS (
+  SELECT f.f, c.c
+  FROM generate_series(0, {WAV_MAX_N - 1}) f(f), generate_series(0, 1) c(c)
+), mp4_grid AS (
+  SELECT t.t, j.j
+  FROM generate_series(0, {MP4_MAX_TRACKS - 1}) t(t),
+       generate_series(0, {MP4_MAX_SAMPLES - 1}) j(j)
+)
+SELECT d.doc_id, 'image' AS modality,
+       CAST((8 + d.doc_id % 9) * (8 + d.doc_id % 7) * 3 AS BIGINT) AS n_units,
+       CAST(SUM((d.doc_id * 31 + g.r * 7 + g.c * 3 + g.ch * 11) % 256)
+            AS BIGINT) AS checksum
+FROM documents d
+JOIN png_grid g ON g.r < 8 + d.doc_id % 7 AND g.c < 8 + d.doc_id % 9
+WHERE d.doc_id % 3 = 0
+GROUP BY d.doc_id
+UNION ALL
+SELECT d.doc_id, 'audio' AS modality,
+       CAST((16 + d.doc_id % 49) * (1 + d.doc_id % 2) AS BIGINT) AS n_units,
+       CAST(SUM(ABS((d.doc_id * 131 + g.f * 17 + g.c * 29) % 4096 - 2048))
+            AS BIGINT) AS checksum
+FROM documents d
+JOIN wav_grid g ON g.f < 16 + d.doc_id % 49 AND g.c < 1 + d.doc_id % 2
+WHERE d.doc_id % 3 = 1
+GROUP BY d.doc_id
+UNION ALL
+SELECT d.doc_id, 'video' AS modality,
+       CAST(SUM(CASE WHEN g.j = 0 THEN 4 + (d.doc_id + g.t) % 13
+                     ELSE 0 END) AS BIGINT) AS n_units,
+       CAST(SUM(100 + (d.doc_id * 7 + g.t * 11 + g.j * 3) % 900)
+            AS BIGINT) AS checksum
+FROM documents d
+JOIN mp4_grid g ON g.t < 1 + d.doc_id % 3
+               AND g.j < 4 + (d.doc_id + g.t) % 13
+WHERE d.doc_id % 3 = 2
+GROUP BY d.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_png_decode": mm_png_decode,
     "mm_wav_decode": mm_wav_decode,
     "mm_mp4_probe": mm_mp4_probe,
+    "mm_mixed_decode": mm_mixed_decode,
     "mm_png_thumbs": mm_png_thumbs,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_decode_meta": mm_decode_meta,
@@ -946,6 +1129,7 @@ ORACLE_SQL = {
     "mm_png_decode": MM_PNG_DECODE_SQL,
     "mm_wav_decode": MM_WAV_DECODE_SQL,
     "mm_mp4_probe": MM_MP4_PROBE_SQL,
+    "mm_mixed_decode": MM_MIXED_DECODE_SQL,
     "mm_decode_meta": MM_DECODE_SQL,
     "mm_modality_route": MM_MODALITY_ROUTE_SQL,
     "mm_thumbnails": MM_THUMBNAILS_SQL,

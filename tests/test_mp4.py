@@ -166,3 +166,60 @@ class TestVideoProbeStage:
         num = [c for c in got.columns if c != "brand"]
         pd.testing.assert_frame_equal(got[num].astype("int64"),
                                       want[num].astype("int64"))
+
+
+class TestMixedMediaProbe:
+    """One dispatch stage routing a mixed corpus through all three real
+    parsers (the decode tier of a mixed crawl)."""
+
+    def test_routes_and_fallback(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from logparse_rs_ray.core.mp4 import encode_mp4
+        from logparse_rs_ray.core.png import encode_png
+        from logparse_rs_ray.core.wav import encode_wav
+        from logparse_rs_ray.pipelines.multimodal import MixedMediaProbe
+
+        img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        pcm = (np.arange(8, dtype=np.int16) - 4) * 100
+        mp4 = encode_mp4(timescale=600, duration=9, sample_sizes=[[3, 4]])
+        corrupt_png = bytearray(encode_png(img))
+        corrupt_png[30] ^= 0xFF
+        batch = pa.table({
+            "doc_id": pa.array(list(range(5)), type=pa.int64()),
+            "payload": pa.array([encode_png(img), encode_wav(pcm, 8000),
+                                 mp4, b"opaque text payload",
+                                 bytes(corrupt_png)], type=pa.binary()),
+        })
+        out = MixedMediaProbe()(batch).to_pandas()
+        assert out["modality"].tolist() == \
+            ["image", "audio", "video", "unknown", "unknown"]
+        assert out.loc[0, "n_units"] == img.size
+        assert out.loc[0, "checksum"] == int(img.sum(dtype=np.int64))
+        assert out.loc[1, "n_units"] == 8
+        assert out.loc[1, "checksum"] == int(np.abs(pcm.astype(np.int64)).sum())
+        assert out.loc[2, "n_units"] == 2 and out.loc[2, "checksum"] == 7
+        assert out.loc[3, "checksum"] == 0 and out.loc[4, "checksum"] == 0
+
+    def test_pipeline_matches_duckdb_oracle(self, ray_session, sf_tiny):
+        import duckdb
+        import pandas as pd
+
+        from logparse_rs_ray.pipelines.multimodal import (
+            MM_MIXED_DECODE_SQL, mm_mixed_decode)
+
+        got = (mm_mixed_decode(sf_tiny).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_tiny}/documents.parquet')")
+        want = (con.execute(MM_MIXED_DECODE_SQL).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert list(got.columns) == list(want.columns)
+        assert got["modality"].tolist() == want["modality"].tolist()
+        num = ["doc_id", "n_units", "checksum"]
+        pd.testing.assert_frame_equal(got[num].astype("int64"),
+                                      want[num].astype("int64"))
+        assert set(got["modality"]) == {"image", "audio", "video"}
