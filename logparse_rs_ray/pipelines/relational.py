@@ -2529,6 +2529,117 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+# --- TPC-H Q5 shape: local-supplier volume by nation ------------------------
+
+Q5_REGION = "ASIA"
+
+
+def q5_local_supplier_volume(sf_dir: str, *, region: str = Q5_REGION,
+                             num_partitions: int | None = None):
+    """(n_name, revenue_x10k, n_lines) — TPC-H Q5 shape: discounted revenue
+    from orders placed in 1996 where the customer and the supplier sit in
+    the SAME nation of one region (``ASIA``), grouped per nation.
+
+    Scale shape: region -> nation -> supplier collapse driver-side to a
+    (suppkey, nationkey, name) broadcast map; customers pre-collapse to a
+    regional (custkey, nationkey) map via the same broadcast (the inner
+    broadcast join doubles as the region membership filter, so non-ASIA
+    customers never reach the exchange).  The two fact joins are
+    orderkey-keyed hash exchanges with size-derived partition counts; the
+    order-date window is applied BELOW the exchange and the local-supplier
+    predicate (c_nationkey == s_nationkey) below the final aggregate.  The
+    census is <= 25 nations, merged through the combiner tree.
+        CONSTRAINT: the date-filtered orders side feeds ``hash_join`` — a
+    window matching nothing empties it and trips the join's documented
+    zero-block schema limitation (fine on real data; see stages/join.py).
+    """
+    from ..stages.join import auto_join_partitions
+
+    region_t = _read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    region_t = region_t.filter(pc.equal(region_t["r_name"], region))
+    nation = _read_small(sf_dir, "nation",
+                         ["n_nationkey", "n_name", "n_regionkey"])
+    nation = nation.filter(pc.is_in(nation["n_regionkey"],
+                                    value_set=region_t["r_regionkey"]))
+
+    supp = _read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.join(nation.select(["n_nationkey", "n_name"]),
+                     keys=["s_nationkey"], right_keys=["n_nationkey"])
+    supp_map = pa.table({"l_suppkey": supp["s_suppkey"],
+                         "s_nationkey": supp["s_nationkey"],
+                         "n_name": supp["n_name"]})
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_join(cust, nation.select(["n_nationkey"]),
+                          "c_nationkey", "n_nationkey", columns=[])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"], _ts(1996, 1, 1)),
+                       pc.less(b["o_orderdate"], _ts(1997, 1, 1)))
+        b = b.filter(keep)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    orders = orders.map_batches(orders_prep, batch_format="pyarrow",
+                                batch_size=None)
+    if num_partitions is None:
+        num_partitions = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                              f"{sf_dir}/customer.parquet")
+    o_nation = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         num_partitions=num_partitions).select_columns(
+                             ["o_orderkey", "c_nationkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"])), 10000)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev": rev})
+
+    li = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    li = broadcast_join(li, supp_map, "l_suppkey")
+
+    n_ol = auto_join_partitions(f"{sf_dir}/orders.parquet",
+                                f"{sf_dir}/lineitem.parquet")
+    joined = hash_join(li, o_nation, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=n_ol)
+
+    def local_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["s_nationkey"], b["c_nationkey"]))
+
+    joined = joined.map_batches(local_only, batch_format="pyarrow",
+                                batch_size=None)
+    out = grouped_agg(joined, ["n_name"], {"revenue_x10k": "rev"},
+                      count_name="n_lines", final_partitions=1)
+    return out.sort(["revenue_x10k", "n_name"], descending=[True, False])
+
+
+Q5_LOCAL_SUPPLIER_SQL = f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) AS revenue_x10k,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_x10k DESC, n.n_name
+"""
+
+
 # --- TPC-H Q9 shape: product-line profit by nation and year -----------------
 
 def q9_product_profit(sf_dir: str, *, name_token: str = "red",
@@ -3324,6 +3435,7 @@ QUERIES = {
     "q21_waiting_supplier": q21_waiting_supplier,
     "q_rank_customers": q_rank_customers,
     "q_first_last_order": q_first_last_order,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
     "q10_returned_revenue": q10_returned_revenue,
@@ -3377,6 +3489,7 @@ ORACLE_SQL = {
     "q21_waiting_supplier": Q21_WAITING_SUPPLIER_SQL,
     "q_rank_customers": Q_RANK_CUSTOMERS_SQL,
     "q_first_last_order": Q_FIRST_LAST_ORDER_SQL,
+    "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_SQL,
     "q7_nation_volume": Q7_NATION_VOLUME_SQL,
     "q9_product_profit": Q9_PRODUCT_PROFIT_SQL,
     "q10_returned_revenue": Q10_RETURNED_REVENUE_SQL,
