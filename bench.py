@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "log_attribution_last_touch",
     "log_cohort_matrix",
     "doc_pmi_phrases",
+    # round-5 additions
+    "q5_local_supplier_volume",
+    "doc_dup_ngram_stats",
 ]
 
 

@@ -2738,7 +2738,128 @@ def doc_pmi_phrases(sf_dir: str, *, top_n: int = PMI_TOP_N,
     return pmi_topn(merged, final=True)
 
 
+# --- duplicated sliding-n-gram fraction (cross-doc repetition signal) -------
+
+_DUP_NGRAM_N = 8
+_DUP_NGRAM_P = np.uint64(0x100000001B3)  # FNV prime as the rolling multiplier
+
+
+def doc_dup_ngram_stats(sf_dir: str, *, n: int = _DUP_NGRAM_N,
+                        num_partitions: int | None = None):
+    """(doc_id, n_grams, n_dup_grams, dup_permille) — fraction of each
+    document's SLIDING word ``n``-grams that occur more than once anywhere
+    in the corpus (itself included).  The Gopher/CCNet "duplicated n-gram
+    fraction" curation signal: ``doc_passage_dedup`` tiles disjoint
+    windows and rewrites text; this measures overlap at every position and
+    keeps docs intact, which is the form quality-filter thresholds use.
+    Docs shorter than ``n`` words have no grams and (like the SQL) emit no
+    row.
+
+    Scale shape: pass 1 emits compact (gram_hash, doc_id) int64 rows —
+    text never shuffles; ONE hash exchange by gram hash co-locates each
+    gram's occurrences so the >=2 test is partition-local; per-doc partial
+    counts then merge through a second compact hash exchange keyed by
+    doc_id (corpus-sized key set -> ``hash_merge``, never a driver funnel).
+    Gram equality is by 64-bit rolling FNV over per-token FNV hashes
+    (injective on any real corpus slice; same accepted-collision contract
+    as ``dedup_exact_hash`` — the oracle groups by exact gram text).
+    Output is corpus-proportional and deliberately unsorted.
+    """
+    from .. import tune_worker_threads
+    from ..stages.shuffle import hash_merge, hash_partition, input_size_bytes
+    from .streaming import auto_shard_count
+
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/documents.parquet"))
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        tune_worker_threads()
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        words = pc.split_pattern(b["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        doc_off = np.asarray(words.offsets, dtype=np.int64)
+        nw = np.diff(doc_off)
+        th = fnv1a64_arrow(words.values).astype(np.uint64)
+        # rolling polynomial over n consecutive token hashes on the flat
+        # stream (uint64 wraparound); cross-doc positions sliced away below
+        g = th.copy()
+        for k in range(1, n):
+            g[:-k if k else None] = g[:len(g) - k] * _DUP_NGRAM_P + th[k:]
+        vc = np.maximum(nw - n + 1, 0)          # valid gram starts per doc
+        total = int(vc.sum())
+        first_of_doc = np.cumsum(vc) - vc
+        pos = np.arange(total, dtype=np.int64) - np.repeat(first_of_doc, vc)
+        starts = np.repeat(doc_off[:-1], vc) + pos
+        return pa.table({"g": pa.array(g[starts].view(np.int64)),
+                         "doc_id": pa.array(np.repeat(ids, vc))})
+
+    def stats_in_partition(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_dup_grams": pa.array([], pa.int64())})
+        g = np.asarray(b["g"], dtype=np.int64)
+        d = np.asarray(b["doc_id"], dtype=np.int64)
+        order = np.argsort(g, kind="stable")
+        g_s = g[order]
+        run_start = np.ones(len(g_s), dtype=bool)
+        run_start[1:] = g_s[1:] != g_s[:-1]
+        run_id = np.cumsum(run_start) - 1
+        run_len = np.bincount(run_id)
+        dup = np.empty(len(g_s), dtype=np.int64)
+        dup[order] = (run_len[run_id] >= 2).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(d), "dup": pa.array(dup)})
+        out = t.group_by(["doc_id"]).aggregate([("dup", "sum"),
+                                                ([], "count_all")])
+        return out.rename_columns(["doc_id", "n_dup_grams", "n_grams"])
+
+    rows = docs.map_batches(gram_rows, batch_format="pyarrow",
+                            batch_size=None)
+    partials = hash_partition(rows, ["g"], num_partitions).map_batches(
+        stats_in_partition, batch_format="pyarrow", batch_size=None)
+    merged = hash_merge(partials, ["doc_id"],
+                        [("n_grams", "sum"), ("n_dup_grams", "sum")],
+                        num_partitions=num_partitions)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ng = np.asarray(b["n_grams"], dtype=np.int64)
+        nd = np.asarray(b["n_dup_grams"], dtype=np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_grams": b["n_grams"],
+                         "n_dup_grams": b["n_dup_grams"],
+                         "dup_permille": pa.array((1000 * nd) // ng)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
+
+
+DOC_DUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ng AS (
+  SELECT doc_id, array_to_string(w[i : i + {_DUP_NGRAM_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, w,
+               UNNEST(generate_series(1, len(w) - {_DUP_NGRAM_N - 1})) AS i
+        FROM toks)
+),
+gc AS (SELECT gram, COUNT(*) AS c FROM ng GROUP BY gram)
+SELECT ng.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
+       CAST((1000 * SUM(CASE WHEN gc.c >= 2 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS dup_permille
+FROM ng JOIN gc USING (gram)
+GROUP BY ng.doc_id
+"""
+
+
 QUERIES = {
+    "doc_dup_ngram_stats": doc_dup_ngram_stats,
     "doc_pmi_phrases": doc_pmi_phrases,
     "doc_split_assign": doc_split_assign,
     "doc_bm25_topk": doc_bm25_topk,
@@ -2776,6 +2897,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "doc_dup_ngram_stats": DOC_DUP_NGRAM_SQL,
     "doc_split_assign": DOC_SPLIT_ASSIGN_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_quality_classifier": DOC_QUALITY_CLASSIFIER_SQL,
