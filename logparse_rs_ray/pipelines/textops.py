@@ -2783,6 +2783,13 @@ def doc_dup_ngram_stats(sf_dir: str, *, n: int = _DUP_NGRAM_N,
         doc_off = np.asarray(words.offsets, dtype=np.int64)
         nw = np.diff(doc_off)
         th = fnv1a64_arrow(words.values).astype(np.uint64)
+        # avalanche-finalize (splitmix64) BEFORE combining: raw FNV values
+        # of related tokens keep FNV's affine suffix structure, and a
+        # polynomial in the FNV prime extends that structure — measured ~1%
+        # systematic gram collisions on a 100k-doc corpus without this mix
+        th = (th ^ (th >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        th = (th ^ (th >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        th = th ^ (th >> np.uint64(31))
         # rolling polynomial over n consecutive token hashes on the flat
         # stream (uint64 wraparound); cross-doc positions sliced away below
         g = th.copy()
