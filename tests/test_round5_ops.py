@@ -129,3 +129,72 @@ class TestDupNgramStats:
             assert out.loc[did, "n_dup_grams"] == ndup
         forced = self._run(SF, num_partitions=5)
         assert out.equals(forced)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedJoin:
+    def _tables(self):
+        import ray.data as rd
+
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 1, 1, 1, 2, 3, 9], type=pa.int64()),
+            "v": pa.array(range(8), type=pa.int64())}))
+        right = rd.from_arrow(pa.table({
+            "rk": pa.array([1, 2, 2, 4], type=pa.int64()),
+            "w": pa.array([10, 20, 30, 40], type=pa.int64())}))
+        return left, right
+
+    @staticmethod
+    def _canon(df):
+        cols = sorted(df.columns)
+        return (df[cols].sort_values(cols).reset_index(drop=True)
+                .astype(str))
+
+    def test_inner_equivalence_and_fact_table(self):
+        from logparse_rs_ray.sources import read_table
+        from logparse_rs_ray.stages.join import hash_join, salted_join
+
+        li = read_table(SF, "lineitem", columns=["l_orderkey", "l_quantity"])
+        o = read_table(SF, "orders", columns=["o_orderkey", "o_orderpriority"])
+        a = hash_join(li, o, "l_orderkey", "o_orderkey",
+                      num_partitions=4).to_pandas()
+        b = salted_join(li, o, "l_orderkey", "o_orderkey",
+                        hot_keys=[1, 7, 32, 33], num_salts=5,
+                        num_partitions=4).to_pandas()
+        assert self._canon(a).equals(self._canon(b))
+
+    def test_left_outer_keeps_unmatched_once(self):
+        from logparse_rs_ray.stages.join import hash_join, salted_join
+
+        left, right = self._tables()
+        a = hash_join(left, right, "k", "rk", join_type="left_outer",
+                      num_partitions=2).to_pandas()
+        b = salted_join(left, right, "k", "rk", hot_keys=[1, 2],
+                        num_salts=3, join_type="left_outer",
+                        num_partitions=2).to_pandas()
+        assert len(b) == len(a)                    # k=3,9 appear exactly once
+        assert self._canon(a).equals(self._canon(b))
+
+    def test_rejects_outer_right_and_empty_hot_falls_back(self):
+        from logparse_rs_ray.stages.join import salted_join
+
+        left, right = self._tables()
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", "rk", hot_keys=[1],
+                        join_type="full_outer")
+        out = salted_join(left, right, "k", "rk", hot_keys=[],
+                          num_partitions=2).to_pandas()
+        assert len(out) == 7                       # plain inner join
+
+    def test_sample_hot_keys_finds_the_zipf_key(self):
+        import numpy as np
+        import ray.data as rd
+
+        from logparse_rs_ray.stages.join import sample_hot_keys
+
+        rng = np.random.default_rng(5)
+        keys = np.concatenate([np.full(5000, 42, dtype=np.int64),
+                               rng.integers(100, 10_000, size=5000)])
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+        hot = sample_hot_keys(ds, "k", threshold_frac=0.2)
+        assert hot.to_pylist() == [42]
