@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     # round-5 additions
     "q5_local_supplier_volume",
     "doc_dup_ngram_stats",
+    "log_watermark_late_events",
 ]
 
 

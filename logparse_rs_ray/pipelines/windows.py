@@ -1970,7 +1970,122 @@ ORDER BY event_type
 """
 
 
+# --- event-time watermarks / late-data accounting ---------------------------
+
+WM_SHARDS = 16                   # Kafka-style source shards (user_id % S)
+WM_DELAY_US = 120_000_000        # bounded-out-of-orderness watermark delay
+WM_WINDOW_US = 3_600_000_000     # tumbling hour
+WM_JITTER_MULT = 2654435761     # Knuth multiplicative hash
+WM_JITTER_MOD = 97               # arrival displacement <= 96 positions
+
+
+def log_watermark_late_events(sf_dir: str, *, shards: int = WM_SHARDS,
+                              delay_us: int = WM_DELAY_US,
+                              num_partitions: int | None = None):
+    """(window_start_us, n_on_time, n_late) — Flink-style event-time
+    accounting that Ray Data has no operator for: each source shard
+    (``user_id % shards``, the Kafka-partition analog) tracks a watermark
+    ``max(event ts seen so far) - delay``; an arriving event whose hourly
+    window END the shard's watermark has already passed is LATE (would be
+    dropped / dead-lettered by a window operator), everything else is
+    on-time.  Arrival order is a deterministic jitter of the event log
+    (``event_id + (event_id * 2654435761) % 97``) so the census is exactly
+    reproducible in SQL — the synthetic network reordering that makes
+    watermark semantics observable on an otherwise time-ordered log.
+
+    Scale shape: compact (shard, arr, event_id, ts) rows, ONE hash
+    exchange keyed by SHARD (each shard's arrival sequence must be scanned
+    in order; shards are the unit of streaming parallelism, exactly as in
+    the real system) -> per-shard lexsort + exclusive running-max
+    watermark (vectorized; the per-partition loop is over <= ``shards``
+    segments, never rows) -> bounded per-window census through the
+    combiner tree.  Nothing corpus-sized crosses a second exchange.
+    """
+    import numpy as np
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.shuffle import hash_partition
+
+    if num_partitions is None:
+        num_partitions = shards
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        return pa.table({
+            "shard": pa.array(np.asarray(b["user_id"], dtype=np.int64)
+                              % shards),
+            "arr": pa.array(eid + (eid * WM_JITTER_MULT) % WM_JITTER_MOD),
+            "event_id": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"window_start_us": pa.array([], pa.int64()),
+                             "on_time": pa.array([], pa.int64()),
+                             "late": pa.array([], pa.int64())})
+        shard = np.asarray(b["shard"], dtype=np.int64)
+        arr = np.asarray(b["arr"], dtype=np.int64)
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        ts = np.asarray(b["ts_us"], dtype=np.int64)
+        order = np.lexsort((eid, arr, shard))
+        sh_s, ts_s = shard[order], ts[order]
+        wm_prev = np.empty(len(ts_s), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])
+        bounds = np.append(starts, len(ts_s))
+        for i in range(len(starts)):            # <= `shards` segments
+            lo, hi = bounds[i], bounds[i + 1]
+            run = np.maximum.accumulate(ts_s[lo:hi])
+            wm_prev[lo] = np.iinfo(np.int64).min  # first arrival: no wm yet
+            wm_prev[lo + 1:hi] = run[:-1]
+        wstart = (ts_s // WM_WINDOW_US) * WM_WINDOW_US
+        # int-min wm_prev can't overflow: compare shifted window end instead
+        late = wm_prev - delay_us >= wstart + WM_WINDOW_US
+        late &= wm_prev != np.iinfo(np.int64).min
+        return pa.table({"window_start_us": pa.array(wstart),
+                         "on_time": pa.array((~late).astype(np.int64)),
+                         "late": pa.array(late.astype(np.int64))})
+
+    flagged = hash_partition(rows, ["shard"], num_partitions).map_batches(
+        flag, batch_format="pyarrow", batch_size=None)
+    out = grouped_agg(flagged, ["window_start_us"],
+                      {"n_on_time": "on_time", "n_late": "late"},
+                      final_partitions=1)
+    return out.sort("window_start_us")
+
+
+LOG_WATERMARK_LATE_SQL = f"""
+WITH a AS (
+  SELECT event_id, ts, user_id % {WM_SHARDS} AS shard,
+         event_id + (event_id * {WM_JITTER_MULT}) % {WM_JITTER_MOD} AS arr
+  FROM events
+), w AS (
+  SELECT ts,
+         MAX(ts) OVER (PARTITION BY shard ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS wm
+  FROM a
+)
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+       CAST(COUNT(*) FILTER (WHERE wm IS NULL OR
+            epoch_us(wm) - {WM_DELAY_US} <
+            epoch_us(date_trunc('hour', ts)) + {WM_WINDOW_US}) AS BIGINT)
+           AS n_on_time,
+       CAST(COUNT(*) FILTER (WHERE wm IS NOT NULL AND
+            epoch_us(wm) - {WM_DELAY_US} >=
+            epoch_us(date_trunc('hour', ts)) + {WM_WINDOW_US}) AS BIGINT)
+           AS n_late
+FROM w
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "log_watermark_late_events": log_watermark_late_events,
     "log_value_cusum": log_value_cusum,
     "log_cohort_matrix": log_cohort_matrix,
     "log_next_event_accuracy": log_next_event_accuracy,
@@ -1997,6 +2112,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_watermark_late_events": LOG_WATERMARK_LATE_SQL,
     "log_value_cusum": LOG_VALUE_CUSUM_SQL,
     "log_cohort_matrix": LOG_COHORT_MATRIX_SQL,
     "log_next_event_accuracy": LOG_NEXT_EVENT_ACCURACY_SQL,

@@ -198,3 +198,74 @@ class TestSaltedJoin:
         ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
         hot = sample_hot_keys(ds, "k", threshold_frac=0.2)
         assert hot.to_pylist() == [42]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWatermarkLateEvents:
+    def test_engineered_late_event(self, tmp_path):
+        """One shard, three events: the second arrives AFTER an event an
+        hour+delay newer (jitter disabled by construction via event_id
+        spacing), so its window is past the watermark -> late."""
+        import datetime as dt
+
+        import numpy as np
+
+        from logparse_rs_ray.pipelines.windows import (
+            WM_JITTER_MOD, WM_JITTER_MULT, log_watermark_late_events)
+
+        base = dt.datetime(2024, 1, 1)
+        # pick event_ids whose jitter preserves arrival order: jitter(e) is
+        # in [0, 96], so ids spaced >= 97 apart can never swap
+        eids = np.array([0, 970, 1940], dtype=np.int64)
+        arr = eids + (eids * WM_JITTER_MULT) % WM_JITTER_MOD
+        assert (np.diff(arr) > 0).all()
+        tbl = pa.table({
+            "event_id": pa.array(eids),
+            "ts": pa.array([base + dt.timedelta(hours=0, minutes=30),
+                            base + dt.timedelta(hours=5),
+                            # window [0:30]'s hour ended at 01:00; watermark
+                            # is 05:00-2min >= 01:00 -> LATE
+                            base + dt.timedelta(minutes=40)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([3, 3, 3], type=pa.int64()),
+        })
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        out = (log_watermark_late_events(str(tmp_path)).to_pandas()
+               .set_index("window_start_us"))
+        h0 = int(base.timestamp() * 1_000_000)
+        assert out.loc[h0, "n_on_time"] == 1       # the 00:30 first arrival
+        assert out.loc[h0, "n_late"] == 1          # the 00:40 straggler
+        assert out.n_late.sum() == 1
+
+    def test_serial_replica_and_partition_equivalence(self):
+        import numpy as np
+        import pandas as pd
+
+        from logparse_rs_ray.pipelines.windows import (
+            WM_DELAY_US, WM_JITTER_MOD, WM_JITTER_MULT, WM_SHARDS,
+            WM_WINDOW_US, log_watermark_late_events)
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_id", "user_id", "ts"]).to_pandas()
+        ev["shard"] = ev.user_id % WM_SHARDS
+        ev["arr"] = ev.event_id + (ev.event_id * WM_JITTER_MULT) % WM_JITTER_MOD
+        ev["ts_us"] = ev.ts.astype("int64")
+        rows = []
+        for _, g in ev.groupby("shard"):
+            g = g.sort_values(["arr", "event_id"])
+            wm = g.ts_us.cummax().shift(1)
+            wstart = (g.ts_us // WM_WINDOW_US) * WM_WINDOW_US
+            late = wm.notna() & (wm - WM_DELAY_US >= wstart + WM_WINDOW_US)
+            rows.append(pd.DataFrame({"w": wstart, "late": late}))
+        rep = pd.concat(rows)
+        want = (rep.groupby("w")
+                .agg(n_on_time=("late", lambda s: int((~s).sum())),
+                     n_late=("late", "sum")).reset_index()
+                .rename(columns={"w": "window_start_us"}))
+        got = log_watermark_late_events(SF).to_pandas()
+        assert got.window_start_us.tolist() == want.window_start_us.tolist()
+        assert got.n_on_time.tolist() == want.n_on_time.astype(int).tolist()
+        assert got.n_late.tolist() == want.n_late.astype(int).tolist()
+        assert got.n_late.sum() > 0                # semantics exercised
+        forced = log_watermark_late_events(SF, num_partitions=5).to_pandas()
+        assert got.equals(forced)
