@@ -1028,10 +1028,84 @@ def ann_recall_census(sf_dir: str, *, k: int = TOP_K,
                      "recall_pct": pa.array(recalls, pa.int64())})
 
 
+# --- prototype pruning (density-based data pruning / SemDedup-adjacent) -----
+
+PROTO_COS_MAX = 300   # drop members with floor(cos*1000) >= this (margin-
+                      # checked vs the corpus: nearest best-cos 4.5e-4 away)
+
+
+def embed_prune_prototypes(sf_dir: str, *, n_seeds: int = N_SEEDS,
+                           cos_max: int = PROTO_COS_MAX):
+    """(vec_id, cluster, cos_pct) — survivors of density-based data
+    pruning: assign every non-seed embedding to its nearest deterministic
+    seed centroid (as ``embed_cluster_assign``) and DROP the members most
+    similar to their centroid (``floor(cos*1000) >= cos_max``) — the
+    prototypical/redundant examples a curation pass removes first
+    (SSL-prototypes-style pruning; SemDedup's within-cluster radius test
+    with the centroid as the pivot).  Seeds themselves are centroids, not
+    candidates, and are excluded (their self-cosine sits exactly on the
+    1.000 floor boundary, which no cross-engine float contract covers).
+
+    Scale shape: the seed matrix rides the task closure (broadcast once);
+    each block is ONE normalized matmul + argmax + integer threshold —
+    shuffle-free, corpus-proportional output, deliberately unsorted.
+    """
+    _, smat = _query_matrix(sf_dir, n_seeds)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                      "cluster": pa.array([], type=pa.int64()),
+                      "cos_pct": pa.array([], type=pa.int64())})
+
+    def prune(batch: pa.Table) -> pa.Table:
+        from .. import tune_worker_threads
+
+        tune_worker_threads()
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        keep_rows = ids >= n_seeds
+        if not keep_rows.any():
+            return empty
+        batch = batch.filter(pa.array(keep_rows))
+        ids = ids[keep_rows]
+        mat = _normalize(_list_matrix(batch["embedding"]))
+        sims = mat @ smat.T                       # (nb, n_seeds)
+        cluster = np.argmax(sims, axis=1)
+        best = np.floor(sims[np.arange(len(ids)), cluster]
+                        * 1000).astype(np.int64)
+        survive = best < cos_max
+        return pa.table({"vec_id": pa.array(ids[survive]),
+                         "cluster": pa.array(cluster[survive].astype(np.int64)),
+                         "cos_pct": pa.array(best[survive])})
+
+    return ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+
+
+EMBED_PRUNE_PROTOTYPES_SQL = f"""
+WITH seeds AS (SELECT vec_id AS seed_id, embedding AS seed FROM embeddings
+               WHERE vec_id < {N_SEEDS}),
+sims AS (
+  SELECT e.vec_id, s.seed_id,
+         list_cosine_similarity(e.embedding, s.seed) AS cos
+  FROM embeddings e CROSS JOIN seeds s
+  WHERE e.vec_id >= {N_SEEDS}
+),
+best AS (
+  SELECT vec_id, seed_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, seed_id) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(seed_id AS BIGINT) AS cluster,
+       CAST(FLOOR(cos * 1000) AS BIGINT) AS cos_pct
+FROM best
+WHERE rn = 1 AND FLOOR(cos * 1000) < {PROTO_COS_MAX}
+"""
+
+
 QUERIES = {
     "ann_recall_census": ann_recall_census,
     "embed_quantize": embed_quantize,
     "doc_embed_hashvec": doc_embed_hashvec,
+    "embed_prune_prototypes": embed_prune_prototypes,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_topk_int8": ann_topk_int8,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1046,6 +1120,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embed_prune_prototypes": EMBED_PRUNE_PROTOTYPES_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "ann_range_search": ANN_RANGE_SQL,
     "embed_cluster_assign": EMBED_CLUSTER_ASSIGN_SQL,

@@ -269,3 +269,33 @@ class TestWatermarkLateEvents:
         assert got.n_late.sum() > 0                # semantics exercised
         forced = log_watermark_late_events(SF, num_partitions=5).to_pandas()
         assert got.equals(forced)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrunePrototypes:
+    def test_serial_replica_seeds_excluded_and_drops_happen(self):
+        import numpy as np
+
+        from logparse_rs_ray.pipelines.similarity import (
+            N_SEEDS, PROTO_COS_MAX, embed_prune_prototypes)
+
+        got = (embed_prune_prototypes(SF).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        emb = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).to_pandas()
+        mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(emb.vec_id.to_numpy())
+        mat = mat[order]
+        ids = emb.vec_id.to_numpy()[order]
+        smat = mat[:N_SEEDS]
+        sims = mat[N_SEEDS:] @ smat.T
+        cluster = np.argmax(sims, axis=1)
+        best = np.floor(sims[np.arange(len(sims)), cluster] * 1000).astype(int)
+        keep = best < PROTO_COS_MAX
+        assert (got.vec_id.to_numpy() == ids[N_SEEDS:][keep]).all()
+        assert (got.cluster.to_numpy() == cluster[keep]).all()
+        assert (got.cos_pct.to_numpy() == best[keep]).all()
+        assert (got.vec_id >= N_SEEDS).all()          # seeds never candidates
+        n_total = len(ids) - N_SEEDS
+        assert 0 < len(got) < n_total                 # prunes some, not all
