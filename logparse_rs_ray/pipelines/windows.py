@@ -1979,6 +1979,51 @@ WM_JITTER_MULT = 2654435761     # Knuth multiplicative hash
 WM_JITTER_MOD = 97               # arrival displacement <= 96 positions
 
 
+def _watermark_arrays(b: pa.Table):
+    """Per-partition core shared by the watermark ops: lexsort by
+    (shard, arrival, event_id), exclusive per-shard running-max watermark.
+    Returns ``(wstart, wm_prev, has_wm)`` aligned to the sorted rows; the
+    loop is over <= `shards` segments, never rows."""
+    import numpy as np
+
+    shard = np.asarray(b["shard"], dtype=np.int64)
+    arr = np.asarray(b["arr"], dtype=np.int64)
+    eid = np.asarray(b["event_id"], dtype=np.int64)
+    ts = np.asarray(b["ts_us"], dtype=np.int64)
+    order = np.lexsort((eid, arr, shard))
+    sh_s, ts_s = shard[order], ts[order]
+    wm_prev = np.empty(len(ts_s), dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])
+    bounds = np.append(starts, len(ts_s))
+    for i in range(len(starts)):
+        lo, hi = bounds[i], bounds[i + 1]
+        run = np.maximum.accumulate(ts_s[lo:hi])
+        wm_prev[lo] = np.iinfo(np.int64).min      # first arrival: no wm yet
+        wm_prev[lo + 1:hi] = run[:-1]
+    wstart = (ts_s // WM_WINDOW_US) * WM_WINDOW_US
+    has_wm = wm_prev != np.iinfo(np.int64).min
+    return wstart, wm_prev, has_wm
+
+
+def _watermark_rows(sf_dir: str, shards: int):
+    """Compact (shard, arr, event_id, ts_us) rows for the watermark ops."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        return pa.table({
+            "shard": pa.array(np.asarray(b["user_id"], dtype=np.int64)
+                              % shards),
+            "arr": pa.array(eid + (eid * WM_JITTER_MULT) % WM_JITTER_MOD),
+            "event_id": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+
 def log_watermark_late_events(sf_dir: str, *, shards: int = WM_SHARDS,
                               delay_us: int = WM_DELAY_US,
                               num_partitions: int | None = None):
@@ -2008,43 +2053,15 @@ def log_watermark_late_events(sf_dir: str, *, shards: int = WM_SHARDS,
 
     if num_partitions is None:
         num_partitions = shards
-    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-
-    def prep(b: pa.Table) -> pa.Table:
-        eid = np.asarray(b["event_id"], dtype=np.int64)
-        return pa.table({
-            "shard": pa.array(np.asarray(b["user_id"], dtype=np.int64)
-                              % shards),
-            "arr": pa.array(eid + (eid * WM_JITTER_MULT) % WM_JITTER_MOD),
-            "event_id": b["event_id"],
-            "ts_us": pc.cast(b["ts"], pa.int64()),
-        })
-
-    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    rows = _watermark_rows(sf_dir, shards)
 
     def flag(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"window_start_us": pa.array([], pa.int64()),
                              "on_time": pa.array([], pa.int64()),
                              "late": pa.array([], pa.int64())})
-        shard = np.asarray(b["shard"], dtype=np.int64)
-        arr = np.asarray(b["arr"], dtype=np.int64)
-        eid = np.asarray(b["event_id"], dtype=np.int64)
-        ts = np.asarray(b["ts_us"], dtype=np.int64)
-        order = np.lexsort((eid, arr, shard))
-        sh_s, ts_s = shard[order], ts[order]
-        wm_prev = np.empty(len(ts_s), dtype=np.int64)
-        starts = np.flatnonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])
-        bounds = np.append(starts, len(ts_s))
-        for i in range(len(starts)):            # <= `shards` segments
-            lo, hi = bounds[i], bounds[i + 1]
-            run = np.maximum.accumulate(ts_s[lo:hi])
-            wm_prev[lo] = np.iinfo(np.int64).min  # first arrival: no wm yet
-            wm_prev[lo + 1:hi] = run[:-1]
-        wstart = (ts_s // WM_WINDOW_US) * WM_WINDOW_US
-        # int-min wm_prev can't overflow: compare shifted window end instead
-        late = wm_prev - delay_us >= wstart + WM_WINDOW_US
-        late &= wm_prev != np.iinfo(np.int64).min
+        wstart, wm_prev, has_wm = _watermark_arrays(b)
+        late = (wm_prev - delay_us >= wstart + WM_WINDOW_US) & has_wm
         return pa.table({"window_start_us": pa.array(wstart),
                          "on_time": pa.array((~late).astype(np.int64)),
                          "late": pa.array(late.astype(np.int64))})
@@ -2084,7 +2101,99 @@ ORDER BY 1
 """
 
 
+WM_ALLOWED_LATE_US = 1_800_000_000   # 30 min of allowed lateness
+
+
+def log_late_update_census(sf_dir: str, *, shards: int = WM_SHARDS,
+                           delay_us: int = WM_DELAY_US,
+                           allowed_us: int = WM_ALLOWED_LATE_US,
+                           num_partitions: int | None = None):
+    """(window_start_us, n_on_time, n_updates, n_dropped) — the
+    allowed-lateness tier of the watermark semantics
+    (``log_watermark_late_events`` is the binary on-time/late split): a
+    late event whose window state is still retained (watermark < window
+    end + allowed lateness) triggers an UPDATE (re-emission downstream
+    must handle a retraction); once the watermark passes end + allowed,
+    the state is gone and the event is DROPPED.  The three-way census is
+    the dimensioning input for both the retraction rate a consumer must
+    absorb and the dead-letter volume.
+
+    Same scale shape as ``log_watermark_late_events`` (shared shard
+    exchange + per-shard exclusive running-max via ``_watermark_arrays``).
+    """
+    import numpy as np
+
+    from ..stages.aggregate import grouped_agg
+    from ..stages.shuffle import hash_partition
+
+    if num_partitions is None:
+        num_partitions = shards
+    rows = _watermark_rows(sf_dir, shards)
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"window_start_us": pa.array([], pa.int64()),
+                             "on_time": pa.array([], pa.int64()),
+                             "update": pa.array([], pa.int64()),
+                             "dropped": pa.array([], pa.int64())})
+        wstart, wm_prev, has_wm = _watermark_arrays(b)
+        wend = wstart + WM_WINDOW_US
+        wm = wm_prev - delay_us
+        late = (wm >= wend) & has_wm
+        dropped = (wm >= wend + allowed_us) & has_wm
+        update = late & ~dropped
+        return pa.table({
+            "window_start_us": pa.array(wstart),
+            "on_time": pa.array((~late).astype(np.int64)),
+            "update": pa.array(update.astype(np.int64)),
+            "dropped": pa.array(dropped.astype(np.int64)),
+        })
+
+    flagged = hash_partition(rows, ["shard"], num_partitions).map_batches(
+        flag, batch_format="pyarrow", batch_size=None)
+    out = grouped_agg(flagged, ["window_start_us"],
+                      {"n_on_time": "on_time", "n_updates": "update",
+                       "n_dropped": "dropped"}, final_partitions=1)
+    return out.sort("window_start_us")
+
+
+LOG_LATE_UPDATE_SQL = f"""
+WITH a AS (
+  SELECT event_id, ts, user_id % {WM_SHARDS} AS shard,
+         event_id + (event_id * {WM_JITTER_MULT}) % {WM_JITTER_MOD} AS arr
+  FROM events
+), w AS (
+  SELECT ts,
+         MAX(ts) OVER (PARTITION BY shard ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS wm
+  FROM a
+), c AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS wstart,
+         CASE WHEN wm IS NULL THEN 0
+              ELSE epoch_us(wm) - {WM_DELAY_US}
+                   - epoch_us(date_trunc('hour', ts)) - {WM_WINDOW_US}
+         END AS past_end,
+         wm IS NOT NULL AS has_wm
+  FROM w
+)
+SELECT wstart AS window_start_us,
+       CAST(COUNT(*) FILTER (WHERE NOT has_wm OR past_end < 0) AS BIGINT)
+           AS n_on_time,
+       CAST(COUNT(*) FILTER (WHERE has_wm AND past_end >= 0
+                             AND past_end < {WM_ALLOWED_LATE_US}) AS BIGINT)
+           AS n_updates,
+       CAST(COUNT(*) FILTER (WHERE has_wm
+                             AND past_end >= {WM_ALLOWED_LATE_US}) AS BIGINT)
+           AS n_dropped
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
+    "log_late_update_census": log_late_update_census,
     "log_watermark_late_events": log_watermark_late_events,
     "log_value_cusum": log_value_cusum,
     "log_cohort_matrix": log_cohort_matrix,
@@ -2112,6 +2221,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_late_update_census": LOG_LATE_UPDATE_SQL,
     "log_watermark_late_events": LOG_WATERMARK_LATE_SQL,
     "log_value_cusum": LOG_VALUE_CUSUM_SQL,
     "log_cohort_matrix": LOG_COHORT_MATRIX_SQL,

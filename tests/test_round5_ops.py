@@ -299,3 +299,27 @@ class TestPrunePrototypes:
         assert (got.vec_id >= N_SEEDS).all()          # seeds never candidates
         n_total = len(ids) - N_SEEDS
         assert 0 < len(got) < n_total                 # prunes some, not all
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLateUpdateCensus:
+    def test_three_way_split_consistent_with_binary(self):
+        """on_time matches the binary op; updates + dropped == late; all
+        three classes are populated at SF (semantics exercised)."""
+        from logparse_rs_ray.pipelines.windows import (
+            log_late_update_census, log_watermark_late_events)
+
+        tri = (log_late_update_census(SF).to_pandas()
+               .set_index("window_start_us"))
+        bi = (log_watermark_late_events(SF).to_pandas()
+              .set_index("window_start_us"))
+        assert tri.index.equals(bi.index)
+        assert (tri.n_on_time == bi.n_on_time).all()
+        assert ((tri.n_updates + tri.n_dropped) == bi.n_late).all()
+        assert tri.n_updates.sum() > 0 and tri.n_dropped.sum() > 0
+
+    def test_infinite_allowed_lateness_drops_nothing(self):
+        from logparse_rs_ray.pipelines.windows import log_late_update_census
+
+        out = log_late_update_census(SF, allowed_us=1 << 62).to_pandas()
+        assert out.n_dropped.sum() == 0
