@@ -99,6 +99,14 @@ def main(argv: list[str] | None = None) -> int:
     curp.add_argument("--shards", type=int, default=16)
     curp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
+    cp = sub.add_parser(
+        "compact", help="merge small parquet files in a hive-partitioned "
+                        "output tree (one crash-safe task per leaf dir)")
+    cp.add_argument("--input", required=True, help="output tree root")
+    cp.add_argument("--target-mb", type=int, default=128,
+                    help="target compacted file size (MiB)")
+    cp.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
     qp = sub.add_parser(
         "query", help="run one registry query (see `query --list`) over an "
                       "sf-style table dir; print head or write parquet")
@@ -179,6 +187,12 @@ def main(argv: list[str] | None = None) -> int:
                 "n_docs": int(census.n_docs.sum()),
                 "n_tokens": int(census.n_tokens.sum()),
             }))
+        elif args.cmd == "compact":
+            from .state.compact import compact_tree
+
+            stats = compact_tree(args.input,
+                                 target_bytes=args.target_mb * 1024 * 1024)
+            print(json.dumps({"status": "ok", **stats}))
         elif args.cmd == "query":
             import pyarrow as pa
             import pyarrow.parquet as pq

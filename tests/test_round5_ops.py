@@ -323,3 +323,76 @@ class TestLateUpdateCensus:
 
         out = log_late_update_census(SF, allowed_us=1 << 62).to_pandas()
         assert out.n_dropped.sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompaction:
+    def _fragmented_tree(self, tmp_path):
+        """A 2-sink hive tree with 6 small files per sink."""
+        import numpy as np
+
+        root = tmp_path / "out"
+        for sink in ("a", "b"):
+            d = root / f"sink={sink}"
+            d.mkdir(parents=True)
+            for i in range(6):
+                pq.write_table(
+                    pa.table({"x": pa.array(np.arange(i * 10, i * 10 + 10)),
+                              "s": pa.array([sink] * 10)}),
+                    d / f"part-{i}.parquet")
+        return str(root)
+
+    @staticmethod
+    def _read_all(root):
+        import pyarrow.dataset as pads
+
+        return (pads.dataset(root).to_table().to_pandas()
+                .sort_values(["s", "x"]).reset_index(drop=True))
+
+    def test_merges_preserves_content_and_is_idempotent(self, tmp_path):
+        import os
+
+        from logparse_rs_ray.state.compact import compact_tree
+
+        root = self._fragmented_tree(tmp_path)
+        before = self._read_all(root)
+        stats = compact_tree(root)
+        assert stats == {"root": root, "dirs": 2, "in_files": 12,
+                         "out_files": 2}
+        after = self._read_all(root)
+        assert before.equals(after)
+        for sink in ("a", "b"):
+            files = os.listdir(f"{root}/sink={sink}")
+            assert files == ["compact-00000.parquet"]
+        again = compact_tree(root)
+        assert again["in_files"] == again["out_files"] == 2   # no-op rerun
+
+    def test_crash_recovery_replays_marker(self, tmp_path):
+        """Simulate a crash right after the commit marker landed (originals
+        not yet deleted, tmps not yet renamed): rerun must finish the
+        commit, not duplicate rows."""
+        import json
+        import os
+        import shutil
+
+        from logparse_rs_ray.state.compact import (MARKER, compact_one_dir)
+
+        root = self._fragmented_tree(tmp_path)
+        d = f"{root}/sink=a"
+        before = self._read_all(f"{root}/sink=a")
+        files = sorted(os.listdir(d))
+        # hand-craft the post-marker crash state: tmps written, marker
+        # committed, originals still present
+        import pyarrow.parquet as pqt
+        tables = [pqt.read_table(f"{d}/{f}") for f in files]
+        merged = pa.concat_tables(tables)
+        pqt.write_table(merged, f"{d}/.compact-00000.tmp")
+        with open(f"{d}/{MARKER}", "w", encoding="utf-8") as fh:
+            json.dump({"delete": files,
+                       "rename": [[".compact-00000.tmp",
+                                   "compact-00000.parquet"]]}, fh)
+        stats = compact_one_dir(d)
+        assert stats["recovered"] is True and stats["skipped"] is True
+        assert sorted(os.listdir(d)) == ["compact-00000.parquet"]
+        after = self._read_all(d)
+        assert before.equals(after)
