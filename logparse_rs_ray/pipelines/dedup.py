@@ -86,6 +86,8 @@ def exact_dedup_by_hash(sf_dir: str, *, mode: str = "auto", num_partitions: int 
 # hash column for the oracle:
 
 def dedup_exact_hash(sf_dir: str):
+    """(keeper_doc_id, n_copies) — byte-exact text dedup by 64-bit FNV with
+    min-doc_id keeper (the registry face of ``exact_dedup_by_hash``)."""
     out = exact_dedup_by_hash(sf_dir)
     return out.select_columns(["keeper_doc_id", "n_copies"])
 

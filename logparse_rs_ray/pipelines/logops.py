@@ -27,6 +27,8 @@ LANG_REGION = {"en": "AMER", "de": "EMEA", "fr": "EMEA", "es": "AMER", "zh": "AP
 # --- parse: regex field extraction from the props JSON-ish column ----------
 
 def log_parse_props(sf_dir: str):
+    """(event_type, n_props, sum_k) — regex-extract the numeric `k` from the
+    semi-structured JSON ``props`` column and aggregate per event type."""
     ds = read_table(sf_dir, "events", columns=["event_type", "props"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -55,6 +57,7 @@ ORDER BY event_type
 # --- route: per-sink counts ------------------------------------------------
 
 def log_route_counts(sf_dir: str):
+    """(event_type, n_rows) — the router's per-sink row census."""
     ds = read_table(sf_dir, "events", columns=["event_type"])
     return count_by(ds, "event_type", count_name="n_rows",
                     final_partitions=1).sort("event_type")
@@ -71,6 +74,8 @@ ORDER BY event_type
 # --- top-k users by activity ----------------------------------------------
 
 def log_topk_users(sf_dir: str):
+    """Top-20 users by event count (bounded local-topk prefilter, no
+    corpus-wide sort)."""
     from ..stages.aggregate import local_topk
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
@@ -93,6 +98,8 @@ LIMIT 10
 # --- windowed aggregate: tumbling 1-hour buckets ---------------------------
 
 def log_hourly_window(sf_dir: str):
+    """(hour, event_type, n_events, sum_value_cents) — tumbling-hour grouped
+    aggregate over the event stream."""
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -429,6 +436,8 @@ ORDER BY hour, rk
 # --- enrich: lang -> region broadcast lookup over documents ----------------
 
 def doc_region_enrich(sf_dir: str):
+    """(region, n_docs, sum_chars) — broadcast lang->region dictionary
+    enrichment (J2) then a bounded census."""
     ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
     langs = pa.array(list(LANG_REGION.keys()), type=pa.string())
     regions = pa.array(list(LANG_REGION.values()) + ["OTHER"], type=pa.string())
@@ -463,6 +472,8 @@ ORDER BY region
 # --- text analysis: token counts per lang ----------------------------------
 
 def doc_token_stats(sf_dir: str):
+    """(lang, n_docs, n_tokens, max_tokens) — whitespace-token counting per
+    language, fully vectorized (one regex count per batch)."""
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
 
     def prep(b: pa.Table) -> pa.Table:

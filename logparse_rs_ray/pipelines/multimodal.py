@@ -335,6 +335,8 @@ def mm_thumbnails(sf_dir: str):
 
 
 def mm_frame_samples(sf_dir: str):
+    """(doc_id, frame_idx, ...) — actor-pool frame sampling over synthetic
+    video payloads with an explicit small batch_size bounding memory."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(attach_binary_payload, batch_format="pyarrow", batch_size=None)
     return ds.map_batches(FrameSampleStub, batch_format="pyarrow",

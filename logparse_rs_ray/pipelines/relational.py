@@ -45,6 +45,8 @@ def _ts(y: int, m: int, d: int) -> pa.Scalar:
 # --- q1: pricing summary (grouped multi-agg over the fact table) -----------
 
 def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1: the (returnflag, linestatus) pricing-summary census —
+    grouped multi-aggregate in integer cents through the combiner tree."""
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice", "l_discount", "l_shipdate"])
@@ -85,6 +87,8 @@ ORDER BY l_returnflag, l_linestatus
 # --- q6: global filtered aggregate -----------------------------------------
 
 def q6_revenue_forecast(sf_dir: str):
+    """Single-row TPC-H Q6 census: revenue from the date/discount/quantity
+    band, integer cents, per-block partial -> one combiner."""
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"])
 
@@ -120,6 +124,8 @@ GROUP BY 1
 # --- broadcast join chain (dimension enrichment) ---------------------------
 
 def q_customer_regions(sf_dir: str):
+    """(r_name, n_customers, acctbal_cents) — customer census per region via
+    a broadcast nation⋈region dimension join."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
     nation = _read_small(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
     region = _read_small(sf_dir, "region", ["r_regionkey", "r_name"])
@@ -155,6 +161,8 @@ ORDER BY r_name, n_name
 # --- large-large hash join -------------------------------------------------
 
 def q_order_lineitem_join(sf_dir: str):
+    """(o_orderpriority, n_lines, sum_qty) — the canonical orders⋈lineitem
+    hash join (size-derived partitions) with a grouped rollup above it."""
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -187,6 +195,8 @@ ORDER BY o_orderpriority
 # --- top-k with deterministic tie-break ------------------------------------
 
 def q_top_parts_by_quantity(sf_dir: str):
+    """Top-10 parts by total shipped quantity (grouped sum -> bounded
+    top-k; no corpus-wide sort)."""
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
 
     def prep(b: pa.Table) -> pa.Table:
@@ -213,6 +223,8 @@ LIMIT 10
 # --- sort + limit (raw values pass through — no float rounding needed) -----
 
 def q_orders_sort_limit(sf_dir: str):
+    """Top-10 orders by price — the ORDER BY ... LIMIT shape (bounded
+    output, so the distributed sort is legitimate here)."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderkey", "o_totalprice", "o_orderdate"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -229,6 +241,8 @@ LIMIT 10
 # --- filter + project (row passthrough) ------------------------------------
 
 def q_filter_project(sf_dir: str):
+    """Row filter + column projection + derived cents column — the simplest
+    scan shape, kept as a gate canary."""
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_linenumber", "l_shipdate",
                              "l_returnflag", "l_extendedprice"])
@@ -251,6 +265,8 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_returnflag = 'R'
 # --- distinct --------------------------------------------------------------
 
 def q_distinct_flags(sf_dir: str):
+    """DISTINCT (l_returnflag, l_linestatus) via per-block dedup -> one
+    combiner (never a corpus-wide unique shuffle on a bounded domain)."""
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
 
     def per_block(b: pa.Table) -> pa.Table:
@@ -274,6 +290,8 @@ ORDER BY l_returnflag, l_linestatus
 # --- grouped count over orders --------------------------------------------
 
 def q_count_by_priority(sf_dir: str):
+    """(o_orderpriority, n_orders) — GROUP BY COUNT over a bounded key
+    domain through the combiner tree."""
     ds = read_table(sf_dir, "orders", columns=["o_orderpriority"])
     return count_by(ds, "o_orderpriority", count_name="n_orders",
                     final_partitions=1).sort("o_orderpriority")

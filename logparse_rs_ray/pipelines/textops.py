@@ -156,6 +156,8 @@ class LangIdScorer:
 
 
 def doc_lang_id(sf_dir: str):
+    """(doc_id, lang_pred, score_x1000) — stopword-profile language-ID
+    heuristic as an actor-pool stage (profiles compiled once per actor)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangIdScorer, batch_format="pyarrow", batch_size=None,
                           concurrency=auto_pool_size())
