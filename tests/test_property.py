@@ -474,3 +474,42 @@ class TestCusumKernelProperties:
                     alarms += 1
             want[t] = (len(evs), alarms, mx)
         assert got_map == want, (rows, k, h)
+
+
+class TestWatermarkArraysProperty:
+    """The pure-numpy per-partition watermark core equals a pandas replica
+    on arbitrary (shard, arr, event_id, ts) row sets — any shard mix, ties
+    in arrival order, single-row shards, negative timestamps."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 3),        # shard
+                              st.integers(0, 50),       # arr (ties likely)
+                              st.integers(0, 10**6),    # event_id
+                              st.integers(-10**9, 10**9)),  # ts_us
+                    min_size=1, max_size=60, unique_by=lambda t: t[2]))
+    def test_matches_pandas_replica(self, rows):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from logparse_rs_ray.pipelines.windows import (
+            WM_WINDOW_US, _watermark_arrays)
+
+        b = pa.table({
+            "shard": pa.array([r[0] for r in rows], pa.int64()),
+            "arr": pa.array([r[1] for r in rows], pa.int64()),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts_us": pa.array([r[3] for r in rows], pa.int64()),
+        })
+        wstart, wm_prev, has_wm = _watermark_arrays(b)
+
+        df = pd.DataFrame(rows, columns=["shard", "arr", "event_id", "ts_us"])
+        df = df.sort_values(["shard", "arr", "event_id"])
+        wm = df.groupby("shard").ts_us.apply(
+            lambda s: s.cummax().shift(1)).reset_index(drop=True)
+        want_w = ((df.ts_us // WM_WINDOW_US) * WM_WINDOW_US).to_numpy()
+        assert (wstart == want_w).all()
+        assert (has_wm == wm.notna().to_numpy()).all()
+        got = np.where(has_wm, wm_prev, 0)
+        want = np.where(wm.notna().to_numpy(), wm.fillna(0).to_numpy(), 0)
+        assert (got == want.astype(np.int64)).all()
