@@ -1550,7 +1550,7 @@ def _byte_pairs(b: pa.Table):
 
 
 def doc_lm_score(sf_dir: str, *, sample_mod: int = LM_SAMPLE_MOD,
-                 fanin: int = 8):
+                 fanin: int = 8, _with_lang: bool = False):
     """(doc_id, n_pairs, bits_x1000) — byte-bigram language-model score per
     document: mean ``-log2 P(next byte | byte)`` under an add-one-smoothed
     bigram model trained on a deterministic ~1/``sample_mod`` sample of the
@@ -1577,7 +1577,8 @@ def doc_lm_score(sf_dir: str, *, sample_mod: int = LM_SAMPLE_MOD,
     from ..functions.hashing import segment_sum
     from ..stages.aggregate import tree_merge
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["doc_id", "text"] + (["lang"] if _with_lang else [])
+    ds = read_table(sf_dir, "documents", columns=cols)
 
     def sample_counts(b: pa.Table) -> pa.Table:
         from .. import tune_worker_threads
@@ -1621,13 +1622,113 @@ def doc_lm_score(sf_dir: str, *, sample_mod: int = LM_SAMPLE_MOD,
         sums = segment_sum(lp, poff)
         n = np.diff(poff)
         bits = np.where(n > 0, -sums / np.maximum(n, 1), 0.0)
-        return pa.table({
+        out = {
             "doc_id": b["doc_id"],
             "n_pairs": pa.array(n.astype(np.int64)),
             "bits_x1000": pa.array(np.floor(bits * 1000).astype(np.int64)),
-        })
+        }
+        if _with_lang:
+            out["lang"] = b["lang"]
+        return pa.table(out)
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# --- CCNet head/middle/tail perplexity buckets -------------------------------
+
+CCNET_BUCKETS = 3
+
+
+def doc_ccnet_buckets(sf_dir: str, *, n_buckets: int = CCNET_BUCKETS,
+                      num_partitions: int | None = None):
+    """(doc_id, lang, bits_x1000, bucket) — CCNet's head/middle/tail split:
+    per LANGUAGE, rank documents by LM score (``doc_lm_score``'s
+    bits-per-byte, ascending — fluent text first) and cut into
+    ``n_buckets`` NTILE groups (bucket 1 = head = most fluent).  The
+    pretraining-mix primitive: loaders sample head/middle heavily and
+    drop or down-weight tail.
+
+    Scale shape: scores are corpus-∝ compact rows (ONE corpus pass via
+    ``doc_lm_score``); the (lang, bits) histogram is BOUNDED (score domain
+    is per-mille bits-per-byte), so exact global ranks come from a
+    combiner-tree census + driver-side cumulative offsets (the
+    ``q_rank_customers`` trick) — no corpus-wide sort.  One compact hash
+    exchange by (lang, bits) then gives each tied group its within-group
+    doc_id order, so NTILE's row-level tie-break (bits, doc_id) is exact.
+    Output corpus-∝ and sortless.
+
+    Rows-only (the LM score is not SQL-expressible); pytest pins the
+    buckets against a serial pandas NTILE replica over the same scores.
+    """
+    import ray
+
+    from ..stages.aggregate import tree_merge
+    from ..stages.shuffle import hash_partition, input_size_bytes
+    from .streaming import auto_shard_count
+
+    if num_partitions is None:
+        num_partitions = auto_shard_count(
+            input_size_bytes(f"{sf_dir}/documents.parquet"))
+    scored = doc_lm_score(sf_dir, _with_lang=True)
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = (b.select(["lang", "bits_x1000"])
+             .group_by(["lang", "bits_x1000"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["lang", "bits_x1000", "cnt"])
+
+    partial = scored.map_batches(hist, batch_format="pyarrow",
+                                 batch_size=None)
+    merged = tree_merge(partial, ["lang", "bits_x1000"], [("cnt", "sum")])
+    t = pa.concat_tables(list(merged.iter_batches(batch_format="pyarrow",
+                                                  batch_size=None)))
+    df = t.to_pandas().sort_values(["lang", "bits_x1000"])
+    base: dict = {}
+    sizes: dict = {}
+    for lang, g in df.groupby("lang", sort=False):
+        cum = g.cnt.cumsum().shift(1, fill_value=0).astype(int)
+        for bits, off in zip(g.bits_x1000, cum):
+            base[(lang, int(bits))] = int(off)
+        sizes[lang] = int(g.cnt.sum())
+    maps_ref = ray.put((base, sizes))
+
+    def assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "bits_x1000": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        base_m, sizes_m = ray.get(maps_ref)
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        bits = np.asarray(b["bits_x1000"], dtype=np.int64)
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        order = np.lexsort((did, bits, lang))
+        lang_s, bits_s, did_s = lang[order], bits[order], did[order]
+        new_g = np.ones(len(order), dtype=bool)
+        new_g[1:] = (lang_s[1:] != lang_s[:-1]) | (bits_s[1:] != bits_s[:-1])
+        g_first = np.maximum.accumulate(np.where(new_g,
+                                                 np.arange(len(order)), 0))
+        within = np.arange(len(order)) - g_first
+        starts = np.flatnonzero(new_g)
+        g_base = np.empty(len(starts), dtype=np.int64)
+        g_n = np.empty(len(starts), dtype=np.int64)
+        for i, s in enumerate(starts):          # bounded: distinct (lang,bits)
+            g_base[i] = base_m[(lang_s[s], int(bits_s[s]))]
+            g_n[i] = sizes_m[lang_s[s]]
+        seg_id = np.cumsum(new_g) - 1
+        rank = g_base[seg_id] + within          # 0-based global rank per lang
+        n = g_n[seg_id]
+        q, r = n // n_buckets, n % n_buckets
+        big = r * (q + 1)
+        bucket = np.where(rank < big, rank // np.maximum(q + 1, 1),
+                          r + (rank - big) // np.maximum(q, 1)) + 1
+        return pa.table({"doc_id": pa.array(did_s),
+                         "lang": pa.array(lang_s.astype(str)),
+                         "bits_x1000": pa.array(bits_s),
+                         "bucket": pa.array(bucket.astype(np.int64))})
+
+    return hash_partition(scored, ["lang", "bits_x1000"],
+                          num_partitions).map_batches(
+        assign, batch_format="pyarrow", batch_size=None)
 
 
 # --- DSIR-style importance weights (data selection) --------------------------
@@ -2868,6 +2969,7 @@ GROUP BY ng.doc_id
 
 
 QUERIES = {
+    "doc_ccnet_buckets": doc_ccnet_buckets,
     "doc_dup_ngram_stats": doc_dup_ngram_stats,
     "doc_pmi_phrases": doc_pmi_phrases,
     "doc_split_assign": doc_split_assign,

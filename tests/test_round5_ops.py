@@ -396,3 +396,52 @@ class TestCompaction:
         assert sorted(os.listdir(d)) == ["compact-00000.parquet"]
         after = self._read_all(d)
         assert before.equals(after)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCcnetBuckets:
+    def test_matches_pandas_ntile_replica(self):
+        import pandas as pd
+
+        from logparse_rs_ray.pipelines.textops import (
+            doc_ccnet_buckets, doc_lm_score)
+
+        got = (doc_ccnet_buckets(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        scores = (doc_lm_score(SF, _with_lang=True).to_pandas()
+                  .sort_values("doc_id").reset_index(drop=True))
+        # serial NTILE(3) replica: per lang, rank by (bits, doc_id)
+        rep = scores.sort_values(["lang", "bits_x1000", "doc_id"]).copy()
+        parts = []
+        for _, g in rep.groupby("lang", sort=False):
+            n = len(g)
+            q, r = divmod(n, 3)
+            rank = pd.RangeIndex(n).to_numpy()
+            big = r * (q + 1)
+            bucket = [rk // (q + 1) + 1 if rk < big
+                      else r + (rk - big) // max(q, 1) + 1 for rk in rank]
+            g = g.assign(bucket=bucket)
+            parts.append(g)
+        want = (pd.concat(parts).sort_values("doc_id")
+                .reset_index(drop=True))
+        assert got.doc_id.tolist() == want.doc_id.tolist()
+        assert got.lang.tolist() == want.lang.tolist()
+        assert got.bits_x1000.tolist() == want.bits_x1000.tolist()
+        assert got.bucket.tolist() == want.bucket.tolist()
+        # CCNet semantics: within a lang, head scores <= tail scores
+        for _, g in got.groupby("lang"):
+            assert g[g.bucket == 1].bits_x1000.max() <= \
+                g[g.bucket == 3].bits_x1000.min()
+        # buckets balanced to within one doc per lang
+        sizes = got.groupby(["lang", "bucket"]).size()
+        for lang, g in sizes.groupby(level=0):
+            assert g.max() - g.min() <= 1
+
+    def test_forced_partition_equivalence(self):
+        from logparse_rs_ray.pipelines.textops import doc_ccnet_buckets
+
+        a = (doc_ccnet_buckets(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (doc_ccnet_buckets(SF, num_partitions=5).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
