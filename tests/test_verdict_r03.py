@@ -788,7 +788,7 @@ class TestQueryRegistry:
             "dedup_minhash_pairs", "dedup_simhash_pairs", "ann_ivf_topk",
             "doc_fingerprint", "mm_frame_samples", "embed_kmeans",
             "dedup_minhash_survivors", "log_value_quantiles",
-            "mm_audio_levels", "ann_lsh_topk",
+            "mm_audio_levels", "ann_lsh_topk", "doc_ccnet_buckets",
             "doc_cms_heavy_terms", "log_event_user_hll",
             "log_value_quantiles_by_type", "doc_embed_hashvec",
             "doc_semantic_pairs", "doc_semantic_survivors",
