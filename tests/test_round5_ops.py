@@ -445,3 +445,83 @@ class TestCcnetBuckets:
         b = (doc_ccnet_buckets(SF, num_partitions=5).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRound5Edges:
+    def test_compact_nested_hive_levels(self, tmp_path):
+        """Two partition levels plus files at an intermediate level: every
+        directory that holds parquet files is compacted independently."""
+        import os
+
+        from logparse_rs_ray.state.compact import compact_tree
+
+        root = tmp_path / "out"
+        for sub in ("sink=a/date=1", "sink=a/date=2"):
+            d = root / sub
+            d.mkdir(parents=True)
+            for i in range(3):
+                pq.write_table(pa.table({"x": [i, i + 10]}),
+                               d / f"p{i}.parquet")
+        # intermediate-level stray files next to subdirs
+        for i in range(2):
+            pq.write_table(pa.table({"x": [100 + i]}),
+                           root / "sink=a" / f"stray{i}.parquet")
+        stats = compact_tree(str(root))
+        assert stats["dirs"] == 3 and stats["out_files"] == 3
+        assert sorted(os.listdir(root / "sink=a/date=1")) == \
+            ["compact-00000.parquet"]
+        assert "compact-00000.parquet" in os.listdir(root / "sink=a")
+        import pyarrow.dataset as pads
+
+        vals = sorted(pads.dataset(str(root)).to_table()["x"].to_pylist())
+        assert vals == sorted([0, 10, 1, 11, 2, 12] * 2 + [100, 101])
+
+    def test_salted_join_single_salt_degenerates(self):
+        import ray.data as rd
+
+        from logparse_rs_ray.stages.join import hash_join, salted_join
+
+        left = rd.from_arrow(pa.table({"k": [1, 1, 2], "v": [1, 2, 3]}))
+        right = rd.from_arrow(pa.table({"rk": [1, 2], "w": [10, 20]}))
+        a = hash_join(left, right, "k", "rk", num_partitions=2).to_pandas()
+        b = salted_join(left, right, "k", "rk", hot_keys=[1], num_salts=1,
+                        num_partitions=2).to_pandas()
+        cols = sorted(a.columns)
+        assert (a[cols].sort_values(cols).reset_index(drop=True)
+                .equals(b[cols].sort_values(cols).reset_index(drop=True)))
+
+    def test_watermark_single_event_is_on_time(self, tmp_path):
+        import datetime as dt
+
+        from logparse_rs_ray.pipelines.windows import (
+            log_late_update_census, log_watermark_late_events)
+
+        pq.write_table(pa.table({
+            "event_id": pa.array([5], pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, 1, 0, 30)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([9], pa.int64()),
+        }), tmp_path / "events.parquet")
+        bi = log_watermark_late_events(str(tmp_path)).to_pandas()
+        assert bi.n_on_time.tolist() == [1] and bi.n_late.tolist() == [0]
+        tri = log_late_update_census(str(tmp_path)).to_pandas()
+        assert tri.n_on_time.tolist() == [1]
+        assert tri.n_updates.tolist() == [0] == tri.n_dropped.tolist()
+
+    def test_dup_ngram_single_gram_docs(self, tmp_path):
+        """Exactly-8-word docs: one gram each; two identical docs dup each
+        other, a distinct one stays unique."""
+        g1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+        g2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [g1, g1, g2],
+        }), tmp_path / "documents.parquet")
+        from logparse_rs_ray.pipelines.textops import doc_dup_ngram_stats
+
+        out = (doc_dup_ngram_stats(str(tmp_path)).to_pandas()
+               .sort_values("doc_id").set_index("doc_id"))
+        assert out.n_grams.tolist() == [1, 1, 1]
+        assert out.n_dup_grams.tolist() == [1, 1, 0]
+        assert out.dup_permille.tolist() == [1000, 1000, 0]
